@@ -1,0 +1,67 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison.
+
+Sorts columns by name, canonicalizes values (arrays → tuples, NaN-aware
+floats), sorts rows, and asserts exact equality — stricter than a hash so
+mismatches are debuggable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+
+def _canon_value(v: Any) -> Any:
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return None  # pandas encodes SQL NULL as NaN; treat them alike
+        # collapse -0.0/0.0 and use repr for stable hashing
+        return repr(f + 0.0)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_value(v) for v in row))
+    out.sort(key=lambda r: tuple(str(x) for x in r))
+    return out
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a = canonical_rows(spark_pdf)
+    b = canonical_rows(duck_pdf)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs (spark vs duck): {diffs}"
+        )
+
+
+def run_compare(spark, con, query_fn, sql: str, sf_dir: str, name: str = "") -> int:
+    sdf = query_fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = con.sql(sql).df()
+    compare_frames(spark_pdf, duck_pdf, name)
+    return len(spark_pdf)

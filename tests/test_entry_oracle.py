@@ -1,0 +1,36 @@
+"""Every queries() entry must match its oracle_sql() — the driver's gate,
+replicated locally at sf0.001 (fast) for all queries."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_check import run_compare
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_callable_shape(spark):
+    assert QUERIES, "queries() must not be empty"
+    for name in ORACLES:
+        assert name in QUERIES, f"oracle {name} has no query"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_smoke(spark, duck_smoke, name):
+    if name not in ORACLES:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0  # rows-only check, as the driver does
+        return
+    n = run_compare(
+        spark, duck_smoke, QUERIES[name], ORACLES[name], "/root/testdata/sf0.001", name
+    )
+    assert n > 0, f"{name}: oracle compare ran on empty result"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0

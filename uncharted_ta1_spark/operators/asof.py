@@ -1,0 +1,127 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+Semantics (reference analog: ``tasks/geo_referencing/georeference.py:80-275``
+— fit per-document state from accumulated keypoints, answer each QueryPoint
+against the latest state, fall back to a default when no state exists,
+``georeference.py:391-429``):
+
+For every probe row ``(doc_id[, source], ts)`` return the state row with the
+greatest ``event_time <= ts`` within the probe's key group — *inclusive* at
+equal timestamps (state at exactly ``ts`` is visible), never anything later
+(zero temporal leakage).  Probes whose key group has no state at-or-before
+``ts`` get engine defaults and ``fallback_used = true`` (the reference's
+confidence-0 clue-midpoint fallback).
+
+Scale design
+------------
+A naive formulation is an inequality join (``state.ts <= probe.ts``) which
+Spark plans as a broadcast-nested-loop or a per-key cartesian — quadratic in
+the hot keys.  Instead we use the classic **union + running-last window**:
+
+1. tag state rows ``side=0`` and probe rows ``side=1``;
+2. union them on a shared schema (the whole state payload rides in ONE struct
+   column that is NULL on probe rows — one window fill, no row tearing);
+3. one hash-partition shuffle on the join keys, sort within partitions by
+   ``(ts, side, *tiebreak)`` — state sorts before probes at equal ts, giving
+   inclusive semantics deterministically;
+4. ``last(state_struct, ignorenulls=true)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` carries the latest state
+   forward onto every probe row;
+5. filter back to probes.
+
+Cost: ONE shuffle of |state| + |probes| rows, fully parallel per key group,
+no join explosion, AQE-coalesced.  This is the plan that survives 10^12 rows:
+throughput is bounded by shuffle bandwidth, not by key cardinality or probe
+fan-out.  Skewed doc_ids shuffle more rows into one partition; because window
+partitions cannot be split, extreme skew is handled upstream by bucketing the
+state table (see plans/backfill.py) — within a bucket the window sort runs on
+the spill-capable UnsafeExternalSorter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    state: DataFrame,
+    probes: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id",),
+    state_ts: str = "event_epoch",
+    probe_ts: str = "ts_epoch",
+    payload_cols: Sequence[str] = ("tokens", "n_tok"),
+    tiebreak_cols: Sequence[str] = (),
+    prefix: str = "asof_",
+    defaults: dict[str, Column] | None = None,
+) -> DataFrame:
+    """As-of join `probes` against `state` on `keys`, inclusive at equal ts.
+
+    Returns one row per probe row: all probe columns, plus for each payload
+    column ``c`` a ``{prefix}{c}`` column (default-filled on fallback), plus
+    ``{prefix}event_epoch`` (ts of the matched state row, NULL on fallback),
+    ``{prefix}age_sec`` and ``fallback_used``.
+
+    ``tiebreak_cols`` define a deterministic winner when several state rows
+    share one timestamp within a key group (the greatest tuple wins) — the
+    analog of the reference's dict-override-by-key merge
+    (``tasks/common/pipeline.py:188-199``).
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    probe_cols = list(probes.columns)
+    anchor = f"{prefix}event_epoch"
+
+    state_side = state.select(
+        *[F.col(k) for k in keys],
+        F.col(state_ts).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(state_ts).cast("long").alias("anchor"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_st"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"_p_{c}") for c in probe_cols],
+    )
+    st_type = state_side.schema["_st"].dataType
+    probe_side = probes.select(
+        *[F.col(k) for k in keys],
+        F.col(probe_ts).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(st_type).alias("_st"),
+        *[F.lit(None).cast(state.schema[c].dataType).alias(f"_tb_{c}") for c in tiebreak_cols],
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
+    )
+
+    unioned = state_side.unionByName(probe_side)
+
+    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+        F.col(f"_tb_{c}").asc_nulls_first() for c in tiebreak_cols
+    ]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = (
+        unioned.withColumn("_fill", F.last(F.col("_st"), ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+
+    defaults = defaults or {}
+    out_cols: list[Column] = [F.col(f"_p_{c}").alias(c) for c in probe_cols]
+    out_cols.append(F.col("_fill.anchor").alias(anchor))
+    for c in payload_cols:
+        filledc = F.col(f"_fill.{c}")
+        if c in defaults:
+            filledc = F.when(F.col("_fill").isNull(), defaults[c]).otherwise(filledc)
+        out_cols.append(filledc.alias(f"{prefix}{c}"))
+    out_cols.append((F.col("_ts") - F.col("_fill.anchor")).cast("long").alias(f"{prefix}age_sec"))
+    out_cols.append(F.col("_fill").isNull().alias("fallback_used"))
+    return filled.select(*out_cols)

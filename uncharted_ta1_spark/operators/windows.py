@@ -1,0 +1,96 @@
+"""Ordered-neighbor window operators: lag/lead token context + rolling aggs.
+
+Reference analog: the adjacent-block merge in
+``tasks/geo_referencing/coordinates_extractor.py:495-540`` — a token at
+position ``idx`` looks at the *next* element in document order, conditional on
+a gap bound (W1 in SURVEY.md §2.5); and the token-budget aggregate
+``tasks/metadata_extraction/metadata_extraction.py:806-820`` (A10).
+
+Everything here is a pure Spark SQL window — single shuffle on the partition
+keys, whole-stage-codegen'd frame evaluation, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def lag_lead_context(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id", "source"),
+    order: Sequence[str] = ("event_epoch",),
+    cols: Sequence[str] = ("tokens", "n_tok"),
+    k: int = 1,
+) -> DataFrame:
+    """Add ``lag_{c}_{i}`` / ``lead_{c}_{i}`` columns for i in 1..k.
+
+    NULL at partition edges (FIXTURES.md §4 requires exact null edges).
+    Also emits ``gap_to_prev_sec`` from the first order column.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(o).asc() for o in order])
+    out = df
+    for c in cols:
+        for i in range(1, k + 1):
+            out = out.withColumn(f"lag_{c}_{i}", F.lag(F.col(c), i).over(w))
+            out = out.withColumn(f"lead_{c}_{i}", F.lead(F.col(c), i).over(w))
+    ts = order[0]
+    out = out.withColumn(
+        "gap_to_prev_sec", (F.col(ts) - F.lag(F.col(ts), 1).over(w)).cast("long")
+    )
+    return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id", "source"),
+    order: Sequence[str] = ("event_epoch",),
+    col: str = "n_tok",
+    window: int = 5,
+) -> DataFrame:
+    """Trailing `window`-row sum/mean/min/max of `col` per key group.
+
+    ``roll_mean`` is rounded to 9 decimals so results hash-match the DuckDB
+    oracle bit-for-bit (both engines do bigint-sum / count in double).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(o).asc() for o in order])
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        df.withColumn(f"roll_sum_{col}_w{window}", F.sum(F.col(col).cast("long")).over(w))
+        .withColumn(
+            f"roll_mean_{col}_w{window}",
+            F.round(F.avg(F.col(col).cast("long")).over(w), 9),
+        )
+        .withColumn(f"roll_min_{col}_w{window}", F.min(F.col(col)).over(w))
+        .withColumn(f"roll_max_{col}_w{window}", F.max(F.col(col)).over(w))
+    )
+
+
+def dedup_latest(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order: Sequence[str],
+    descending: bool = True,
+) -> DataFrame:
+    """Keep exactly one row per key group: the greatest (default) order tuple.
+
+    Reference analog: tile-overlap dedup, last-write-wins keyed by decimated
+    grid cell (``tasks/point_extraction/tiling.py:289-352``, W4) and the
+    coordinate dict override (``tasks/geo_referencing/util.py:76-96``).
+    """
+    ordering = [F.col(o).desc() if descending else F.col(o).asc() for o in order]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

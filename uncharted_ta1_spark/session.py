@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same configuration is used by tests, the driver entrypoint and the bench
+harness so plans are comparable.  On a real cluster only ``master`` changes
+(spark-submit supplies it); everything else is cluster-size independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100TB design point, scaled to local mode:
+#  * AQE on: runtime partition coalescing + skew-join splitting replaces
+#    hand-tuned shuffle partition counts at every scale.
+#  * Arrow on: every pandas UDF path is Arrow-batched (north rule: zero
+#    per-row Python).
+#  * UTC session timezone: deterministic epoch math, matches the DuckDB
+#    oracle which operates on naive timestamps.
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "uncharted-ta1-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    builder = SparkSession.builder.master(master or default_master()).appName(app_name)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
