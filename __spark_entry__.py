@@ -27,8 +27,14 @@ from uncharted_ta1_spark.datagen import (
     duck_with,
 )
 from uncharted_ta1_spark.operators.asof import asof_join
+from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
+from uncharted_ta1_spark.operators.filters import (
+    adaptive_topup_filter,
+    group_agg_filter,
+    mad_outlier_flag,
+)
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
-from uncharted_ta1_spark.operators.windows import lag_lead_context, rolling_agg
+from uncharted_ta1_spark.operators.windows import dedup_latest, lag_lead_context, rolling_agg
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -288,6 +294,155 @@ QUALIFY session_rank <= 2
 
 
 # ---------------------------------------------------------------------------
+# Filter / dedup / extrapolation operators (SURVEY.md §2.2 F2/F3, §2.5 W4/W6)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins dedup per (doc_id, source) — W4/E5 override-by-key."""
+    out = dedup_latest(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        order=["event_epoch"],
+    )
+    return out.select("doc_id", "source", "seq_no", "event_epoch", "n_tok")
+
+
+ORACLE_DEDUP_LATEST = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no, event_epoch, n_tok
+FROM sequences
+QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY event_epoch DESC) = 1
+"""
+)
+
+
+def q_group_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop whole (doc_id, source) groups failing count/max predicates (F3)."""
+    out = group_agg_filter(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        min_count=3,
+        agg_predicates={"grp_max_n_tok": ("max(n_tok)", F.col("grp_max_n_tok") >= 10)},
+    )
+    return out.select(
+        "doc_id", "source", "seq_no", "event_epoch", "n_tok",
+        "grp_count", "grp_max_n_tok",
+    )
+
+
+ORACLE_GROUP_COUNT_FILTER = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no, event_epoch, n_tok, grp_count, grp_max_n_tok
+FROM (
+  SELECT *, CAST(count(*) OVER w AS BIGINT) AS grp_count,
+         max(n_tok) OVER w AS grp_max_n_tok
+  FROM sequences
+  WINDOW w AS (PARTITION BY doc_id, source)
+)
+WHERE grp_count >= 3 AND grp_max_n_tok >= 10
+"""
+)
+
+
+def q_adaptive_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold filter with best-first re-admission at 0.5x (F2 adaptive)."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    out = adaptive_topup_filter(
+        ev,
+        keys=["user_id"],
+        keep=F.col("value") >= 150.0,
+        order=["value", "event_id"],
+        target=2,
+        readmit_factor=0.5,
+        value_col="value",
+    )
+    return out.select("event_id", "user_id", "event_type", "value", "was_topup", "adj_value")
+
+
+ORACLE_ADAPTIVE_TOPUP = (
+    duck_with(EVENTS_DUCK)
+    + """
+, m AS (SELECT *, (value >= 150.0) AS keep FROM events_epoch),
+r AS (
+  SELECT *,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id) AS BIGINT) AS n_surv,
+    CASE WHEN NOT keep THEN
+      row_number() OVER (PARTITION BY user_id
+                         ORDER BY keep DESC, value DESC, event_id DESC)
+    END AS exc_rank
+  FROM m
+)
+SELECT event_id, user_id, event_type, value,
+       NOT keep AS was_topup,
+       CASE WHEN NOT keep THEN round(value * 0.5, 6) ELSE round(value, 6) END AS adj_value
+FROM r
+WHERE keep OR (exc_rank - n_surv) <= (2 - least(2, n_surv))
+"""
+)
+
+
+def q_extrapolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize next-step rows per group from first/last trend (W6)."""
+    return extrapolate_groups(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        ts="event_epoch",
+        value="n_tok",
+        min_rows=2,
+        confidence=0.5,
+    )
+
+
+ORACLE_EXTRAPOLATE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_obs,
+  CAST(max(event_epoch)
+       + (max(event_epoch) - min(event_epoch)) // (count(*) - 1) AS BIGINT) AS synth_epoch,
+  CAST(greatest(arg_max(n_tok, event_epoch)
+       + (arg_max(n_tok, event_epoch) - arg_min(n_tok, event_epoch)), 0) AS INT) AS synth_n_tok,
+  CAST(0.5 AS DOUBLE) AS confidence
+FROM sequences
+GROUP BY doc_id, source
+HAVING count(*) >= 2
+"""
+)
+
+
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flag per user (F4 analog)."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    out = mad_outlier_flag(ev, keys=["user_id"], value_col="value", k=3.0)
+    return out.select(
+        "event_id", "user_id", "value", "is_outlier", "grp_median", "grp_mad"
+    )
+
+
+ORACLE_MAD_OUTLIER = (
+    duck_with(EVENTS_DUCK)
+    + """
+, med AS (SELECT user_id, median(value::DOUBLE) AS m FROM events_epoch GROUP BY user_id),
+mad AS (
+  SELECT e.user_id, median(abs(e.value - med.m)::DOUBLE) AS d
+  FROM events_epoch e JOIN med USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       abs(e.value - med.m) > 3.0 * mad.d AS is_outlier,
+       round(med.m, 6) AS grp_median,
+       round(mad.d, 6) AS grp_mad
+FROM events_epoch e
+JOIN med USING (user_id)
+JOIN mad USING (user_id)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -306,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "session_aggs": q_session_aggs,
         "session_top2": q_session_top2,
+        "dedup_latest_state": q_dedup_latest_state,
+        "group_count_filter": q_group_count_filter,
+        "adaptive_topup": q_adaptive_topup,
+        "extrapolate": q_extrapolate,
+        "mad_outlier": q_mad_outlier,
     }
 
 
@@ -318,4 +478,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": ORACLE_SESSIONIZE,
         "session_aggs": ORACLE_SESSION_AGGS,
         "session_top2": ORACLE_SESSION_TOP2,
+        "dedup_latest_state": ORACLE_DEDUP_LATEST,
+        "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
+        "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,
+        "extrapolate": ORACLE_EXTRAPOLATE,
+        "mad_outlier": ORACLE_MAD_OUTLIER,
     }

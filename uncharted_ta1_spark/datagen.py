@@ -144,18 +144,23 @@ probes AS (
     'p_' || CAST(o_orderkey AS STRING) AS probe_id,
     'doc_' || CAST(doc_num_p AS STRING) AS doc_id,
     doc_num_p,
-    CASE WHEN pmod(o_orderkey, 4) = 0 THEN 'alt_' || CAST(pmod(doc_num_p, 3) AS STRING)
-         ELSE src END AS source,
+    CASE WHEN pmod(o_orderkey, 10) = 0 THEN coalesce(doc_src, 'src0')
+         WHEN pmod(o_orderkey, 5) = 1 THEN 'alt_' || CAST(pmod(doc_num_p, 3) AS STRING)
+         WHEN pmod(o_orderkey, 5) = 2 THEN 'src' || CAST(pmod(o_orderkey, 25) AS STRING)
+         ELSE coalesce(doc_src, 'src0') END AS source,
     CASE WHEN pmod(o_orderkey, 10) = 0
          THEN CAST(1704067200 + (doc_num_p % 1440) * 60 + pmod(doc_num_p * 31, 300) AS BIGINT)
          ELSE CAST(1704067200 + pmod(o_orderkey * 97 + o_custkey * 11, 100000) - 5000 AS BIGINT)
     END AS ts_epoch
   FROM (
-    SELECT o_orderkey, o_custkey,
-           pmod(o_orderkey * 13 + 7,
-                (SELECT max(doc_id) + 1 + (max(doc_id) + 1) DIV 10 FROM documents)) AS doc_num_p,
-           'src' || CAST(pmod(o_orderkey, 25) AS STRING) AS src
-    FROM orders
+    SELECT o.o_orderkey, o.o_custkey, o.doc_num_p, d.source AS doc_src
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             pmod(o_orderkey * 13 + 7,
+                  (SELECT max(doc_id) + 1 + (max(doc_id) + 1) DIV 10 FROM documents)) AS doc_num_p
+      FROM orders
+    ) o
+    LEFT JOIN documents d ON d.doc_id = o.doc_num_p
   )
 )
 """
@@ -166,18 +171,23 @@ probes AS (
     'p_' || CAST(o_orderkey AS VARCHAR) AS probe_id,
     'doc_' || CAST(doc_num_p AS VARCHAR) AS doc_id,
     doc_num_p,
-    CASE WHEN o_orderkey % 4 = 0 THEN 'alt_' || CAST(doc_num_p % 3 AS VARCHAR)
-         ELSE src END AS source,
+    CASE WHEN o_orderkey % 10 = 0 THEN coalesce(doc_src, 'src0')
+         WHEN o_orderkey % 5 = 1 THEN 'alt_' || CAST(doc_num_p % 3 AS VARCHAR)
+         WHEN o_orderkey % 5 = 2 THEN 'src' || CAST(o_orderkey % 25 AS VARCHAR)
+         ELSE coalesce(doc_src, 'src0') END AS source,
     CASE WHEN o_orderkey % 10 = 0
          THEN CAST(1704067200 + (doc_num_p % 1440) * 60 + (doc_num_p * 31) % 300 AS BIGINT)
          ELSE CAST(1704067200 + (o_orderkey * 97 + o_custkey * 11) % 100000 - 5000 AS BIGINT)
     END AS ts_epoch
   FROM (
-    SELECT o_orderkey, o_custkey,
-           (o_orderkey * 13 + 7)
-             % (SELECT max(doc_id) + 1 + (max(doc_id) + 1) // 10 FROM documents) AS doc_num_p,
-           'src' || CAST(o_orderkey % 25 AS VARCHAR) AS src
-    FROM orders
+    SELECT o.o_orderkey, o.o_custkey, o.doc_num_p, d.source AS doc_src
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             (o_orderkey * 13 + 7)
+               % (SELECT max(doc_id) + 1 + (max(doc_id) + 1) // 10 FROM documents) AS doc_num_p
+      FROM orders
+    ) o
+    LEFT JOIN documents d ON d.doc_id = o.doc_num_p
   )
 )
 """
