@@ -27,6 +27,16 @@ from uncharted_ta1_spark.datagen import (
     duck_with,
 )
 from uncharted_ta1_spark.operators.asof import asof_join
+from uncharted_ta1_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_params,
+    minhash_signatures,
+    simhash16,
+    simhash_pairs,
+)
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
@@ -34,6 +44,13 @@ from uncharted_ta1_spark.operators.filters import (
     mad_outlier_flag,
 )
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
+from uncharted_ta1_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from uncharted_ta1_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    token_counts,
+)
 from uncharted_ta1_spark.operators.windows import dedup_latest, lag_lead_context, rolling_agg
 
 SF0001 = "/root/testdata/sf0.001"
@@ -443,6 +460,349 @@ JOIN mad USING (user_id)
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / text stats / similarity search
+# ---------------------------------------------------------------------------
+
+DOC_WORDS_DUCK = """
+doc_words AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+  FROM documents
+)
+"""
+
+DOC_SHINGLES_DUCK = """
+doc_shingles AS (
+  SELECT DISTINCT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS sh_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+    FROM doc_words
+  )
+)
+"""
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    datagen.register_base_tables(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    datagen.register_base_tables(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def q_dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by hashed 3-word-prefix key (hash-groupBy, one shuffle)."""
+    return exact_dedup(_documents(spark, sf_dir), prefix_words=3)
+
+
+ORACLE_DEDUP_EXACT = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+SELECT (('0x' || substr(md5(array_to_string(list_slice(words, 1, 3), ' ')), 1, 15))::BIGINT)
+         AS key_hash,
+       min(doc_id) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM doc_words
+GROUP BY 1
+"""
+)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 (inverted-index join)."""
+    return jaccard_pairs(doc_shingles(_documents(spark, sf_dir), n=3), min_jaccard=0.5)
+
+
+ORACLE_DEDUP_JACCARD = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+    + """
+, cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM doc_shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_common
+  FROM doc_shingles a
+  JOIN doc_shingles b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, n_common, ca.n_sh AS n1, cb.n_sh AS n2,
+       round(n_common / (ca.n_sh + cb.n_sh - n_common), 9) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc1
+JOIN cnt cb ON cb.doc_id = doc2
+WHERE round(n_common / (ca.n_sh + cb.n_sh - n_common), 9) >= 0.5
+"""
+)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 perms, 4 bands of 4) — the scale path."""
+    sh = doc_shingles(_documents(spark, sf_dir), n=3)
+    sig = minhash_signatures(sh, k=16, seed=42)
+    return lsh_candidate_pairs(sig, band_size=4)
+
+
+def _minhash_perm_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(16, 42))
+
+
+ORACLE_DEDUP_MINHASH = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+    + f"""
+, perms(perm, a, b) AS (VALUES {_minhash_perm_values()}),
+mh AS (
+  SELECT doc_id, perm,
+         min((a * (sh_hash % 2147483648) + b) % 2147483647) AS minhash
+  FROM doc_shingles CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         (('0x' || substr(md5(string_agg(perm || ':' || minhash, ',' ORDER BY perm)), 1, 15))::BIGINT)
+           AS band_sig
+  FROM mh
+  GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash signature per document."""
+    return simhash16(_documents(spark, sf_dir))
+
+
+ORACLE_SIMHASH = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, wh AS (
+  SELECT doc_id, (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+  FROM (SELECT doc_id, unnest(words) AS w FROM doc_words)
+),
+bits AS (SELECT doc_id, h, unnest(range(16)) AS b FROM wh),
+per_bit AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup candidates with hamming <= 3."""
+    return simhash_pairs(simhash16(_documents(spark, sf_dir)), max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+ORACLE_SIMHASH_PAIRS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, wh AS (
+  SELECT doc_id, (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+  FROM (SELECT doc_id, unnest(words) AS w FROM doc_words)
+),
+bits AS (SELECT doc_id, h, unnest(range(16)) AS b FROM wh),
+per_bit AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id
+),
+banded AS (SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM sh)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       a.simhash AS sh1, b.simhash AS sh2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a
+JOIN banded b ON (a.hi = b.hi OR a.lo = b.lo) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio quality features + composite score."""
+    return text_quality(_documents(spark, sf_dir))
+
+
+ORACLE_TEXT_QUALITY = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, d AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars_txt,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS char_sum,
+         CAST(len(list_filter(words,
+              w -> list_contains(['the','and','of','to','a'], w))) AS BIGINT) AS n_stopwords
+  FROM doc_words
+)
+SELECT doc_id, lang, n_chars_txt, n_words,
+       round(char_sum / n_words, 9) AS avg_word_len,
+       round(n_stopwords / n_words, 9) AS stopword_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.5::DOUBLE
+             + least(n_stopwords / n_words * 5.0, 1.0) * 0.5::DOUBLE, 9) AS quality_score
+FROM d
+"""
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language vote with deterministic tie-break."""
+    return lang_id(_documents(spark, sf_dir))
+
+
+ORACLE_LANG_ID = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, d AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a'], w))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(words, w -> list_contains(['der','die','und','ein','das'], w))) AS BIGINT) AS de_hits,
+    CAST(len(list_filter(words, w -> list_contains(['le','la','et','un','des'], w))) AS BIGINT) AS fr_hits
+  FROM doc_words
+)
+SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM d
+"""
+)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts and budget predicate (A10/F5)."""
+    return token_counts(_documents(spark, sf_dir))
+
+
+ORACLE_TOKEN_COUNTS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) <= 3500
+         AS within_budget
+FROM doc_words
+"""
+)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max shingle-hash fingerprint + prefix rolling hash."""
+    return doc_fingerprint(_documents(spark, sf_dir), n=3, prefix_words=8)
+
+
+ORACLE_FINGERPRINT = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, shl AS (
+  SELECT doc_id, words,
+         list_transform(
+           list_transform(range(1, greatest(len(words) - 1, 1)),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]),
+           s -> (('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+  FROM doc_words
+)
+SELECT doc_id,
+       CAST(list_aggregate(sh, 'min') AS BIGINT) AS min_sh_hash,
+       CAST(list_aggregate(sh, 'max') AS BIGINT) AS max_sh_hash,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
+       (('0x' || substr(md5(array_to_string(list_slice(words, 1, 8), ' ')), 1, 15))::BIGINT)
+         AS prefix_hash
+FROM shl
+"""
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 per query vector (vec_id % 50 = 0)."""
+    return cosine_topk(
+        _embeddings(spark, sf_dir), query_pred=F.col("vec_id") % 50 == 0, k=5
+    )
+
+
+ORACLE_ANN_COSINE = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM base WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT qid, vec_id AS vid, list_dot_product(qe, e) / (qn * nrm) AS sim
+  FROM q JOIN base ON qid != vec_id
+)
+SELECT qid, vid, round(sim, 9) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-3 (integer signed projections)."""
+    return ann_lsh_topk(
+        _embeddings(spark, sf_dir), query_pred=F.col("vec_id") % 50 == 0, k=3
+    )
+
+
+ORACLE_ANN_LSH = """
+WITH hp AS (
+  SELECT j, i,
+         (('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT) % 2001 - 1000 AS w
+  FROM range(8) t1(j) CROSS JOIN range(64) t2(i)
+),
+flat AS (
+  SELECT vec_id AS vid, i, e, CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS e_int
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings)
+),
+proj AS (
+  SELECT vid, j, CAST(sum(e_int * w) AS BIGINT) AS s
+  FROM flat JOIN hp USING (i) GROUP BY vid, j
+),
+buckets AS (
+  SELECT vid, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vid
+),
+base AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         b.bucket
+  FROM embeddings e JOIN buckets b ON b.vid = e.vec_id
+),
+q AS (SELECT vec_id AS qid, emb AS qe, nrm AS qn, bucket AS qbucket
+      FROM base WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT qid, vec_id AS vid, base.bucket,
+         list_dot_product(qe, emb) / (qn * nrm) AS sim
+  FROM q JOIN base ON qbucket = base.bucket AND qid != vec_id
+)
+SELECT qid, vid, bucket, round(sim, 9) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -466,6 +826,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_topup": q_adaptive_topup,
         "extrapolate": q_extrapolate,
         "mad_outlier": q_mad_outlier,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -483,4 +854,15 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,
         "extrapolate": ORACLE_EXTRAPOLATE,
         "mad_outlier": ORACLE_MAD_OUTLIER,
+        "dedup_exact_prefix": ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+        "dedup_simhash": ORACLE_SIMHASH,
+        "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        "lang_id": ORACLE_LANG_ID,
+        "token_counts": ORACLE_TOKEN_COUNTS,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "ann_cosine_topk": ORACLE_ANN_COSINE,
+        "ann_lsh_topk": ORACLE_ANN_LSH,
     }

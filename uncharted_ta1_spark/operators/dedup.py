@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest to most robust, all shuffle-lean:
+
+  * exact_dedup        — hash-groupBy; one shuffle on the content hash.
+  * jaccard_pairs      — n-gram shingle inverted-index self-join; the join
+                         key is the shingle hash so only docs *sharing* a
+                         shingle ever meet (no cartesian).
+  * minhash signatures + LSH banding — the 100TB path: constant-size
+                         signatures per doc, candidate pairs only within LSH
+                         buckets, exact jaccard verified on candidates only.
+  * simhash            — 16-bit similarity hash + banded hamming candidates.
+
+Reference analog: the dedup-by-key patterns of the reference (text filter
+dedup ``tasks/metadata_extraction/text_filter.py:113-124``, tile-overlap
+dedup W4) generalized to content-level near-dup detection.
+
+All hashes are md5-based (functions/portable.py) so the DuckDB oracle
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uncharted_ta1_spark.functions.portable import (
+    MERSENNE31,
+    md5_i64,
+    shingles_col,
+    words_col,
+)
+
+
+def doc_shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, sh_hash) — DISTINCT hashed n-word shingles per document."""
+    words = words_col(F.col("text"))
+    return (
+        docs.select("doc_id", F.explode(shingles_col(words, n)).alias("shingle"))
+        .select("doc_id", md5_i64(F.col("shingle")).alias("sh_hash"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, *, prefix_words: int | None = None) -> DataFrame:
+    """Exact dedup by content hash (optionally on a word-prefix key).
+
+    Returns one row per distinct key: canonical doc (min doc_id), dup count.
+    Scale: one hash-partition shuffle on the 60-bit key; min/count are
+    map-side partial aggregates.
+    """
+    if prefix_words is None:
+        key = F.col("text")
+    else:
+        key = F.array_join(F.slice(words_col(F.col("text")), 1, prefix_words), " ")
+    return (
+        docs.select(md5_i64(key).alias("key_hash"), "doc_id")
+        .groupBy("key_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, *, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over the shingle inverted index.
+
+    |A∩B| via the self-equi-join on sh_hash (docs meet only where they share
+    a shingle); |A|,|B| via a grouped count joined back (broadcast — the
+    per-doc count table is tiny relative to the pair stream).
+    """
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh_hash") == F.col("b.sh_hash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    cb = counts.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    out = (
+        common.join(F.broadcast(ca), "doc1")
+        .join(F.broadcast(cb), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 9
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("doc1", "doc2", "n_common", "n1", "n2", "jaccard")
+
+
+def minhash_params(k: int = 16, seed: int = 42) -> list[tuple[int, int, int]]:
+    """Deterministic (perm_id, a, b) for k universal-hash permutations."""
+    rng = random.Random(seed)
+    return [(i, rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for i in range(k)]
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, k: int = 16, seed: int = 42
+) -> DataFrame:
+    """(doc_id, perm, minhash) — k-permutation minhash signature per doc.
+
+    h_i(s) = (a_i * (s % 2^31) + b_i) % (2^31 - 1): fits int64, portable.
+    One explode (k small) + one partial-aggregating min groupBy.
+    """
+    spark = shingles.sparkSession
+    perms = spark.createDataFrame(minhash_params(k, seed), "perm int, a long, b long")
+    return (
+        shingles.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            ((F.col("a") * (F.col("sh_hash") % F.lit(2**31)) + F.col("b")) % F.lit(MERSENNE31)).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, band_size: int = 4
+) -> DataFrame:
+    """Candidate pairs agreeing on ALL rows of >= 1 LSH band.
+
+    Band signature = md5 hash of the concatenated minhash values; candidates
+    join bucket-locally (equi join on (band, band_sig)) — never a cartesian.
+    Emits (doc1, doc2, n_bands) with the number of agreeing bands.
+    """
+    bands = (
+        signatures.withColumn("band", F.expr(f"perm div {band_size}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            md5_i64(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda x: F.concat(
+                            x["perm"].cast("string"), F.lit(":"), x["minhash"].cast("string")
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit simhash per document over (non-distinct) word hashes.
+
+    bit b of the signature is 1 iff sum over words of (±1 by word-hash bit b)
+    is > 0.  Explode words × 16 bit positions, two grouped sums — all integer
+    arithmetic, portable.
+    """
+    words = words_col(F.col("text"))
+    exploded = docs.select("doc_id", F.explode(words).alias("w")).select(
+        "doc_id", md5_i64(F.col("w")).alias("h")
+    )
+    bits = exploded.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    contrib = bits.select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("c"),
+    )
+    per_bit = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by banded simhash (two 8-bit bands) + hamming cut.
+
+    Recall note: a pair differing in BOTH bands is missed — that's the LSH
+    trade; exact hamming is verified on the candidates that do collide.
+    """
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.shiftright(F.col("simhash"), 8).alias("hi"),
+        F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = a.join(
+        b,
+        ((F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo")))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.col("a.simhash").alias("sh1"),
+        F.col("b.simhash").alias("sh2"),
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("sh1 ^ sh2")).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "sh1", "sh2", "hamming")
+    )

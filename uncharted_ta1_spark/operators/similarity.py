@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * cosine_topk — brute-force exact top-k: broadcast the (small) query set
+    against the corpus; dot products via ``zip_with``+``aggregate`` higher-
+    order functions (JVM-side, whole-stage codegen — no Python).  This is the
+    baseline and the verifier.
+  * lsh_buckets / ann_lsh_topk — the scale path: 8 signed random hyperplanes
+    (integer weights derived portably from md5, embeddings fixed-point-scaled
+    so the bucket assignment is exact integer math → deterministic across
+    engines), candidates only within a bucket.
+
+Reference analog: nearest-neighbor matching via STRtree index + min-distance
+pick (``tasks/point_extraction/point_orientation_extractor.py:121-180``, J4)
+— the classic kNN-in-SQL: bucket pre-join + row_number over distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uncharted_ta1_spark.functions.portable import md5_i64
+
+N_PLANES = 8
+FIXED_POINT = 1_000_000  # embedding scale for exact integer LSH math
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    e = _as_double(F.col(col))
+    return emb.withColumn("_emb_d", e).withColumn("_norm", F.sqrt(_dot(e, e)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    *,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each query vector.
+
+    Queries are broadcast (they're a tiny slice of the corpus); the corpus
+    streams through one narrow stage; per-query ranking is a window over the
+    query key.  Ordering is deterministic: (sim desc, vec_id asc).
+    """
+    base = with_norm(emb)
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col("_emb_d").alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+    )
+    c = base.select(F.col(id_col).alias("vid"), "_emb_d", "_norm")
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            (_dot(F.col("_q_emb"), F.col("_emb_d")) / (F.col("_q_norm") * F.col("_norm"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_sim").desc(), F.col("vid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vid", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplanes(spark) -> DataFrame:
+    """(j, i, w) integer hyperplane weights in [-1000, 1000], derived from
+    md5('hp_{j}_{i}') — reproducible in any engine, no RNG state."""
+    return (
+        spark.range(N_PLANES)
+        .withColumnRenamed("id", "j")
+        .crossJoin(spark.range(64).withColumnRenamed("id", "i"))
+        .select(
+            "j",
+            "i",
+            (
+                md5_i64(F.concat(F.lit("hp_"), F.col("j").cast("string"), F.lit("_"), F.col("i").cast("string")))
+                % 2001
+                - 1000
+            ).alias("w"),
+        )
+    )
+
+
+def lsh_buckets(emb: DataFrame, *, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bucket) — 8-bit signed-projection LSH bucket per vector.
+
+    Embeddings are fixed-point scaled (floor(x*1e6 + 0.5), exact in both
+    engines) so the projection sum is integer arithmetic — the sign (and
+    hence the bucket) is deterministic regardless of summation order.
+    """
+    hp = hyperplanes(emb.sparkSession)
+    flat = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "e"),
+    ).withColumn("e_int", F.floor(F.col("e") * FIXED_POINT + F.lit(0.5)).cast("long"))
+    proj = (
+        flat.join(F.broadcast(hp), "i")
+        .groupBy("vid", "j")
+        .agg(F.sum(F.col("e_int") * F.col("w")).alias("s"))
+    )
+    return proj.groupBy("vid").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, cast(j as int))")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    *,
+    query_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's LSH
+    bucket.  The bucket equi-join replaces the all-pairs product — at scale
+    this is the difference between |Q|x|C| and |Q|x|C|/256."""
+    buckets = lsh_buckets(emb, id_col=id_col)
+    base = with_norm(emb).join(buckets, F.col(id_col) == F.col("vid")).drop("vid")
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col("_emb_d").alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = base.select(F.col(id_col).alias("vid"), "_emb_d", "_norm", "bucket")
+    sims = (
+        F.broadcast(q)
+        .join(c, (F.col("qbucket") == F.col("bucket")) & (F.col("qid") != F.col("vid")))
+        .select(
+            "qid",
+            "vid",
+            F.col("bucket"),
+            (_dot(F.col("_q_emb"), F.col("_emb_d")) / (F.col("_q_norm") * F.col("_norm"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_sim").desc(), F.col("vid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vid", "bucket", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
+    )

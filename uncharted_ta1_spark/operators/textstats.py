@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data curation.
+
+Columnar throughout: higher-order array functions over the whitespace-token
+array; no UDFs, no per-row Python.  Reference analogs: the alphanumeric text
+filter + token-budget loop (``tasks/metadata_extraction/metadata_extraction.py
+:877-901, 806-820``) and the text-quality heuristics scattered through the
+metadata pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uncharted_ta1_spark.functions.portable import md5_i64, shingles_col, words_col
+
+# language-marker word lists (tiny literal dims; broadcast-free constants)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "ein", "das"),
+    "fr": ("le", "la", "et", "un", "des"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, single other non-space
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+TOKEN_BUDGET = 3500  # reference LLM prompt budget (metadata_extraction.py:234)
+
+
+def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword-ratio quality features + score."""
+    words = words_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_txt"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_char_sum"),
+        _marker_count(words, LANG_MARKERS["en"]).alias("n_stopwords"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars_txt",
+        "n_words",
+        F.round(F.col("_char_sum") / F.col("n_words"), 9).alias("avg_word_len"),
+        F.round(F.col("n_stopwords") / F.col("n_words"), 9).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + F.least(F.col("n_stopwords") / F.col("n_words") * F.lit(5.0), F.lit(1.0))
+            * F.lit(0.5),
+            9,
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language vote with deterministic tie-break (en > de > fr)."""
+    words = words_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        _marker_count(words, LANG_MARKERS["en"]).alias("en_hits"),
+        _marker_count(words, LANG_MARKERS["de"]).alias("de_hits"),
+        _marker_count(words, LANG_MARKERS["fr"]).alias("fr_hits"),
+    )
+    return d.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")),
+            F.lit("en"),
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), F.lit("de"))
+        .otherwise(F.lit("fr")),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts and the reference's 3500-token
+    budget predicate (A10/F5 analog)."""
+    words = words_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    ).withColumn("within_budget", F.col("n_bpe_tokens") <= TOKEN_BUDGET)
+
+
+def doc_fingerprint(docs: DataFrame, *, n: int = 3, prefix_words: int = 8) -> DataFrame:
+    """Content fingerprint: min/max shingle hash (1-perm minhash), distinct
+    shingle count, and a word-prefix rolling-hash analog."""
+    words = words_col(F.col("text"))
+    sh = F.transform(shingles_col(words, n), lambda s: md5_i64(s))
+    return docs.select(
+        "doc_id",
+        F.array_min(sh).alias("min_sh_hash"),
+        F.array_max(sh).alias("max_sh_hash"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
+        md5_i64(F.array_join(F.slice(words, 1, prefix_words), " ")).alias("prefix_hash"),
+    )
