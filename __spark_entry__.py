@@ -26,6 +26,17 @@ from uncharted_ta1_spark.datagen import (
     SEQUENCES_DUCK,
     duck_with,
 )
+from uncharted_ta1_spark.functions.arrow_udfs import (
+    multimodal_features,
+    token_stats_pandas,
+)
+from uncharted_ta1_spark.operators.aggregates import (
+    confidence_product,
+    first_last_trend,
+    minmax_count_abs,
+    rank_groups,
+    rmse,
+)
 from uncharted_ta1_spark.operators.asof import asof_join
 from uncharted_ta1_spark.operators.dedup import (
     doc_shingles,
@@ -803,6 +814,249 @@ QUALIFY rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Relational anchors: scans, broadcast joins, decimal-exact aggs, range join
+# (SURVEY.md §2.1 S1, §2.3 J3, §2.4 A1-A8) + the Arrow-UDF surface (§2.11)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style scan+agg; money sums in DECIMAL (order-independent)."""
+    datagen.register_base_tables(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dq).cast("double").alias("sum_qty"),
+        F.sum(dp).cast("double").alias("sum_base_price"),
+        F.sum(dp * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(dq).cast("double") / F.count(F.lit(1)), 9).alias("avg_qty"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 9) AS avg_qty,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions (nation/region/customer)."""
+    datagen.register_base_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    nation = spark.table("nation")
+    region = spark.table("region")
+    j = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name", "r_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name, r_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (J3 corner-point analog): signup→purchase pairs
+    within 10 minutes per user.  Equi key (user_id) carries the shuffle;
+    the interval predicate filters inside the matched group."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts_us").alias("s_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    return (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.lit(600_000_000)),
+        )
+        .select(
+            "signup_id", "purchase_id", "user_id",
+            (F.col("p_ts") - F.col("s_ts")).cast("long").alias("dt_us"),
+        )
+    )
+
+
+ORACLE_INTERVAL_JOIN = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id,
+       CAST(p.ts_us - s.ts_us AS BIGINT) AS dt_us
+FROM events_epoch s
+JOIN events_epoch p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts_us > s.ts_us AND p.ts_us <= s.ts_us + 600000000
+"""
+)
+
+
+def q_confidence_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-of-confidences agg with count boost, capped at 1 (A2)."""
+    return confidence_product(
+        datagen.events_epoch_df(spark, sf_dir), keys=["user_id"]
+    )
+
+
+ORACLE_CONFIDENCE_PRODUCT = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+  round(sum(ln(0.5 + (value % 50.0) / 100.0)), 6) AS log_conf_sum,
+  round(least(CASE WHEN count(*) >= 3
+                   THEN exp(sum(ln(0.5 + (value % 50.0) / 100.0))) * 1.1
+                   ELSE exp(sum(ln(0.5 + (value % 50.0) / 100.0))) END,
+              1.0::DOUBLE), 9) AS confidence
+FROM events_epoch
+GROUP BY user_id
+"""
+)
+
+
+def q_rmse_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE of value vs target per event_type (A3 scoring analog)."""
+    return rmse(datagen.events_epoch_df(spark, sf_dir), keys=["event_type"])
+
+
+ORACLE_RMSE = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+       round(sqrt(avg((value - 100.0) * (value - 100.0))), 6) AS rmse
+FROM events_epoch
+GROUP BY event_type
+"""
+)
+
+
+def q_minmax_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hemisphere-normalized min/max/count (A6/C8)."""
+    return minmax_count_abs(datagen.events_epoch_df(spark, sf_dir), keys=["user_id"])
+
+
+ORACLE_MINMAX_ABS = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT user_id, round(min(abs(value)), 6) AS abs_min,
+       round(max(abs(value)), 6) AS abs_max,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM events_epoch GROUP BY user_id
+"""
+)
+
+
+def q_first_last_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign decision from earliest/latest values (A8 hemisphere vote)."""
+    return first_last_trend(
+        datagen.events_epoch_df(spark, sf_dir), keys=["user_id"], ts="ts_us"
+    )
+
+
+ORACLE_FIRST_LAST_TREND = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT user_id,
+  round(first(value ORDER BY ts_us, event_id), 6) AS first_value,
+  round(last(value ORDER BY ts_us, event_id), 6) AS last_value,
+  CAST(sign(last(value ORDER BY ts_us, event_id)
+            - first(value ORDER BY ts_us, event_id)) AS INT) AS trend
+FROM events_epoch GROUP BY user_id
+"""
+)
+
+
+def q_rank_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event_type by decimal-exact value sum (A4 ranking)."""
+    return rank_groups(
+        datagen.events_epoch_df(spark, sf_dir),
+        partition=["event_type"],
+        entity="user_id",
+        value_col="value",
+        top_n=3,
+    )
+
+
+ORACLE_RANK_USERS = (
+    duck_with(EVENTS_DUCK)
+    + """
+, sums AS (
+  SELECT event_type, user_id,
+         sum(CAST(value AS DECIMAL(18,2))) AS dsum,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM events_epoch GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, CAST(dsum AS DOUBLE) AS value_sum, n_obs,
+       CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY dsum DESC, user_id ASC) AS INT) AS rank
+FROM sums
+QUALIFY rank <= 3
+"""
+)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload 'decode' via Arrow-batched mapInPandas (stub decoder)."""
+    return multimodal_features(_documents(spark, sf_dir))
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256_hex,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) // 640 + 1 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+def q_token_sum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row token sum through the pandas-UDF path (Arrow batches)."""
+    out = token_stats_pandas(_sequences(spark, sf_dir))
+    return out.select("doc_id", "source", "seq_no", "token_sum")
+
+
+ORACLE_TOKEN_SUM = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no,
+       CAST(coalesce(list_sum(tokens), 0) AS BIGINT) AS token_sum
+FROM sequences
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -837,6 +1091,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "interval_join": q_interval_join,
+        "confidence_product": q_confidence_product,
+        "rmse_by_type": q_rmse_by_type,
+        "minmax_abs": q_minmax_abs,
+        "first_last_trend": q_first_last_trend,
+        "rank_users_by_type": q_rank_users_by_type,
+        "multimodal_decode": q_multimodal_decode,
+        "token_sum_pandas": q_token_sum_pandas,
     }
 
 
@@ -865,4 +1129,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
+        "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+        "interval_join": ORACLE_INTERVAL_JOIN,
+        "confidence_product": ORACLE_CONFIDENCE_PRODUCT,
+        "rmse_by_type": ORACLE_RMSE,
+        "minmax_abs": ORACLE_MINMAX_ABS,
+        "first_last_trend": ORACLE_FIRST_LAST_TREND,
+        "rank_users_by_type": ORACLE_RANK_USERS,
+        "multimodal_decode": ORACLE_MULTIMODAL,
+        "token_sum_pandas": ORACLE_TOKEN_SUM,
     }

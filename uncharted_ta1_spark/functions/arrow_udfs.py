@@ -1,0 +1,106 @@
+"""Vectorized pandas/Arrow UDF surface — zero per-row Python (north rule).
+
+Everything the SQL engine can't express natively runs through Arrow-batched
+pandas UDFs: the interpreter sees whole columnar batches (numpy/pandas), never
+individual rows.  Reference analog: every heavyweight Task (YOLO batch-20
+inference ``tasks/point_extraction/point_extractor.py:151-235``, Detectron
+``tasks/segmentation/detectron_segmenter.py:54-120``, OCR resize
+``text_extractor.py:153-250``) is a batched model UDF with lazy per-worker
+init — here modeled by ``multimodal_features``' deterministic fake decoder.
+
+The SQL-expressible ops also have pandas twins (``token_stats_pandas``) so
+tests can assert UDF == builtin results — the contract that lets an operator
+migrate between the JVM path and the Arrow path without semantic drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# pandas_udf twin of a builtin path: per-row token-array statistics
+# ---------------------------------------------------------------------------
+
+
+def _token_sum_fn(tokens: pd.Series) -> pd.Series:
+    # whole Arrow batch at once: Series of numpy arrays → vectorized map
+    return tokens.map(lambda a: int(a.sum()) if len(a) else 0)
+
+
+def token_stats_pandas(seq: DataFrame) -> DataFrame:
+    """token_sum via an Arrow-batched pandas UDF (tested == F.aggregate).
+
+    The UDF object is built lazily — pandas_udf return-type parsing needs an
+    active SparkSession, and this module must import driver-side without one.
+    """
+    udf = F.pandas_udf(_token_sum_fn, LongType())
+    return seq.withColumn("token_sum", udf(F.col("tokens")))
+
+
+def token_stats_builtin(seq: DataFrame) -> DataFrame:
+    """Same statistic via the JVM higher-order function (the default path)."""
+    return seq.withColumn(
+        "token_sum",
+        F.aggregate(
+            F.col("tokens"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns: opaque binary payload + typed metadata via mapInPandas
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("sha256_hex", StringType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder (image/audio libs aren't in this container;
+    a real deployment swaps the body for PIL/librosa — the Spark-side
+    plumbing, schema, and Arrow batch shape are identical)."""
+    for pdf in batches:
+        payload = pdf["payload"]
+        byte_len = payload.map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": byte_len,
+                "sha256_hex": payload.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                "fake_width": byte_len % 640,
+                "fake_height": (byte_len // 640) + 1,
+            }
+        )
+
+
+def multimodal_features(docs: DataFrame) -> DataFrame:
+    """Treat text bytes as an opaque binary column and 'decode' it in an
+    Arrow-batched mapInPandas stage.
+
+    At 100TB the payload column stays in parquet/Iceberg as BinaryType; the
+    decode stage is embarrassingly parallel (no shuffle), bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").cast(BinaryType()).alias("payload")
+    )
+    return with_payload.mapInPandas(_decode_batches, MULTIMODAL_SCHEMA)

@@ -1,0 +1,138 @@
+"""Aggregate operators mirroring the reference's scoring/aggregation family.
+
+Reference analogs (SURVEY.md §2.4):
+  * A1 `_count_keypoints`      — groupBy counts (georeference.py:187-196)
+  * A2 `_calculate_confidence` — product of confidences with count boost,
+                                 capped at 1 (georeference.py:198-226);
+                                 product agg == exp(sum(log)) — no UDAF needed
+  * A3 RMSE                    — sqrt(mean(err^2)) (georeference.py:431-479,
+                                 eval/18month_eval/eval_utils.py:8-41)
+  * A4 `rank_segments`         — rank by score per class
+                                 (segmenter_utils.py:20-37)
+  * A6 `get_min_max_count`     — hemisphere-normalized min/max/count
+                                 (util.py:203-219; absolute_minmax
+                                 util/coordinate.py:4-12)
+  * A8 hemisphere vote         — sign decision from first/last sorted values
+                                 (georeference.py:277-316)
+
+All are single-shuffle grouped/window aggregates with map-side partials.
+Money sums are computed in DECIMAL so results are order-independent and
+bit-equal across engines (double sums are order-dependent!).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def confidence_product(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_col: str = "value",
+    boost: float = 1.1,
+    boost_min_count: int = 3,
+) -> DataFrame:
+    """Product-aggregate of per-row confidences c = 0.5 + (v % 50)/100,
+    with the reference's >2-count boost, capped at 1.  Implemented as
+    exp(sum(ln(c))) — a pure SQL product aggregate."""
+    c = F.lit(0.5) + F.pmod(F.col(value_col), F.lit(50.0)) / F.lit(100.0)
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.log(c)).alias("_logsum"),
+    )
+    prod = F.exp(F.col("_logsum"))
+    boosted = F.when(F.col("n_obs") >= boost_min_count, prod * F.lit(boost)).otherwise(prod)
+    return g.select(
+        *keys,
+        "n_obs",
+        F.round(F.col("_logsum"), 6).alias("log_conf_sum"),
+        F.round(F.least(boosted, F.lit(1.0)), 9).alias("confidence"),
+    )
+
+
+def rmse(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_col: str = "value",
+    target: float = 100.0,
+) -> DataFrame:
+    """Root-mean-square error of value vs a target, per key group."""
+    err2 = (F.col(value_col) - F.lit(target)) * (F.col(value_col) - F.lit(target))
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.round(F.sqrt(F.avg(err2)), 6).alias("rmse"),
+    )
+
+
+def minmax_count_abs(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """min/max/count of |value| per group (hemisphere-crossing normalize)."""
+    a = F.abs(F.col(value_col))
+    return df.groupBy(*keys).agg(
+        F.round(F.min(a), 6).alias("abs_min"),
+        F.round(F.max(a), 6).alias("abs_max"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+
+
+def first_last_trend(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str,
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per group: value at earliest and latest timestamp + sign of the move
+    (A8 hemisphere vote).  min_by/max_by over a composite deterministic key
+    — no full sort."""
+    key_asc = F.struct(F.col(ts), F.col(tiebreak))
+    return df.groupBy(*keys).agg(
+        F.round(F.min_by(F.col(value_col), key_asc), 6).alias("first_value"),
+        F.round(F.max_by(F.col(value_col), key_asc), 6).alias("last_value"),
+        F.signum(
+            F.max_by(F.col(value_col), key_asc) - F.min_by(F.col(value_col), key_asc)
+        )
+        .cast("int")
+        .alias("trend"),
+    )
+
+
+def rank_groups(
+    df: DataFrame,
+    *,
+    partition: Sequence[str],
+    entity: str,
+    value_col: str = "value",
+    top_n: int = 3,
+) -> DataFrame:
+    """Rank entities within a partition by their value sum; keep top n.
+
+    Sum computed in DECIMAL(18,2) so ranking is deterministic (A4 analog:
+    confidence * sqrt(area) ranking)."""
+    sums = df.groupBy(*partition, entity).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_dsum"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    w = Window.partitionBy(*partition).orderBy(F.col("_dsum").desc(), F.col(entity).asc())
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            *partition,
+            entity,
+            F.col("_dsum").cast("double").alias("value_sum"),
+            "n_obs",
+            "rank",
+        )
+    )
