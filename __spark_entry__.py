@@ -54,6 +54,7 @@ from uncharted_ta1_spark.operators.filters import (
     group_agg_filter,
     mad_outlier_flag,
 )
+from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from uncharted_ta1_spark.operators.textstats import (
@@ -1057,13 +1058,77 @@ FROM sequences
 
 
 # ---------------------------------------------------------------------------
+# Flagship: end-to-end feature backfill (FIXTURES.md §4 feature vector)
+# ---------------------------------------------------------------------------
+
+
+def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every probe answered with its full leakage-free feature vector:
+    as-of state + lag/lead context + rolling n_tok + session features."""
+    return feature_backfill(_sequences(spark, sf_dir), _probes(spark, sf_dir))
+
+
+ORACLE_FEATURE_BACKFILL = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + f"""
+, feat0 AS (
+  SELECT *,
+    lag(n_tok) OVER w AS lag_n_tok_1,
+    lead(n_tok) OVER w AS lead_n_tok_1,
+    lag(tokens) OVER w AS lag_tokens_1,
+    lead(tokens) OVER w AS lead_tokens_1,
+    CAST(sum(CAST(n_tok AS BIGINT)) OVER w5 AS BIGINT) AS roll_sum_n_tok_w5,
+    round(avg(CAST(n_tok AS BIGINT)) OVER w5, 9) AS roll_mean_n_tok_w5,
+    CASE WHEN lag(event_epoch) OVER w IS NULL THEN 0
+         WHEN event_epoch - lag(event_epoch) OVER w > {SESSION_GAP_SEC} THEN 1
+         ELSE 0 END AS new_s
+  FROM sequences
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch),
+         w5 AS (PARTITION BY doc_id, source ORDER BY event_epoch
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+feat1 AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY doc_id, source ORDER BY event_epoch
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM feat0
+),
+feat AS (
+  SELECT *,
+    CAST(count(*) OVER ws AS BIGINT) AS session_len,
+    CAST(sum(CAST(n_tok AS BIGINT)) OVER ws AS BIGINT) AS session_sum_n_tok
+  FROM feat1
+  WINDOW ws AS (PARTITION BY doc_id, source, session_id)
+)
+SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+  s.event_epoch AS asof_event_epoch,
+  coalesce(s.tokens, CAST([] AS INT[])) AS asof_tokens,
+  coalesce(s.n_tok, -1) AS asof_n_tok,
+  s.lag_n_tok_1 AS asof_lag_n_tok_1,
+  s.lead_n_tok_1 AS asof_lead_n_tok_1,
+  s.lag_tokens_1 AS asof_lag_tokens_1,
+  s.lead_tokens_1 AS asof_lead_tokens_1,
+  s.roll_sum_n_tok_w5 AS asof_roll_sum_n_tok_w5,
+  s.roll_mean_n_tok_w5 AS asof_roll_mean_n_tok_w5,
+  s.session_id AS asof_session_id,
+  s.session_len AS asof_session_len,
+  s.session_sum_n_tok AS asof_session_sum_n_tok,
+  p.ts_epoch - s.event_epoch AS asof_age_sec,
+  s.event_epoch IS NULL AS fallback_used
+FROM probes p
+ASOF LEFT JOIN feat s
+  ON p.doc_id = s.doc_id AND p.source = s.source AND p.ts_epoch >= s.event_epoch
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: leakage-free as-of feature backfill at sf0.001."""
-    return q_asof_per_source(spark, SF0001)
+    """Flagship: leakage-free end-to-end feature backfill at sf0.001."""
+    return q_feature_backfill(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1101,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_users_by_type": q_rank_users_by_type,
         "multimodal_decode": q_multimodal_decode,
         "token_sum_pandas": q_token_sum_pandas,
+        "feature_backfill": q_feature_backfill,
     }
 
 
@@ -1139,4 +1205,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_users_by_type": ORACLE_RANK_USERS,
         "multimodal_decode": ORACLE_MULTIMODAL,
         "token_sum_pandas": ORACLE_TOKEN_SUM,
+        "feature_backfill": ORACLE_FEATURE_BACKFILL,
     }

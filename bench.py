@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "backfill": {... scaling evidence: N vs 4N cores ...}}
+
+Two parts:
+  1. Scaling evidence (north rule): the end-to-end feature backfill runs in
+     two fresh JVMs at N and 4N cores (default local[2] vs local[8]) on the
+     SAME amplified input with the SAME static plan; throughput at both and
+     the scaling efficiency are reported.  See scripts/bench_worker.py for
+     the measurement methodology.
+  2. Per-query wall time for every queries() entry at $SPARK_GRAFT_SF_DIR
+     (default sf0.1) on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+AMP = int(os.environ.get("SPARK_GRAFT_BENCH_AMP", "32"))
+SCALING_N = os.environ.get("SPARK_GRAFT_SCALE_N", "1")
+SCALING_4N = os.environ.get("SPARK_GRAFT_SCALE_4N", "4")
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_worker(master: str) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "scripts", "bench_worker.py"),
+         master, SF_DIR, str(AMP), "3"],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "12g"},
+    )
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench_worker {master} failed: {r.stderr[-800:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> int:
+    # --- part 1: scaling evidence -----------------------------------------
+    low = run_worker(f"local[{SCALING_N}]")
+    high = run_worker(f"local[{SCALING_4N}]")
+    speedup = low["elapsed_sec"] / high["elapsed_sec"]
+    core_ratio = int(SCALING_4N) / int(SCALING_N)
+    efficiency = speedup / core_ratio
+
+    # --- part 2: per-query timings -----------------------------------------
+    from uncharted_ta1_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench-queries",
+        extra_conf={
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "16g",
+        },
+    )
+    qtimes: dict[str, float] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        _ = df.count()  # execute; per-query outputs are small at sf0.1
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = round(sum(qtimes.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "sequences_per_sec_feature_backfill",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "backfill": {
+            "amp": AMP,
+            "rows": low["n_sequences"] + low["n_probes"],
+            f"local[{SCALING_N}]_sec": low["elapsed_sec"],
+            f"local[{SCALING_4N}]_sec": high["elapsed_sec"],
+            f"local[{SCALING_N}]_rows_per_sec": low["rows_per_sec"],
+            f"local[{SCALING_4N}]_rows_per_sec": high["rows_per_sec"],
+            "speedup": round(speedup, 3),
+            "core_ratio": core_ratio,
+            "scaling_efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

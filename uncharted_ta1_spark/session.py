@@ -30,8 +30,18 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # ParallelGC: G1's humongous-object handling collapses under 16-32
+    # threads allocating token arrays (measured 2.4x slowdown at local[32]);
+    # throughput GC is the right choice for batch analytics.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }
+
+if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+    # shuffle/spill on tmpfs: single-disk /tmp serializes 32 writers
+    _shm = "/dev/shm/spark-local"
+    os.makedirs(_shm, exist_ok=True)
+    _DEFAULTS["spark.local.dir"] = _shm
 
 
 def default_master() -> str:
