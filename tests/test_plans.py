@@ -1,0 +1,70 @@
+"""Physical-plan regression tests — the scale guarantees are properties of
+the PLAN, not just of small-data results.  If a refactor re-introduces a
+nested-loop as-of join or breaks filter pushdown, these fail long before any
+100TB run would."""
+
+from __future__ import annotations
+
+import re
+
+from uncharted_ta1_spark import datagen
+from uncharted_ta1_spark.features import feature_backfill, sequence_features
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_is_not_nested_loop(spark):
+    seq = datagen.sequences_df(spark, SF).select(
+        "doc_id", "source", "seq_no", "event_epoch", "tokens", "n_tok"
+    )
+    prb = datagen.probes_df(spark, SF).select("probe_id", "doc_id", "source", "ts_epoch")
+    plan = _plan(feature_backfill(seq, prb))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the payload join-back is a hash join, not a re-sorting merge join
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_window_features_share_one_exchange(spark):
+    seq = datagen.sequences_df(spark, SF)
+    plan = _plan(sequence_features(seq))
+    # lag/lead/rolling/running-session + per-session aggs all run off ONE
+    # hash exchange on (doc_id, source) — hash(d,s) satisfies the session
+    # window's ClusteredDistribution((d,s,session_id)) too
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(E.q_pricing_summary(spark, SF))
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_shipdate" in scan and "DataFilters" in plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    read_cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(read_cols.split(",")) <= 6
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(E.q_revenue_by_nation(spark, SF))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_row_udfs_in_core_paths(spark):
+    """North rule: zero per-row Python.  Core operators must not contain
+    BatchEvalPython (row-at-a-time UDF) nodes; Arrow stages (ArrowEvalPython
+    / MapInPandas) are allowed only in the explicitly-pandas operators."""
+    for name in (
+        "feature_backfill", "asof_per_source", "sessionize_events",
+        "lag_lead_context", "rolling_ntok", "dedup_minhash_lsh",
+        "ann_cosine_topk", "text_quality",
+    ):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name

@@ -1,0 +1,108 @@
+"""Structured Streaming surface: sessionized aggregation, bounded replay,
+poison-row quarantine.
+
+Reference analogs (SURVEY.md §2.10):
+  * ST1 at-least-once + bounded retry → checkpointed offsets + quarantine
+    table after N attempts (``tasks/common/request_client.py:186-262``).
+  * ST2 backpressure → ``maxFilesPerTrigger`` / ``trigger(availableNow)``
+    (prefetch_count=1 analog, ``request_client.py:262``).
+  * ST4 late/replayed data → event-time watermark + bounded re-read
+    (CDR replay ``cdr/server.py:273-335``).
+  * ST8 session windows → ``session_window(event_time, gap)`` anchored to
+    the same gap rule as the batch sessionizer (W2/W3).
+
+The streaming source here is a parquet directory (the driver's `events`
+table staged file-by-file); on a real deployment it is Kafka/queue — the
+transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming read of the events schema (ts is event time)."""
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def sessionized_stream(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session aggregation with event-time sessions + watermark.
+
+    Output schema matches the batch ``session_aggs`` closely enough for the
+    batch to serve as golden: (user_id, session_start, session_end,
+    session_len, session_sum_value).
+    """
+    ev = events.withColumn("event_time", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.col("user_id"), F.session_window("event_time", gap))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("session_len"),
+            F.round(F.sum("value"), 6).alias("session_sum_value"),
+            F.min(F.col("event_time")).alias("first_event_time"),
+            F.max(F.col("event_time")).alias("last_event_time"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("window_start"),
+            "session_len",
+            "session_sum_value",
+            "first_event_time",
+            "last_event_time",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    checkpoint_dir: str,
+    query_name: str = "sessions",
+) -> None:
+    """Drain everything currently available (the batch-replay trigger, ST4)
+    into an in-memory sink and stop — deterministic for tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def quarantine_foreach_batch(
+    good_writer,
+    quarantine_writer,
+    validate: F.Column,
+):
+    """foreachBatch splitter: rows failing `validate` go to the quarantine
+    sink instead of poisoning the stream (ST1's x-delivery-limit analog)."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        ok = batch_df.where(validate)
+        bad = batch_df.where(~validate)
+        good_writer(ok, batch_id)
+        quarantine_writer(bad, batch_id)
+
+    return _fn
