@@ -48,6 +48,7 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash16,
     simhash_pairs,
 )
+from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
@@ -57,6 +58,8 @@ from uncharted_ta1_spark.operators.filters import (
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from uncharted_ta1_spark.functions.portable import md5_i64
+from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.textstats import (
     doc_fingerprint,
     lang_id,
@@ -1058,6 +1061,252 @@ FROM sequences
 
 
 # ---------------------------------------------------------------------------
+# Fan-out/merge, gates, positional joins, set ops, eval metrics, scalar fns
+# (SURVEY.md §2.9 P1-P3, §2.2 F8, §2.3 J6, §2.7 E1, §2.4 A9, §2.8 C*)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_fanout_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile token arrays (size 8, overlap 2), merge with per-position
+    first-tile-wins dedup; reconstructed_sum must equal the direct sum."""
+    return merge_tiles(tile_tokens(_sequences(spark, sf_dir), tile_size=8, overlap=2))
+
+
+ORACLE_TILE_FANOUT = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, tiled AS (
+  SELECT doc_id, source, seq_no, n_tok, tokens,
+    CASE WHEN len(tokens) <= 8 THEN 1
+         ELSE CAST(ceil((len(tokens) - 8) / 6.0) + 1 AS INT) END AS n_tiles
+  FROM sequences
+),
+fan AS (
+  SELECT doc_id, source, seq_no, n_tok, n_tiles, tokens,
+         unnest(range(n_tiles)) AS tile_id
+  FROM tiled
+),
+tl AS (
+  SELECT doc_id, source, seq_no, n_tok, n_tiles, tile_id,
+         tile_id * 6 + 1 AS tile_start,
+         list_slice(tokens, tile_id * 6 + 1, tile_id * 6 + 8) AS tile_tokens
+  FROM fan
+),
+pos AS (
+  SELECT doc_id, source, seq_no, n_tok, n_tiles, tile_id,
+         tile_start + off AS pos, token
+  FROM (SELECT *, unnest(tile_tokens) AS token,
+               unnest(range(len(tile_tokens))) AS off
+        FROM tl)
+),
+dedup AS (
+  SELECT doc_id, source, seq_no, n_tok, n_tiles, pos,
+         arg_min(token, tile_id) AS token
+  FROM pos GROUP BY ALL
+)
+SELECT doc_id, source, seq_no, n_tok, n_tiles,
+       CAST(count(*) AS INT) AS n_pos,
+       CAST(sum(token) AS BIGINT) AS reconstructed_sum
+FROM dedup
+GROUP BY doc_id, source, seq_no, n_tok, n_tiles
+"""
+)
+
+
+def q_halt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halt-predicate gate (F8): short docs skip the feature stage entirely
+    and emit empty outputs — implemented as a predicate split + union so the
+    compute branch never sees halted docs."""
+    docs = _documents(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0))
+        .cast("long")
+        .alias("n_words"),
+    )
+    ok = base.where(F.col("n_words") >= 40).select(
+        "doc_id",
+        "n_words",
+        F.lit(False).alias("halted"),
+        F.round(F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)), 6).alias("score"),
+    )
+    halted = base.where(F.col("n_words") < 40).select(
+        "doc_id",
+        "n_words",
+        F.lit(True).alias("halted"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return ok.unionByName(halted)
+
+
+ORACLE_HALT_GATE = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       len(words) < 40 AS halted,
+       CASE WHEN len(words) >= 40
+            THEN round(least(len(words) / 100.0, 1.0::DOUBLE), 6) END AS score
+FROM doc_words
+"""
+)
+
+
+def q_pos_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional back-join (J6): posexplode tokens, equi-join on position
+    indices of interest — the LLM-index→token re-association pattern."""
+    seq = _sequences(spark, sf_dir)
+    idx = spark.createDataFrame([(0,), (1,), (2,), (7,)], "pos int")
+    exploded = seq.select(
+        "doc_id", "source", "seq_no", F.posexplode(F.col("tokens")).alias("pos", "token")
+    )
+    return exploded.join(F.broadcast(idx), "pos").select(
+        "doc_id", "source", "seq_no", "pos", "token"
+    )
+
+
+ORACLE_POS_JOIN = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no, p.pos, tokens[p.pos + 1] AS token
+FROM sequences, (VALUES (0), (1), (2), (7)) p(pos)
+WHERE len(tokens) > p.pos
+"""
+)
+
+
+def q_except_leftover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference recovery (E1): events outside each user's top-2
+    event_types — the leftover-cluster pattern, via window rank + anti-join."""
+    from pyspark.sql.window import Window
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    top2 = counts.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 2)
+    leftover = ev.join(
+        top2.select("user_id", "event_type"), ["user_id", "event_type"], "left_anti"
+    )
+    return leftover.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leftover"),
+        F.countDistinct("event_type").cast("long").alias("n_leftover_types"),
+    )
+
+
+ORACLE_EXCEPT_LEFTOVER = (
+    duck_with(EVENTS_DUCK)
+    + """
+, counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events_epoch GROUP BY user_id, event_type
+),
+top2 AS (
+  SELECT user_id, event_type
+  FROM counts
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) <= 2
+)
+SELECT e.user_id,
+       CAST(count(*) AS BIGINT) AS n_leftover,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_leftover_types
+FROM events_epoch e
+ANTI JOIN top2 t ON e.user_id = t.user_id AND e.event_type = t.event_type
+GROUP BY e.user_id
+"""
+)
+
+
+def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered-match precision/recall/F1 (A9): purchases as predictions,
+    signups as truth, ±1h temporal buffer, per user."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return buffered_f1(
+        ev,
+        keys=["user_id"],
+        ts="ts_us",
+        id_col="event_id",
+        pred_filter=F.col("event_type") == "purchase",
+        truth_filter=F.col("event_type") == "signup",
+        buffer=3_600_000_000,
+    )
+
+
+ORACLE_EVAL_F1 = (
+    duck_with(EVENTS_DUCK)
+    + """
+, preds AS (SELECT user_id, event_id, ts_us FROM events_epoch WHERE event_type = 'purchase'),
+truths AS (SELECT user_id, event_id, ts_us FROM events_epoch WHERE event_type = 'signup'),
+pairs AS (
+  SELECT p.user_id, p.event_id AS pid, t.event_id AS tid
+  FROM preds p JOIN truths t
+    ON p.user_id = t.user_id AND abs(p.ts_us - t.ts_us) <= 3600000000
+),
+mp AS (SELECT user_id, CAST(count(DISTINCT pid) AS BIGINT) AS matched_pred FROM pairs GROUP BY user_id),
+mt AS (SELECT user_id, CAST(count(DISTINCT tid) AS BIGINT) AS matched_truth FROM pairs GROUP BY user_id),
+np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pred FROM preds GROUP BY user_id),
+nt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_truth FROM truths GROUP BY user_id),
+base AS (SELECT DISTINCT user_id FROM events_epoch),
+j AS (
+  SELECT b.user_id,
+         coalesce(np.n_pred, 0) AS n_pred,
+         coalesce(nt.n_truth, 0) AS n_truth,
+         coalesce(mp.matched_pred, 0) AS matched_pred,
+         coalesce(mt.matched_truth, 0) AS matched_truth
+  FROM base b
+  LEFT JOIN np USING (user_id) LEFT JOIN nt USING (user_id)
+  LEFT JOIN mp USING (user_id) LEFT JOIN mt USING (user_id)
+)
+SELECT user_id, n_pred, n_truth, matched_pred, matched_truth,
+  round(CASE WHEN n_pred > 0 THEN matched_pred / n_pred END, 6) AS precision,
+  round(CASE WHEN n_truth > 0 THEN matched_truth / n_truth END, 6) AS recall,
+  round(CASE WHEN n_pred > 0 AND n_truth > 0
+             AND (matched_pred / n_pred + matched_truth / n_truth) > 0
+        THEN 2 * (matched_pred / n_pred) * (matched_truth / n_truth)
+             / (matched_pred / n_pred + matched_truth / n_truth) END, 6) AS f1
+FROM j
+"""
+)
+
+
+def q_scalar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage (C1/C2/C5/C8/C11/C14): regex extraction from
+    the JSON props payload, DMS-style recomposition, date parts, hemisphere
+    abs-normalize, range predicate, portable content hash."""
+    ev = datagen.register_base_tables(spark, sf_dir) or spark.table("events")
+    k = F.regexp_extract(F.col("props"), r"[0-9]+", 0).cast("long")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.round(k + k / F.lit(60.0) + k / F.lit(3600.0), 6).alias("dms_decimal"),
+        F.year(ts).cast("int").alias("ts_year"),
+        F.month(ts).cast("int").alias("ts_month"),
+        F.dayofmonth(ts).cast("int").alias("ts_day"),
+        F.hour(ts).cast("int").alias("ts_hour"),
+        F.round(F.abs(F.col("value")), 6).alias("abs_value"),
+        ((F.col("value") >= 10.0) & (F.col("value") <= 190.0)).alias("in_scale_bounds"),
+        md5_i64(F.col("event_type")).alias("type_hash"),
+    )
+
+
+ORACLE_SCALAR_EXTRACT = """
+SELECT event_id,
+  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_val,
+  round(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+        + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) / 60.0
+        + CAST(regexp_extract(props, '[0-9]+') AS BIGINT) / 3600.0, 6) AS dms_decimal,
+  CAST(year(ts) AS INT) AS ts_year,
+  CAST(month(ts) AS INT) AS ts_month,
+  CAST(day(ts) AS INT) AS ts_day,
+  CAST(hour(ts) AS INT) AS ts_hour,
+  round(abs(value), 6) AS abs_value,
+  value >= 10.0 AND value <= 190.0 AS in_scale_bounds,
+  (('0x' || substr(md5(event_type), 1, 15))::BIGINT) AS type_hash
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Flagship: end-to-end feature backfill (FIXTURES.md §4 feature vector)
 # ---------------------------------------------------------------------------
 
@@ -1167,6 +1416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "token_sum_pandas": q_token_sum_pandas,
         "feature_backfill": q_feature_backfill,
+        "tile_fanout_merge": q_tile_fanout_merge,
+        "halt_gate": q_halt_gate,
+        "pos_join": q_pos_join,
+        "except_leftover": q_except_leftover,
+        "eval_f1": q_eval_f1,
+        "scalar_extract": q_scalar_extract,
     }
 
 
@@ -1206,4 +1461,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": ORACLE_MULTIMODAL,
         "token_sum_pandas": ORACLE_TOKEN_SUM,
         "feature_backfill": ORACLE_FEATURE_BACKFILL,
+        "tile_fanout_merge": ORACLE_TILE_FANOUT,
+        "halt_gate": ORACLE_HALT_GATE,
+        "pos_join": ORACLE_POS_JOIN,
+        "except_leftover": ORACLE_EXCEPT_LEFTOVER,
+        "eval_f1": ORACLE_EVAL_F1,
+        "scalar_extract": ORACLE_SCALAR_EXTRACT,
     }
