@@ -1306,6 +1306,95 @@ FROM events
 """
 
 
+def q_knn_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-in-SQL (J4): for each 'error' event, the nearest 'purchase' by
+    time within the same user — bucketed candidate join (hour buckets ±1)
+    + row_number over distance; never a per-user cartesian at scale."""
+    from pyspark.sql.window import Window
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    bucket = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long")
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts_us").alias("err_ts"), bucket.alias("b"),
+    )
+    # candidates appear in their own bucket and both neighbors so every
+    # error's bucket window [b-1, b+1] sees them (classic bbox-bucket trick)
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_us").alias("p_ts"),
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("pb"),
+        )
+    )
+    cand = errs.join(
+        purch,
+        (F.col("user_id") == F.col("p_user")) & (F.col("b") == F.col("pb")),
+    ).where(F.abs(F.col("p_ts") - F.col("err_ts")) <= 3_600_000_000)
+    w = Window.partitionBy("err_id").orderBy(
+        F.abs(F.col("p_ts") - F.col("err_ts")).asc(), F.col("p_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "err_id", "user_id",
+            F.col("p_id").alias("nearest_purchase_id"),
+            F.abs(F.col("p_ts") - F.col("err_ts")).cast("long").alias("dt_us"),
+        )
+    )
+
+
+ORACLE_KNN_NEAREST = (
+    duck_with(EVENTS_DUCK)
+    + """
+, errs AS (SELECT event_id AS err_id, user_id, ts_us AS err_ts
+           FROM events_epoch WHERE event_type = 'error'),
+purch AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts
+          FROM events_epoch WHERE event_type = 'purchase'),
+cand AS (
+  SELECT e.err_id, e.user_id, p.p_id, abs(p.p_ts - e.err_ts) AS dt_us
+  FROM errs e JOIN purch p
+    ON e.user_id = p.user_id AND abs(p.p_ts - e.err_ts) <= 3600000000
+)
+SELECT err_id, user_id, p_id AS nearest_purchase_id, CAST(dt_us AS BIGINT) AS dt_us
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY err_id ORDER BY dt_us ASC, p_id ASC) = 1
+"""
+)
+
+
+def q_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count gating (A5/E2/F9): per doc, count distinct sources and
+    events; keep docs with >= 2 distinct sources — the `_should_run` skip
+    guard expressed as a grouped-aggregate filter."""
+    seq = _sequences(spark, sf_dir)
+    g = seq.groupBy("doc_id").agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_epoch").cast("long").alias("n_distinct_ts"),
+    )
+    return g.where(F.col("n_sources") >= 2)
+
+
+ORACLE_DISTINCT_GATE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_epoch) AS BIGINT) AS n_distinct_ts
+FROM sequences
+GROUP BY doc_id
+HAVING count(DISTINCT source) >= 2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Flagship: end-to-end feature backfill (FIXTURES.md §4 feature vector)
 # ---------------------------------------------------------------------------
@@ -1422,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_leftover": q_except_leftover,
         "eval_f1": q_eval_f1,
         "scalar_extract": q_scalar_extract,
+        "knn_nearest_event": q_knn_nearest_event,
+        "distinct_gate": q_distinct_gate,
     }
 
 
@@ -1467,4 +1558,6 @@ def oracle_sql() -> dict[str, str]:
         "except_leftover": ORACLE_EXCEPT_LEFTOVER,
         "eval_f1": ORACLE_EVAL_F1,
         "scalar_extract": ORACLE_SCALAR_EXTRACT,
+        "knn_nearest_event": ORACLE_KNN_NEAREST,
+        "distinct_gate": ORACLE_DISTINCT_GATE,
     }
