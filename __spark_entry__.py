@@ -59,6 +59,7 @@ from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from uncharted_ta1_spark.functions.portable import md5_i64
+from uncharted_ta1_spark.operators.salting import salted_agg
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.textstats import (
     doc_fingerprint,
@@ -1395,6 +1396,82 @@ HAVING count(DISTINCT source) >= 2
 )
 
 
+def q_salted_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe per-doc aggregates via salted two-phase aggregation
+    (north rule: salted repartitioning for skewed doc_ids).  The salt is
+    internal — results equal a plain groupBy, which is what the oracle runs."""
+    return salted_agg(
+        _sequences(spark, sf_dir),
+        keys=["doc_id"],
+        salt_from="seq_no",
+        n_salts=16,
+        aggs={
+            "n_rows": ("*", "count"),
+            "sum_n_tok": ("n_tok", "sum"),
+            "min_epoch": ("event_epoch", "min"),
+            "max_epoch": ("event_epoch", "max"),
+        },
+    )
+
+
+ORACLE_SALTED_DOC_STATS = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       min(event_epoch) AS min_epoch,
+       max(event_epoch) AS max_epoch
+FROM sequences
+GROUP BY doc_id
+"""
+)
+
+
+def q_context_window_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±2 ordered-neighbor context (W1 generalized to k>1): lag/lead at
+    distance 2 plus the flattened ±1 token-context window."""
+    out = lag_lead_context(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        order=["event_epoch"],
+        cols=["n_tok"],
+        k=2,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id", "source").orderBy("event_epoch")
+    ctx = F.concat(
+        F.coalesce(F.lag("tokens", 1).over(w), F.array().cast("array<int>")),
+        F.col("tokens"),
+        F.coalesce(F.lead("tokens", 1).over(w), F.array().cast("array<int>")),
+    )
+    return out.withColumn("context_tokens", ctx).select(
+        "doc_id", "source", "seq_no", "event_epoch", "n_tok",
+        "lag_n_tok_1", "lead_n_tok_1", "lag_n_tok_2", "lead_n_tok_2",
+        "context_tokens",
+        F.size("context_tokens").cast("int").alias("context_len"),
+    )
+
+
+ORACLE_CONTEXT_K2 = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no, event_epoch, n_tok,
+       lag(n_tok, 1) OVER w AS lag_n_tok_1,
+       lead(n_tok, 1) OVER w AS lead_n_tok_1,
+       lag(n_tok, 2) OVER w AS lag_n_tok_2,
+       lead(n_tok, 2) OVER w AS lead_n_tok_2,
+       coalesce(lag(tokens) OVER w, CAST([] AS INT[]))
+         || tokens || coalesce(lead(tokens) OVER w, CAST([] AS INT[])) AS context_tokens,
+       CAST(len(coalesce(lag(tokens) OVER w, CAST([] AS INT[]))
+         || tokens || coalesce(lead(tokens) OVER w, CAST([] AS INT[]))) AS INT) AS context_len
+FROM sequences
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Flagship: end-to-end feature backfill (FIXTURES.md §4 feature vector)
 # ---------------------------------------------------------------------------
@@ -1513,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_extract": q_scalar_extract,
         "knn_nearest_event": q_knn_nearest_event,
         "distinct_gate": q_distinct_gate,
+        "salted_doc_stats": q_salted_doc_stats,
+        "context_window_k2": q_context_window_k2,
     }
 
 
@@ -1560,4 +1639,6 @@ def oracle_sql() -> dict[str, str]:
         "scalar_extract": ORACLE_SCALAR_EXTRACT,
         "knn_nearest_event": ORACLE_KNN_NEAREST,
         "distinct_gate": ORACLE_DISTINCT_GATE,
+        "salted_doc_stats": ORACLE_SALTED_DOC_STATS,
+        "context_window_k2": ORACLE_CONTEXT_K2,
     }
