@@ -57,7 +57,11 @@ from uncharted_ta1_spark.operators.filters import (
 )
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
-from uncharted_ta1_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from uncharted_ta1_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
 from uncharted_ta1_spark.functions.portable import md5_i64
 from uncharted_ta1_spark.operators.salting import salted_agg
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
@@ -1396,6 +1400,44 @@ HAVING count(DISTINCT source) >= 2
 )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.2), LSH-bucket-pruned."""
+    return embedding_near_dup_pairs(_embeddings(spark, sf_dir), min_cosine=0.2)
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH hp AS (
+  SELECT j, i,
+         (('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))::BIGINT) % 2001 - 1000 AS w
+  FROM range(8) t1(j) CROSS JOIN range(64) t2(i)
+),
+flat AS (
+  SELECT vec_id AS vid, i, e, CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS e_int
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings)
+),
+proj AS (
+  SELECT vid, j, CAST(sum(e_int * w) AS BIGINT) AS s
+  FROM flat JOIN hp USING (i) GROUP BY vid, j
+),
+buckets AS (
+  SELECT vid, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vid
+),
+base AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         b.bucket
+  FROM embeddings e JOIN buckets b ON b.vid = e.vec_id
+)
+SELECT a.id AS id1, b.id AS id2, a.bucket,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 9) AS cos_sim
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.2
+"""
+
+
 def q_salted_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe per-doc aggregates via salted two-phase aggregation
     (north rule: salted repartitioning for skewed doc_ids).  The salt is
@@ -1592,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_gate": q_distinct_gate,
         "salted_doc_stats": q_salted_doc_stats,
         "context_window_k2": q_context_window_k2,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1641,4 +1684,5 @@ def oracle_sql() -> dict[str, str]:
         "distinct_gate": ORACLE_DISTINCT_GATE,
         "salted_doc_stats": ORACLE_SALTED_DOC_STATS,
         "context_window_k2": ORACLE_CONTEXT_K2,
+        "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     }

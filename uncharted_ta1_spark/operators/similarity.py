@@ -124,6 +124,44 @@ def lsh_buckets(emb: DataFrame, *, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-pruned.
+
+    Candidates are pairs sharing an LSH bucket (the 256-bucket signed
+    projection of lsh_buckets); exact cosine is verified on candidates only.
+    At corpus scale this is |C|^2/256 pair-evaluations instead of |C|^2 —
+    and the bucket join is a plain equi shuffle.
+    """
+    buckets = lsh_buckets(emb, id_col=id_col)
+    base = (
+        with_norm(emb)
+        .join(buckets, F.col(id_col) == F.col("vid"))
+        .select(F.col(id_col).alias("_id"), "_emb_d", "_norm", "bucket")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id1"),
+        F.col("b._id").alias("id2"),
+        F.col("a.bucket").alias("bucket"),
+        (
+            _dot(F.col("a._emb_d"), F.col("b._emb_d"))
+            / (F.col("a._norm") * F.col("b._norm"))
+        ).alias("_sim"),
+    )
+    return pairs.where(F.col("_sim") >= min_cosine).select(
+        "id1", "id2", "bucket", F.round(F.col("_sim"), 9).alias("cos_sim")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     *,
