@@ -211,7 +211,14 @@ events_epoch AS (
 
 
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register every driver parquet table as a temp view (idempotent)."""
+    """Register every driver parquet table as a temp view (idempotent).
+
+    Also pins the session timezone to UTC: the caller may hand us a session
+    built elsewhere (the grading driver does), and the epoch math in
+    ``events_epoch`` (unix_micros over an NTZ cast) must agree with the
+    DuckDB oracle's naive-timestamp arithmetic.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in BASE_TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
