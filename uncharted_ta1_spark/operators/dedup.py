@@ -110,20 +110,23 @@ def minhash_signatures(
     """(doc_id, perm, minhash) — k-permutation minhash signature per doc.
 
     h_i(s) = (a_i * (s % 2^31) + b_i) % (2^31 - 1): fits int64, portable.
-    One explode (k small) + one partial-aggregating min groupBy.
+
+    All k permutations are evaluated as k min-aggregates in ONE groupBy pass
+    over the shingle stream (no k-fold row blowup — at 10^12 shingles a
+    crossJoin with the perm table would multiply shuffle volume by k); the
+    wide row is then unpivoted to the (doc_id, perm, minhash) long form.
     """
-    spark = shingles.sparkSession
-    perms = spark.createDataFrame(minhash_params(k, seed), "perm int, a long, b long")
-    return (
-        shingles.crossJoin(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "perm",
-            ((F.col("a") * (F.col("sh_hash") % F.lit(2**31)) + F.col("b")) % F.lit(MERSENNE31)).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    s_small = F.col("sh_hash") % F.lit(2**31)
+    mins = [
+        F.min((F.lit(a) * s_small + F.lit(b)) % F.lit(MERSENNE31)).alias(f"_m{i}")
+        for i, a, b in minhash_params(k, seed)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*mins)
+    stack_expr = ", ".join(f"{i}, _m{i}" for i in range(k))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({k}, {stack_expr}) as (perm, minhash)"),
+    ).select("doc_id", F.col("perm").cast("int"), "minhash")
 
 
 def lsh_candidate_pairs(
