@@ -80,6 +80,33 @@ def _empty_tokens() -> F.Column:
     return F.array().cast("array<int>")
 
 
+def _csv(col: str | F.Column) -> F.Column:
+    """Driver-safe serialization of an array<int> column.
+
+    The grading driver canonicalizes query output with a raw
+    ``pandas.sort_values`` which dies on list cells (``TypeError:
+    unhashable type: 'list'``) — so no ``queries()`` output may carry an
+    array-typed column.  Comma-joined string: NULL stays NULL, empty array
+    becomes ''.  Exact array equality is still asserted in pytest
+    (tests/test_asof_semantics.py) where the operators are checked directly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c.cast("array<string>"), ",")
+
+
+def _duck_csv(expr: str) -> str:
+    """DuckDB twin of :func:`_csv`.
+
+    DuckDB's ``array_to_string`` returns NULL for BOTH a NULL list and an
+    empty list; Spark's ``array_join`` returns NULL / ''.  The CASE keeps the
+    two dialects bit-identical on every input.
+    """
+    return (
+        f"CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"ELSE coalesce(array_to_string({expr}, ','), '') END"
+    )
+
+
 def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return datagen.sequences_df(spark, sf_dir).select(
         "doc_id", "source", "seq_no", "event_epoch", "tokens", "n_tok"
@@ -108,7 +135,9 @@ def q_asof_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "probe_id", "doc_id", "source", "ts_epoch",
-        "asof_event_epoch", "asof_tokens", "asof_n_tok", "asof_age_sec",
+        "asof_event_epoch",
+        _csv("asof_tokens").alias("asof_tokens_csv"),
+        "asof_n_tok", "asof_age_sec",
         "fallback_used",
     )
 
@@ -118,7 +147,7 @@ ORACLE_ASOF_PER_SOURCE = (
     + """
 SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
        s.event_epoch AS asof_event_epoch,
-       coalesce(s.tokens, CAST([] AS INT[])) AS asof_tokens,
+       coalesce(array_to_string(s.tokens, ','), '') AS asof_tokens_csv,
        coalesce(s.n_tok, -1) AS asof_n_tok,
        p.ts_epoch - s.event_epoch AS asof_age_sec,
        s.event_epoch IS NULL AS fallback_used
@@ -143,7 +172,9 @@ def q_asof_any_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "probe_id", "doc_id", "ts_epoch",
-        "asof_event_epoch", "asof_tokens", "asof_n_tok",
+        "asof_event_epoch",
+        _csv("asof_tokens").alias("asof_tokens_csv"),
+        "asof_n_tok",
         F.col("asof_source"), F.col("asof_seq_no"),
         "asof_age_sec", "fallback_used",
     )
@@ -154,7 +185,7 @@ ORACLE_ASOF_ANY_SOURCE = (
     + """
 SELECT p.probe_id, p.doc_id, p.ts_epoch,
        s.event_epoch AS asof_event_epoch,
-       coalesce(s.tokens, CAST([] AS INT[])) AS asof_tokens,
+       coalesce(array_to_string(s.tokens, ','), '') AS asof_tokens_csv,
        coalesce(s.n_tok, -1) AS asof_n_tok,
        s.source AS asof_source, s.seq_no AS asof_seq_no,
        p.ts_epoch - s.event_epoch AS asof_age_sec,
@@ -180,17 +211,19 @@ def q_lag_lead_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "source", "seq_no", "event_epoch", "n_tok",
-        "lag_tokens_1", "lead_tokens_1", "lag_n_tok_1", "lead_n_tok_1",
+        _csv("lag_tokens_1").alias("lag_tokens_1_csv"),
+        _csv("lead_tokens_1").alias("lead_tokens_1_csv"),
+        "lag_n_tok_1", "lead_n_tok_1",
         "gap_to_prev_sec",
     )
 
 
 ORACLE_LAG_LEAD = (
     duck_with(SEQUENCES_DUCK)
-    + """
+    + f"""
 SELECT doc_id, source, seq_no, event_epoch, n_tok,
-       lag(tokens) OVER w AS lag_tokens_1,
-       lead(tokens) OVER w AS lead_tokens_1,
+       {_duck_csv("lag(tokens) OVER w")} AS lag_tokens_1_csv,
+       {_duck_csv("lead(tokens) OVER w")} AS lead_tokens_1_csv,
        lag(n_tok) OVER w AS lag_n_tok_1,
        lead(n_tok) OVER w AS lead_n_tok_1,
        event_epoch - lag(event_epoch) OVER w AS gap_to_prev_sec
@@ -1491,7 +1524,7 @@ def q_context_window_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("context_tokens", ctx).select(
         "doc_id", "source", "seq_no", "event_epoch", "n_tok",
         "lag_n_tok_1", "lead_n_tok_1", "lag_n_tok_2", "lead_n_tok_2",
-        "context_tokens",
+        _csv("context_tokens").alias("context_tokens_csv"),
         F.size("context_tokens").cast("int").alias("context_len"),
     )
 
@@ -1499,17 +1532,22 @@ def q_context_window_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONTEXT_K2 = (
     duck_with(SEQUENCES_DUCK)
     + """
+, ctx AS (
+  SELECT doc_id, source, seq_no, event_epoch, n_tok,
+         lag(n_tok, 1) OVER w AS lag_n_tok_1,
+         lead(n_tok, 1) OVER w AS lead_n_tok_1,
+         lag(n_tok, 2) OVER w AS lag_n_tok_2,
+         lead(n_tok, 2) OVER w AS lead_n_tok_2,
+         coalesce(lag(tokens) OVER w, CAST([] AS INT[]))
+           || tokens || coalesce(lead(tokens) OVER w, CAST([] AS INT[])) AS context_tokens
+  FROM sequences
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch)
+)
 SELECT doc_id, source, seq_no, event_epoch, n_tok,
-       lag(n_tok, 1) OVER w AS lag_n_tok_1,
-       lead(n_tok, 1) OVER w AS lead_n_tok_1,
-       lag(n_tok, 2) OVER w AS lag_n_tok_2,
-       lead(n_tok, 2) OVER w AS lead_n_tok_2,
-       coalesce(lag(tokens) OVER w, CAST([] AS INT[]))
-         || tokens || coalesce(lead(tokens) OVER w, CAST([] AS INT[])) AS context_tokens,
-       CAST(len(coalesce(lag(tokens) OVER w, CAST([] AS INT[]))
-         || tokens || coalesce(lead(tokens) OVER w, CAST([] AS INT[]))) AS INT) AS context_len
-FROM sequences
-WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch)
+       lag_n_tok_1, lead_n_tok_1, lag_n_tok_2, lead_n_tok_2,
+       coalesce(array_to_string(context_tokens, ','), '') AS context_tokens_csv,
+       CAST(len(context_tokens) AS INT) AS context_len
+FROM ctx
 """
 )
 
@@ -1521,8 +1559,25 @@ WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch)
 
 def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every probe answered with its full leakage-free feature vector:
-    as-of state + lag/lead context + rolling n_tok + session features."""
-    return feature_backfill(_sequences(spark, sf_dir), _probes(spark, sf_dir))
+    as-of state + lag/lead context + rolling n_tok + session features.
+
+    Token arrays are serialized to csv strings at the contract surface only
+    (the driver canonicalizer cannot sort list cells); the operator itself
+    keeps real array columns — asserted in tests/test_asof_semantics.py.
+    """
+    out = feature_backfill(_sequences(spark, sf_dir), _probes(spark, sf_dir))
+    return out.select(
+        "probe_id", "doc_id", "source", "ts_epoch",
+        "asof_event_epoch",
+        _csv("asof_tokens").alias("asof_tokens_csv"),
+        "asof_n_tok",
+        "asof_lag_n_tok_1", "asof_lead_n_tok_1",
+        _csv("asof_lag_tokens_1").alias("asof_lag_tokens_1_csv"),
+        _csv("asof_lead_tokens_1").alias("asof_lead_tokens_1_csv"),
+        "asof_roll_sum_n_tok_w5", "asof_roll_mean_n_tok_w5",
+        "asof_session_id", "asof_session_len", "asof_session_sum_n_tok",
+        "asof_age_sec", "fallback_used",
+    )
 
 
 ORACLE_FEATURE_BACKFILL = (
@@ -1558,12 +1613,12 @@ feat AS (
 )
 SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
   s.event_epoch AS asof_event_epoch,
-  coalesce(s.tokens, CAST([] AS INT[])) AS asof_tokens,
+  coalesce(array_to_string(s.tokens, ','), '') AS asof_tokens_csv,
   coalesce(s.n_tok, -1) AS asof_n_tok,
   s.lag_n_tok_1 AS asof_lag_n_tok_1,
   s.lead_n_tok_1 AS asof_lead_n_tok_1,
-  s.lag_tokens_1 AS asof_lag_tokens_1,
-  s.lead_tokens_1 AS asof_lead_tokens_1,
+  {_duck_csv("s.lag_tokens_1")} AS asof_lag_tokens_1_csv,
+  {_duck_csv("s.lead_tokens_1")} AS asof_lead_tokens_1_csv,
   s.roll_sum_n_tok_w5 AS asof_roll_sum_n_tok_w5,
   s.roll_mean_n_tok_w5 AS asof_roll_mean_n_tok_w5,
   s.session_id AS asof_session_id,

@@ -34,11 +34,22 @@ def _canon_value(v: Any) -> Any:
     return v
 
 
-def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+def canonical_rows(df: pd.DataFrame, *, strict: bool = True) -> list[tuple]:
     cols = sorted(df.columns)
+    if strict:
+        # Replicate the grading driver's _canon EXACTLY first: it sorts the
+        # RAW pandas frame by every column, which raises TypeError on
+        # unhashable cells (lists/ndarrays) and on un-orderable mixed types.
+        # Round 1 shipped 5 red queries because this replica was more lenient
+        # than the driver (tuple-izing arrays before the sort) — never again:
+        # any query output the driver cannot canonicalize must fail HERE.
+        # strict=False is ONLY for internal run-vs-run tests on operator
+        # output that never crosses the driver surface (array payloads).
+        df = df[cols].sort_values(by=cols)
     out = []
     for row in df[cols].itertuples(index=False, name=None):
         out.append(tuple(_canon_value(v) for v in row))
+    # keep the stricter exact-set comparison on top of the driver-style sort
     out.sort(key=lambda r: tuple(str(x) for x in r))
     return out
 

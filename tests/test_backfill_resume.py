@@ -26,7 +26,9 @@ N_BUCKETS = 8
 
 def _collect(spark, out_dir):
     pdf = read_backfill_output(spark, out_dir).drop("bucket").toPandas()
-    return canonical_rows(pdf)
+    # run-vs-run comparison of operator output (array payloads allowed) —
+    # never crosses the driver surface, so the lenient canonicalizer is fine
+    return canonical_rows(pdf, strict=False)
 
 
 def test_backfill_resume_identical(spark, tmp_path):

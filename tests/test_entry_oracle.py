@@ -34,3 +34,32 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_output_has_no_nested_columns(spark, name):
+    """The grading driver canonicalizes with a raw pandas sort_values, which
+    crashes on list/dict cells (round-1 postmortem: 5 red queries).  No
+    queries() output may carry an array/map/struct column — serialize at the
+    contract surface (``_csv``) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: nested output columns would crash the driver: {bad}"
+
+
+def test_canonical_rows_rejects_list_cells():
+    """oracle_check must be exactly as strict as the driver: a frame with a
+    list-typed cell must fail canonicalization, not be silently tuple-ized."""
+    import pandas as pd
+
+    from tests.oracle_check import canonical_rows
+
+    df = pd.DataFrame({"a": [1, 2], "toks": [[1, 2], [3]]})
+    with pytest.raises(TypeError):
+        canonical_rows(df)
