@@ -566,19 +566,31 @@ GROUP BY 1
 )
 
 
+JACCARD_MAX_DF = 256  # document-frequency cap on shingles (quadratic hot-key guard)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 (inverted-index join)."""
-    return jaccard_pairs(doc_shingles(_documents(spark, sf_dir), n=3), min_jaccard=0.5)
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 (inverted-index join,
+    shingle document frequency capped at JACCARD_MAX_DF)."""
+    return jaccard_pairs(
+        doc_shingles(_documents(spark, sf_dir), n=3),
+        min_jaccard=0.5,
+        max_df=JACCARD_MAX_DF,
+    )
 
 
 ORACLE_DEDUP_JACCARD = (
     duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
-    + """
-, cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM doc_shingles GROUP BY doc_id),
+    + f"""
+, pruned AS (
+  SELECT doc_id, sh_hash FROM doc_shingles
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {JACCARD_MAX_DF}
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM pruned GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_common
-  FROM doc_shingles a
-  JOIN doc_shingles b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  FROM pruned a
+  JOIN pruned b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, n_common, ca.n_sh AS n1, cb.n_sh AS n2,

@@ -60,6 +60,27 @@ def test_backfill_resume_identical(spark, tmp_path):
     assert s3["buckets_computed"] == 0
 
 
+def test_orphan_bucket_replaced_not_duplicated(spark, tmp_path):
+    """Crash window between a bucket's data rename and its checkpoint commit:
+    the next run must REPLACE the orphan bucket dir, never append to it —
+    row counts stay identical to a clean run (round-1 ADVICE duplication
+    window)."""
+    out = str(tmp_path / "orphan")
+    run_backfill(spark, SF, out, n_buckets=N_BUCKETS)
+    clean = _collect(spark, out)
+
+    # simulate the crash: bucket 2's data is visible but its commit is gone
+    ckpt = os.path.join(out, "_checkpoint")
+    for fname in os.listdir(ckpt):
+        fp = os.path.join(ckpt, fname)
+        if fname.endswith(".parquet") and pq.read_table(fp).to_pylist()[0]["bucket"] == 2:
+            os.remove(fp)
+
+    s = run_backfill(spark, SF, out, n_buckets=N_BUCKETS)
+    assert s["buckets_computed"] == 1
+    assert _collect(spark, out) == clean  # no duplicate rows in bucket 2
+
+
 def test_config_rotation_invalidates(spark, tmp_path):
     out = str(tmp_path / "cfg")
     run_backfill(spark, SF, out, n_buckets=4)

@@ -31,6 +31,31 @@ def test_asof_is_not_nested_loop(spark):
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_simhash_pairs_is_not_nested_loop(spark):
+    """The banded simhash candidate join must stay a union of two equi
+    self-joins — the naive (hi=hi OR lo=lo) disjunction has no equi conjunct
+    and planned as a BroadcastNestedLoopJoin (cartesian at corpus scale)."""
+    plan = _plan(E.q_simhash_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_hot_shingle_cap_is_anti_join(spark):
+    """The shingle DF cap must prune via a broadcast anti-join (the hot set
+    is tiny), never by shuffling the full inverted index through a window."""
+    plan = _plan(E.q_dedup_ngram_jaccard(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_simhash16_is_single_pass(spark):
+    """simhash16 computes all 16 bit-sums in one aggregation over word
+    hashes — no 16x bit-position explode (one Generate for words only)."""
+    plan = _plan(E.q_dedup_simhash(spark, SF))
+    assert len(re.findall(r"Generate explode", plan)) == 1
+
+
 def test_window_features_share_one_exchange(spark):
     seq = datagen.sequences_df(spark, SF)
     plan = _plan(sequence_features(seq))

@@ -40,7 +40,10 @@ def confidence_product(
     """Product-aggregate of per-row confidences c = 0.5 + (v % 50)/100,
     with the reference's >2-count boost, capped at 1.  Implemented as
     exp(sum(ln(c))) — a pure SQL product aggregate."""
-    c = F.lit(0.5) + F.pmod(F.col(value_col), F.lit(50.0)) / F.lit(100.0)
+    # Spark's % is sign-following like DuckDB's % (pmod is NOT: it stays
+    # non-negative for negative inputs, which would silently diverge from the
+    # oracle — and ln(0.5 + neg/100) can NaN — if value ranges ever go negative)
+    c = F.lit(0.5) + F.expr(f"{value_col} % 50.0") / F.lit(100.0)
     g = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_obs"),
         F.sum(F.log(c)).alias("_logsum"),

@@ -66,14 +66,32 @@ def exact_dedup(docs: DataFrame, *, prefix_words: int | None = None) -> DataFram
 
 
 def jaccard_pairs(
-    shingles: DataFrame, *, min_jaccard: float = 0.5
+    shingles: DataFrame, *, min_jaccard: float = 0.5, max_df: int | None = 256
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard over the shingle inverted index.
 
     |A∩B| via the self-equi-join on sh_hash (docs meet only where they share
     a shingle); |A|,|B| via a grouped count joined back (broadcast — the
     per-doc count table is tiny relative to the pair stream).
+
+    ``max_df`` caps the document frequency of a shingle before the self-join:
+    a shingle shared by d documents yields d^2/2 join rows, so one viral
+    boilerplate trigram (df=10^6 at corpus scale) would otherwise produce
+    10^12 rows in a single hot bucket.  Shingles with df > max_df carry
+    almost no similarity signal (they're corpus boilerplate) and are dropped
+    from BOTH the intersection and the per-doc sizes — the standard
+    MinHashLSH-era document-frequency cut.  The hot-shingle set is tiny by
+    construction, so the prune is a broadcast anti-join, and the df count
+    itself is a map-side-combinable aggregate.
     """
+    if max_df is not None:
+        hot = (
+            shingles.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh_hash")
+        )
+        shingles = shingles.join(F.broadcast(hot), "sh_hash", "left_anti")
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -173,27 +191,27 @@ def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit simhash per document over (non-distinct) word hashes.
 
     bit b of the signature is 1 iff sum over words of (±1 by word-hash bit b)
-    is > 0.  Explode words × 16 bit positions, two grouped sums — all integer
-    arithmetic, portable.
+    is > 0.  Single-pass: the 16 per-bit sums are 16 conditional aggregates
+    in ONE groupBy over the word-hash stream — no 16x bit-position explode
+    (which would multiply shuffle volume by 16 at corpus scale), same
+    refactor as minhash_signatures.  All integer arithmetic, portable.
     """
     words = words_col(F.col("text"))
     exploded = docs.select("doc_id", F.explode(words).alias("w")).select(
         "doc_id", md5_i64(F.col("w")).alias("h")
     )
-    bits = exploded.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
-    )
-    contrib = bits.select(
-        "doc_id",
-        "b",
-        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("c"),
-    )
-    per_bit = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("simhash")
-    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_s{b}")
+        for b in range(16)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
@@ -201,6 +219,14 @@ def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
 
     Recall note: a pair differing in BOTH bands is missed — that's the LSH
     trade; exact hamming is verified on the candidates that do collide.
+
+    Scale design: the band-collision predicate is a disjunction
+    (``hi=hi OR lo=lo``), which as a single join has no equi conjunct and
+    Spark would plan it as a BroadcastNestedLoopJoin — cartesian at corpus
+    scale.  Instead each band is its own hash-partitioned equi self-join and
+    the two candidate streams are unioned with pair-level dedup (a pair
+    colliding on both bands appears in both legs exactly once).  Plan-asserted
+    in tests/test_plans.py::test_simhash_pairs_is_not_nested_loop.
     """
     banded = sim.select(
         "doc_id",
@@ -208,23 +234,28 @@ def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
         F.shiftright(F.col("simhash"), 8).alias("hi"),
         F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = a.join(
-        b,
-        ((F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo")))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc1"),
-        F.col("b.doc_id").alias("doc2"),
-        F.col("a.simhash").alias("sh1"),
-        F.col("b.simhash").alias("sh2"),
-    )
+
+    def _leg(band_col: str) -> DataFrame:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+
+    cand = _leg("hi").unionByName(_leg("lo"))
     return (
         cand.withColumn(
             "hamming",
             F.bit_count(F.expr("sh1 ^ sh2")).cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc1", "doc2"])
         .select("doc1", "doc2", "sh1", "sh2", "hamming")
     )

@@ -103,20 +103,39 @@ def run_backfill(
         end_epoch=end_epoch,
     )
 
+    # Crash-safe commit protocol: write ALL pending buckets into a staging
+    # dir, then atomically rename each bucket dir into data/bucket=N
+    # immediately before its checkpoint commit.  A crash leaves a bucket in
+    # exactly one of two states: (a) not renamed + not committed -> the next
+    # run recomputes it from scratch; (b) renamed + not committed -> the next
+    # run sees it pending, REPLACES the orphan dir and re-commits.  Never
+    # appended-to twice, so no duplicate rows (round-1 ADVICE: append-mode
+    # write + late commit had a duplication window).
+    import shutil
+
     data_dir = os.path.join(out_dir, "data")
+    staging = os.path.join(out_dir, "_staging")
+    shutil.rmtree(staging, ignore_errors=True)
     (
         out.repartition("bucket")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(data_dir)
+        .parquet(staging)
     )
 
+    os.makedirs(data_dir, exist_ok=True)
     total_rows = 0
     for b in todo:
+        sdir = os.path.join(staging, f"bucket={b}")
         bdir = os.path.join(data_dir, f"bucket={b}")
+        if os.path.isdir(sdir):
+            if os.path.isdir(bdir):
+                shutil.rmtree(bdir)  # orphan of a crashed run: replace, don't append
+            os.replace(sdir, bdir)
         rows, nbytes = _dir_stats(bdir) if os.path.isdir(bdir) else (0, 0)
         log.commit(OP_ID, cfg_hash, b, rows, nbytes)
         total_rows += rows
+    shutil.rmtree(staging, ignore_errors=True)
     return {
         "buckets_done_before": len(done),
         "buckets_computed": len(todo),

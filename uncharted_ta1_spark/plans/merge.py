@@ -10,36 +10,82 @@ target rows survive, new keys insert.  Re-applying the same updates is a
 no-op on content — the idempotence that makes streaming replays and backfill
 retries safe.
 
-Implementation: read target → anti-join on keys → union → atomic directory
-swap (write to a versioned dir, flip a pointer file).  On Iceberg this whole
-module is `MERGE INTO t USING u ON keys WHEN MATCHED UPDATE * WHEN NOT
-MATCHED INSERT *` with snapshot isolation; the directory-pointer swap mimics
-the snapshot commit.
+Scale design (O(delta), not O(table)): the table is hash-bucketed on the key
+columns.  A merge rewrites ONLY the buckets its updates touch; untouched
+buckets are carried forward by reference in a versioned JSON manifest — the
+same shape as an Iceberg snapshot: the manifest lists (bucket -> data path,
+row count), a commit writes new bucket files plus a new manifest and
+atomically flips a pointer file.  Readers of older snapshots are never
+disturbed (data files are immutable once referenced).  On real Iceberg this
+whole module is `MERGE INTO t USING u ON keys WHEN MATCHED THEN UPDATE *
+WHEN NOT MATCHED THEN INSERT *` with snapshot isolation; bucket pruning is
+what Iceberg's bucket partition transform gives for free.
+
+Per-snapshot lineage (version, per-bucket rows, rows_total) rides in the
+manifest — the metrics half of the north rule's "lineage + metrics in
+Iceberg metadata".
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uncharted_ta1_spark.functions.portable import md5_i64
+
+_SEP = "\x1f"
 
 
-def _current_version(target_dir: str) -> int | None:
-    ptr = os.path.join(target_dir, "_CURRENT")
+def _key_bucket(key_cols: list[str], n_buckets: int) -> F.Column:
+    key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    return F.pmod(md5_i64(key), F.lit(n_buckets)).cast("int")
+
+
+def _ptr_path(target_dir: str) -> str:
+    return os.path.join(target_dir, "_CURRENT")
+
+
+def _manifest_path(target_dir: str, version: int) -> str:
+    return os.path.join(target_dir, f"v{version}.manifest.json")
+
+
+def current_manifest(target_dir: str) -> dict | None:
+    ptr = _ptr_path(target_dir)
     if not os.path.exists(ptr):
         return None
-    return int(open(ptr).read().strip())
+    version = int(open(ptr).read().strip())
+    with open(_manifest_path(target_dir, version)) as f:
+        return json.load(f)
 
 
-def _data_dir(target_dir: str, version: int) -> str:
-    return os.path.join(target_dir, f"v{version}")
+def _bucket_paths(target_dir: str, manifest: dict, buckets=None) -> list[str]:
+    entries = manifest["buckets"]
+    keys = sorted(entries, key=int) if buckets is None else [str(b) for b in buckets]
+    return [os.path.join(target_dir, entries[k]["path"]) for k in keys if k in entries]
 
 
 def read_current(spark: SparkSession, target_dir: str) -> DataFrame | None:
-    v = _current_version(target_dir)
-    if v is None:
+    m = current_manifest(target_dir)
+    if m is None:
         return None
-    return spark.read.parquet(_data_dir(target_dir, v))
+    paths = _bucket_paths(target_dir, m)
+    return spark.read.parquet(*paths)
+
+
+def _dir_rows(path: str) -> int:
+    """Row count of one bucket dir from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                rows += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return rows
 
 
 def merge_upsert(
@@ -47,38 +93,118 @@ def merge_upsert(
     target_dir: str,
     updates: DataFrame,
     key_cols: list[str],
+    *,
+    n_buckets: int = 16,
+    order_col: str | None = None,
 ) -> dict:
     """Upsert `updates` into the keyed table at `target_dir`.
+
+    ``order_col``: when `updates` may contain several rows per key, the row
+    with the greatest ``order_col`` wins (last-write-wins *within* the batch
+    too).  Without it, duplicate keys in one batch are collapsed by an
+    internal deterministic tie-break on the bucket hash of all columns —
+    pass ``order_col`` when intra-batch ordering matters.
 
     Returns {"version", "rows_total", "rows_updated", "rows_inserted"}.
     """
     os.makedirs(target_dir, exist_ok=True)
-    current = read_current(spark, target_dir)
-    if current is None:
-        new_df = updates
-        updated = 0
-        inserted = updates.count()
-        next_v = 0
-    else:
-        kept = current.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
-        n_current = current.count()
-        n_kept = kept.count()
-        updated = n_current - n_kept
-        inserted = updates.count() - updated
-        new_df = kept.unionByName(updates)
-        next_v = _current_version(target_dir) + 1
 
-    new_dir = _data_dir(target_dir, next_v)
-    new_df.write.mode("overwrite").parquet(new_dir)
-    total = spark.read.parquet(new_dir).count()
+    # --- collapse updates to one row per key (ADVICE round 1: duplicate keys
+    # in one batch must not survive the anti-join+union) -------------------
+    if order_col is not None:
+        ordering = [F.col(order_col).desc()]
+    else:
+        ordering = [md5_i64(F.concat_ws(_SEP, *[F.col(c).cast("string") for c in updates.columns])).desc()]
+    w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    manifest = current_manifest(target_dir)
+    if manifest is not None and manifest["n_buckets"] != n_buckets:
+        n_buckets = manifest["n_buckets"]  # bucket layout is a table property
+
+    updates = updates.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
+    # touched-bucket set is bounded by n_buckets — a driver-side list, O(1)
+    touched = sorted(
+        r["_bucket"] for r in updates.select("_bucket").distinct().collect()
+    )
+
+    next_v = 0 if manifest is None else manifest["version"] + 1
+
+    if manifest is None:
+        new_df = updates
+        n_updated = 0
+        n_inserted = new_df.count()
+        old_entries: dict = {}
+    else:
+        old_entries = dict(manifest["buckets"])
+        tpaths = _bucket_paths(target_dir, manifest, touched)
+        if tpaths:
+            cur = spark.read.parquet(*tpaths)
+            upd_keys = updates.select(*key_cols).withColumn("_u", F.lit(1))
+            # one aggregation for both counters (no per-counter .count() jobs)
+            tagged = (
+                cur.select(*key_cols).withColumn("_t", F.lit(1))
+                .join(upd_keys, key_cols, "full_outer")
+            )
+            stats = tagged.agg(
+                F.sum(F.when(F.col("_t").isNotNull() & F.col("_u").isNotNull(), 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(F.col("_t").isNull() & F.col("_u").isNotNull(), 1).otherwise(0)).alias("inserted"),
+            ).first()
+            n_updated = int(stats["updated"] or 0)
+            n_inserted = int(stats["inserted"] or 0)
+            kept = cur.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+            kept = kept.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
+            new_df = kept.unionByName(updates)
+        else:
+            new_df = updates
+            n_updated = 0
+            n_inserted = updates.count()
+
+    # --- write ONLY the touched buckets under this version ----------------
+    data_rel = f"v{next_v}.data"
+    data_dir = os.path.join(target_dir, data_rel)
+    (
+        new_df.repartition("_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(data_dir)
+    )
+
+    entries = dict(old_entries)
+    for b in touched:
+        bdir = os.path.join(data_dir, f"_bucket={b}")
+        if os.path.isdir(bdir):
+            entries[str(b)] = {"path": f"{data_rel}/_bucket={b}", "rows": _dir_rows(bdir)}
+        else:
+            entries.pop(str(b), None)
+    rows_total = sum(e["rows"] for e in entries.values())
+
+    new_manifest = {
+        "version": next_v,
+        "n_buckets": n_buckets,
+        "key_cols": list(key_cols),
+        "rows_total": rows_total,
+        "rows_updated": n_updated,
+        "rows_inserted": n_inserted,
+        "buckets": entries,
+    }
+    mpath = _manifest_path(target_dir, next_v)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
 
     tmp_ptr = os.path.join(target_dir, "._CURRENT.tmp")
     with open(tmp_ptr, "w") as f:
         f.write(str(next_v))
-    os.replace(tmp_ptr, os.path.join(target_dir, "_CURRENT"))  # atomic flip
+    os.replace(tmp_ptr, _ptr_path(target_dir))  # atomic snapshot flip
     return {
         "version": next_v,
-        "rows_total": total,
-        "rows_updated": int(updated),
-        "rows_inserted": int(inserted),
+        "rows_total": rows_total,
+        "rows_updated": n_updated,
+        "rows_inserted": n_inserted,
     }
