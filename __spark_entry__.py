@@ -48,8 +48,11 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash16,
     simhash_pairs,
 )
+from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
+from uncharted_ta1_spark.operators.groupfit import fit_residual_outliers, group_fit
+from uncharted_ta1_spark.operators.spatial import grid_containment_join
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
     group_agg_filter,
@@ -66,6 +69,7 @@ from uncharted_ta1_spark.functions.portable import md5_i64
 from uncharted_ta1_spark.operators.salting import salted_agg
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.textstats import (
+    consecutive_run_flags,
     doc_fingerprint,
     lang_id,
     text_quality,
@@ -1646,6 +1650,267 @@ ASOF LEFT JOIN feat s
 
 
 # ---------------------------------------------------------------------------
+# Grouped model fit (J8/UDAF surface): per-(doc_id, source) least squares
+# (reference tasks/geo_referencing/georeference.py:130-144 fit-then-lookup;
+#  outlier fit tasks/geo_referencing/outlier_filter.py:34-293)
+# ---------------------------------------------------------------------------
+
+def q_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc_id, source) closed-form least-squares fit of n_tok over
+    centered event time, via applyInPandas (ONE exchange + one Arrow stage)."""
+    out = group_fit(_sequences(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", "n", "x0",
+        F.round("slope", 9).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 9).alias("r2"),
+        F.round("rmse", 6).alias("rmse"),
+    )
+
+
+# The fit params are derived from EXACT integer sums through a fixed IEEE
+# expression tree replicated verbatim here — bit-identical across engines.
+_FIT_CTES = """
+, fit_base AS (
+  SELECT doc_id, source, seq_no, event_epoch, n_tok,
+         event_epoch - min(event_epoch) OVER (PARTITION BY doc_id, source) AS x
+  FROM sequences
+),
+fit_g AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(event_epoch) AS BIGINT) AS x0,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(x * n_tok) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(CAST(n_tok AS BIGINT) * n_tok) AS BIGINT) AS syy
+  FROM fit_base GROUP BY doc_id, source
+),
+fit_d AS (
+  SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+  FROM fit_g
+),
+fit_p AS (
+  SELECT doc_id, source, n, x0, d1, d2,
+    CASE WHEN d1 = 0 THEN NULL
+         ELSE CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) END AS slope_u,
+    CASE WHEN d1 = 0 THEN NULL
+         ELSE (CAST(sy AS DOUBLE)
+               - (CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) END AS intercept_u,
+    CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+         ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+              / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) END AS r2_u,
+    CASE WHEN d1 = 0 THEN NULL
+         ELSE sqrt(greatest(
+                (CAST(d2 AS DOUBLE)
+                 - (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / CAST(d1 AS DOUBLE))
+                / CAST(n * n AS DOUBLE),
+                CAST(0.0 AS DOUBLE))) END AS rmse_u
+  FROM fit_d
+)
+"""
+
+ORACLE_GROUP_FIT = (
+    duck_with(SEQUENCES_DUCK)
+    + _FIT_CTES
+    + """
+SELECT doc_id, source, n, x0,
+       round(slope_u, 9) AS slope,
+       round(intercept_u, 6) AS intercept,
+       round(r2_u, 9) AS r2,
+       round(rmse_u, 6) AS rmse
+FROM fit_p
+"""
+)
+
+
+def q_fit_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row fit residual + |resid| > 2*rmse outlier flag (the reference's
+    regression-residual outlier rejection, outlier_filter.py:34-293)."""
+    out = fit_residual_outliers(_sequences(spark, sf_dir), sigma=2.0)
+    return out.select(
+        "doc_id", "source", "seq_no", "event_epoch", "n_tok",
+        F.round("resid", 6).alias("resid"),
+        "is_outlier",
+    )
+
+
+ORACLE_FIT_RESID = (
+    duck_with(SEQUENCES_DUCK)
+    + _FIT_CTES
+    + """
+SELECT b.doc_id, b.source, b.seq_no, b.event_epoch, b.n_tok,
+  CASE WHEN p.d1 = 0 THEN NULL
+       ELSE round(CAST(b.n_tok AS DOUBLE)
+                  - (p.intercept_u + p.slope_u * CAST(b.x AS DOUBLE)), 6)
+  END AS resid,
+  CASE WHEN p.d1 = 0 THEN FALSE
+       ELSE abs(CAST(b.n_tok AS DOUBLE)
+                - (p.intercept_u + p.slope_u * CAST(b.x AS DOUBLE)))
+            > CAST(2.0 AS DOUBLE) * p.rmse_u
+  END AS is_outlier
+FROM fit_base b
+JOIN fit_p p ON p.doc_id = b.doc_id AND p.source = b.source
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# 2-D spatial containment join (J2/J5 analog): grid-bucketed equi join
+# (reference tasks/metadata_extraction/text_filter.py:63-107 token-in-segment;
+#  tasks/point_extraction/tiling.py:82-114 tile<->ROI masking)
+# ---------------------------------------------------------------------------
+
+# synthetic integer geometry derived deterministically from driver tables;
+# identical in both dialects (all operands non-negative, so % == pmod)
+POINTS_SPARK = """
+points AS (
+  SELECT event_id,
+         pmod(event_id * 7919 + CAST(round(value * 100, 0) AS BIGINT), 100000) AS px,
+         pmod(event_id * 104729 + user_id * 31, 100000) AS py
+  FROM events
+)
+"""
+POINTS_DUCK = """
+points AS (
+  SELECT event_id,
+         (event_id * 7919 + CAST(round(value * 100, 0) AS BIGINT)) % 100000 AS px,
+         (event_id * 104729 + user_id * 31) % 100000 AS py
+  FROM events
+)
+"""
+RECTS_SPARK = """
+rects AS (
+  SELECT doc_id AS rect_doc,
+         pmod(doc_id * 7919, 100000) - (500 + pmod(doc_id * 13, 4500)) AS xmin,
+         pmod(doc_id * 7919, 100000) + (500 + pmod(doc_id * 13, 4500)) AS xmax,
+         pmod(doc_id * 104729, 100000) - (500 + pmod(doc_id * 29, 4500)) AS ymin,
+         pmod(doc_id * 104729, 100000) + (500 + pmod(doc_id * 29, 4500)) AS ymax
+  FROM documents
+)
+"""
+RECTS_DUCK = """
+rects AS (
+  SELECT doc_id AS rect_doc,
+         (doc_id * 7919) % 100000 - (500 + (doc_id * 13) % 4500) AS xmin,
+         (doc_id * 7919) % 100000 + (500 + (doc_id * 13) % 4500) AS xmax,
+         (doc_id * 104729) % 100000 - (500 + (doc_id * 29) % 4500) AS ymin,
+         (doc_id * 104729) % 100000 + (500 + (doc_id * 29) % 4500) AS ymax
+  FROM documents
+)
+"""
+
+
+def q_spatial_contain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """point-in-rectangle containment pairs via the grid-bucketed equi join
+    (cell = 10000 >= max rect extent 9999, so <= 2 cells per axis)."""
+    datagen.register_base_tables(spark, sf_dir)
+    pts = spark.sql(datagen.spark_with(POINTS_SPARK) + " SELECT * FROM points")
+    rects = spark.sql(datagen.spark_with(RECTS_SPARK) + " SELECT * FROM rects")
+    out = grid_containment_join(pts, rects, cell=10000)
+    return out.select("event_id", F.col("rect_doc"), "px", "py")
+
+
+ORACLE_SPATIAL_CONTAIN = (
+    duck_with(POINTS_DUCK, RECTS_DUCK)
+    + """
+SELECT p.event_id, r.rect_doc, p.px, p.py
+FROM points p
+JOIN rects r
+  ON p.px BETWEEN r.xmin AND r.xmax AND p.py BETWEEN r.ymin AND r.ymax
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Ordered string-agg collapse (J5, text_with_segments.py:86-95) and
+# line-block regroup (C10, ocr/google_vision_ocr.py:140-191)
+# ---------------------------------------------------------------------------
+
+
+def q_string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc_id, source): 'seq:n_tok' parts joined ';' in seq order."""
+    seq = _sequences(spark, sf_dir)
+    val = F.concat(
+        F.col("seq_no").cast("string"), F.lit(":"), F.col("n_tok").cast("string")
+    )
+    return string_agg_collapse(
+        seq, keys=["doc_id", "source"], value=val, order=F.col("seq_no")
+    )
+
+
+ORACLE_STRING_AGG = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source,
+       string_agg(CAST(seq_no AS VARCHAR) || ':' || CAST(n_tok AS VARCHAR),
+                  ';' ORDER BY seq_no) AS agg_text,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM sequences
+GROUP BY doc_id, source
+"""
+)
+
+
+def q_line_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words regrouped into 80-char line blocks per document."""
+    return line_blocks(_documents(spark, sf_dir), width=80)
+
+
+ORACLE_LINE_BLOCKS = """
+WITH w AS (
+  SELECT doc_id, unnest(range(1, len(words) + 1)) AS pos, unnest(words) AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+        FROM documents)
+),
+cum AS (
+  SELECT doc_id, pos, w,
+         CAST(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT)
+           AS cum_len
+  FROM w
+),
+blk AS (SELECT doc_id, pos, w, CAST((cum_len - 1) // 80 AS INT) AS block FROM cum)
+SELECT doc_id, block,
+       string_agg(w, ' ' ORDER BY pos) AS block_text,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(length(string_agg(w, ' ' ORDER BY pos)) AS INT) AS n_chars
+FROM blk GROUP BY doc_id, block
+"""
+
+
+def q_consecutive_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-number noise flags over token sequences (C3)."""
+    return consecutive_run_flags(_sequences(spark, sf_dir))
+
+
+ORACLE_CONSECUTIVE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, tok AS (
+  SELECT doc_id, source, seq_no, n_tok,
+         unnest(range(1, len(tokens) + 1)) AS pos, unnest(tokens) AS t
+  FROM sequences
+),
+diffs AS (
+  SELECT doc_id, source, seq_no, n_tok, pos,
+         t - lag(t) OVER (PARTITION BY doc_id, source, seq_no ORDER BY pos) AS d
+  FROM tok
+)
+SELECT doc_id, source, seq_no, n_tok,
+       CAST(coalesce(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_adjacent_incr,
+       (n_tok >= 3
+        AND coalesce(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END), 0) = n_tok - 1)
+         AS is_consecutive_run
+FROM diffs GROUP BY doc_id, source, seq_no, n_tok
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1702,6 +1967,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_doc_stats": q_salted_doc_stats,
         "context_window_k2": q_context_window_k2,
         "embedding_near_dup": q_embedding_near_dup,
+        "group_fit": q_group_fit,
+        "fit_residual_outliers": q_fit_residual_outliers,
+        "spatial_contain_join": q_spatial_contain_join,
+        "string_agg_groups": q_string_agg_groups,
+        "line_blocks": q_line_blocks,
+        "consecutive_noise": q_consecutive_noise,
     }
 
 
@@ -1752,4 +2023,10 @@ def oracle_sql() -> dict[str, str]:
         "salted_doc_stats": ORACLE_SALTED_DOC_STATS,
         "context_window_k2": ORACLE_CONTEXT_K2,
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+        "group_fit": ORACLE_GROUP_FIT,
+        "fit_residual_outliers": ORACLE_FIT_RESID,
+        "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
+        "string_agg_groups": ORACLE_STRING_AGG,
+        "line_blocks": ORACLE_LINE_BLOCKS,
+        "consecutive_noise": ORACLE_CONSECUTIVE,
     }

@@ -56,6 +56,26 @@ def test_simhash16_is_single_pass(spark):
     assert len(re.findall(r"Generate explode", plan)) == 1
 
 
+def test_spatial_contain_join_is_not_nested_loop(spark):
+    """The 2-D containment join must be the grid-bucketed EQUI join — the
+    naive BETWEEN-predicate join has no equi conjunct and plans as a BNL."""
+    plan = _plan(E.q_spatial_contain_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_fit_is_one_exchange_one_arrow_stage(spark):
+    """The grouped model fit is the UDAF surface: exactly one hash Exchange
+    on the group keys feeding a single Arrow-batched FlatMapGroupsInPandas —
+    and no row-at-a-time Python anywhere."""
+    plan = _plan(E.q_group_fit(spark, SF))
+    assert len(re.findall(r"FlatMapGroupsInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    # exchanges: one for the groupBy; the sequences derivation itself adds
+    # a Generate but no extra shuffle beyond the scan-side exploding
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_window_features_share_one_exchange(spark):
     seq = datagen.sequences_df(spark, SF)
     plan = _plan(sequence_features(seq))

@@ -109,3 +109,34 @@ def doc_fingerprint(docs: DataFrame, *, n: int = 3, prefix_words: int = 8) -> Da
         F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
         md5_i64(F.array_join(F.slice(words, 1, prefix_words), " ")).alias("prefix_hash"),
     )
+
+
+def consecutive_run_flags(seq: DataFrame) -> DataFrame:
+    """Consecutive-number noise check over token sequences (C3).
+
+    Reference analog: extracted coordinates that form a consecutive number
+    series (49, 50, 51) are scale-bar/grid noise, not coordinates
+    (``tasks/geo_referencing/coordinates_extractor.py:607-619``,
+    ``_check_consecutive``).  Generalized to token arrays: count adjacent
+    +1 steps and flag rows whose whole token array is one consecutive run.
+
+    Shuffle-free: pure columnar array HOFs (slice + zip_with + filter) on
+    each row — no explode, no window, survives any scale the scan survives.
+    """
+    n = F.size("tokens")
+    heads = F.slice(F.col("tokens"), 2, n - 1)   # tokens[2..n]
+    prevs = F.slice(F.col("tokens"), 1, n - 1)   # tokens[1..n-1]
+    incr = F.filter(
+        F.zip_with(heads, prevs, lambda a, b: (a - b) == F.lit(1)),
+        lambda x: x,
+    )
+    return seq.select(
+        "doc_id",
+        "source",
+        "seq_no",
+        "n_tok",
+        F.size(incr).cast("long").alias("n_adjacent_incr"),
+        (
+            (F.col("n_tok") >= 3) & (F.size(incr) == (F.col("n_tok") - 1))
+        ).alias("is_consecutive_run"),
+    )
