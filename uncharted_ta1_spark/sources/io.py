@@ -1,0 +1,80 @@
+"""Source/sink helpers — the engine's IO matrix (SURVEY.md §2.1).
+
+Reference analog: the reference's io module iterates documents from a
+directory or S3 prefix, skips non-parseable entries, and writes JSON /
+bytes results (``tasks/common/io.py`` + its test matrix
+``tasks/common/test/test_io.py:59-289``).  In Spark these are thin,
+declarative wrappers over the builtin datasources — the value is the
+pinned schemas (schema-on-read, never inference, so a 100TB scan cannot
+silently re-infer types from a corrupt sample) and the PERMISSIVE
+corrupt-record quarantine split.
+
+S3 is a URI-scheme swap (``s3a://``) on every path here; the sandbox has no
+network, so tests exercise local paths only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROBE_SCHEMA = "probe_id string, doc_id string, source string, ts_epoch long"
+SEQUENCE_SCHEMA = (
+    "doc_id string, source string, seq_no int, event_epoch long, tokens array<int>"
+)
+CORRUPT_COL = "_corrupt"
+
+
+def read_probes_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S7: the query-point CSV source — fixed schema, never inferred."""
+    return (
+        spark.read.schema(PROBE_SCHEMA).option("header", True).csv(path)
+    )
+
+
+def write_probes_csv(df: DataFrame, path: str) -> None:
+    """S8 (CSV writer half)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_sequences_json(spark: SparkSession, path: str) -> DataFrame:
+    """S2 source half: JSON lines with the pinned sequences schema."""
+    return spark.read.schema(SEQUENCE_SCHEMA).json(path)
+
+
+def write_sequences_json(df: DataFrame, path: str) -> None:
+    """S2 sink half."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_binary_blobs(spark: SparkSession, path: str) -> DataFrame:
+    """S3: opaque blob source (image/audio/bytes analog) — (path, length,
+    content binary); decode happens downstream in Arrow-batched UDFs."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """S1 corrupt-skip: PERMISSIVE read returning (good, quarantined).
+
+    Non-parseable records land in the quarantine frame instead of failing
+    the job — the ``_verify_is_image`` skip analog.  The scan is cached
+    because Spark disallows filtering a raw scan on only its corrupt column.
+    """
+    df = (
+        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()
+    )
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull())
+    return good, bad
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, *cols: str) -> None:
+    """Partitioned parquet sink — readers prune on the partition columns
+    (asserted by tests/test_sources.py::test_partitioned_write_prunes)."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
