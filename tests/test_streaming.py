@@ -105,3 +105,67 @@ def test_quarantine_split(spark, tmp_path):
     assert good.where("value < 1.0").count() == 0
     assert bad.where("value >= 1.0").count() == 0
     shutil.rmtree(good_dir, ignore_errors=True)
+
+
+def test_streaming_asof_serve_equals_batch(spark, tmp_path):
+    """The streaming serving path (probes arrive as a stream, answered per
+    micro-batch against static state) must produce EXACTLY the batch as-of
+    answer set, independent of probe batching (here: 5 files, one per
+    trigger)."""
+    from uncharted_ta1_spark.operators.asof import asof_join
+    from uncharted_ta1_spark.streaming.asof_serve import serve_probe_stream
+
+    seq = datagen.sequences_df(spark, SF).select(
+        "doc_id", "source", "seq_no", "event_epoch", "tokens", "n_tok"
+    )
+    prb = datagen.probes_df(spark, SF).select(
+        "probe_id", "doc_id", "source", "ts_epoch"
+    )
+
+    # stage the probes as a file stream
+    src = str(tmp_path / "probe_src")
+    prb.repartition(5).write.mode("overwrite").parquet(src)
+    probe_stream = spark.readStream.schema(
+        "probe_id string, doc_id string, source string, ts_epoch long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+
+    out_dir = str(tmp_path / "answers")
+
+    def sink(df, _batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = serve_probe_stream(
+        probe_stream,
+        seq,
+        keys=["doc_id", "source"],
+        payload_cols=["tokens", "n_tok"],
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    want = asof_join(
+        seq,
+        prb,
+        keys=["doc_id", "source"],
+        payload_cols=["tokens", "n_tok"],
+        defaults={"tokens": F.array().cast("array<int>"), "n_tok": F.lit(-1)},
+    ).select(*got.columns)
+    assert got.count() == prb.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_merge_time_travel(spark, tmp_path):
+    """Older MERGE snapshots stay readable (Iceberg VERSION AS OF analog)."""
+    from uncharted_ta1_spark.plans.merge import merge_upsert, read_snapshot
+
+    t = str(tmp_path / "tt")
+    df0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    df1 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v long")
+    merge_upsert(spark, t, df0, ["k"])
+    merge_upsert(spark, t, df1, ["k"])
+    v0 = {r.k: r.v for r in read_snapshot(spark, t, 0).collect()}
+    v1 = {r.k: r.v for r in read_snapshot(spark, t, 1).collect()}
+    assert v0 == {"a": 1, "b": 2}
+    assert v1 == {"a": 1, "b": 20, "c": 3}

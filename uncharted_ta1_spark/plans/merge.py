@@ -76,6 +76,17 @@ def read_current(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
+def read_snapshot(spark: SparkSession, target_dir: str, version: int) -> DataFrame:
+    """Time-travel read of an older snapshot (Iceberg VERSION AS OF analog).
+
+    Data files are immutable once referenced by a manifest and never deleted
+    by later merges, so every historical version stays readable.
+    """
+    with open(_manifest_path(target_dir, version)) as f:
+        m = json.load(f)
+    return spark.read.parquet(*_bucket_paths(target_dir, m))
+
+
 def _dir_rows(path: str) -> int:
     """Row count of one bucket dir from parquet footers — no Spark job."""
     import pyarrow.parquet as pq
