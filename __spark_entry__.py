@@ -1911,6 +1911,125 @@ FROM diffs GROUP BY doc_id, source, seq_no, n_tok
 
 
 # ---------------------------------------------------------------------------
+# JSON serialization round-trip (C16; reference serializes every task result
+# as pydantic JSON, tasks/common/task.py result envelopes) and
+# fuzzy-fallback label join (J9; legend<->extraction normalized-key join with
+# fuzzy fallback, tasks/point_extraction/legend_analyzer.py pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize each sequence row's scalar envelope to canonical JSON and
+    re-extract a field (write + parse halves of C16).  Only non-null
+    int/string fields ride in the JSON: Spark drops null fields where DuckDB
+    emits explicit nulls, so nullable columns must be coalesced first."""
+    seq = _sequences(spark, sf_dir)
+    j = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("source").alias("source"),
+            F.col("seq_no").alias("seq_no"),
+            F.col("n_tok").alias("n_tok"),
+            F.col("event_epoch").alias("event_epoch"),
+        )
+    )
+    return seq.select(
+        "doc_id", "source", "seq_no",
+        j.alias("payload_json"),
+        F.get_json_object(j, "$.n_tok").cast("int").alias("n_tok_rt"),
+        F.length(j).cast("int").alias("json_len"),
+    )
+
+
+ORACLE_JSON_SERIALIZE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, ser AS (
+  SELECT doc_id, source, seq_no,
+         to_json(struct_pack(
+           doc_id := doc_id, source := source, seq_no := seq_no,
+           n_tok := n_tok, event_epoch := event_epoch))::VARCHAR AS payload_json
+  FROM sequences
+)
+SELECT doc_id, source, seq_no, payload_json,
+       CAST(payload_json ->> 'n_tok' AS INT) AS n_tok_rt,
+       CAST(length(payload_json) AS INT) AS json_len
+FROM ser
+"""
+)
+
+
+def q_fuzzy_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy observed labels matched to the canonical label set: exact match
+    first, else min-levenshtein fuzzy match (<= 2), else the 'unknown'
+    fallback.  The canonical side is a small dimension (the reference's
+    legend set), so the candidate join is an explicit broadcast — the one
+    place a nested-loop plan is the RIGHT plan."""
+    datagen.register_base_tables(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type")
+    noisy = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.substring(F.col("event_type"), 1, F.length("event_type") - 1),
+        )
+        .when(F.col("event_id") % 11 == 0, F.concat(F.lit("x"), F.col("event_type")))
+        .otherwise(F.col("event_type"))
+        .alias("noisy_label"),
+    )
+    labels = spark.table("events").select(
+        F.col("event_type").alias("canon_label")
+    ).distinct()
+    cand = noisy.crossJoin(F.broadcast(labels)).withColumn(
+        "lev_dist", F.levenshtein("noisy_label", "canon_label").cast("int")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("lev_dist").asc(), F.col("canon_label").asc()
+    )
+    best = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return best.select(
+        "event_id",
+        "noisy_label",
+        F.when(F.col("lev_dist") <= 2, F.col("canon_label"))
+        .otherwise(F.lit("unknown"))
+        .alias("matched_label"),
+        F.when(F.col("lev_dist") <= 2, F.col("lev_dist"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("lev_dist"),
+        (F.col("lev_dist") > 2).alias("fallback_used"),
+    )
+
+
+ORACLE_FUZZY_LABEL = """
+WITH noisy AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN substr(event_type, 1, length(event_type) - 1)
+              WHEN event_id % 11 = 0 THEN 'x' || event_type
+              ELSE event_type END AS noisy_label
+  FROM events
+),
+labels AS (SELECT DISTINCT event_type AS canon_label FROM events),
+cand AS (
+  SELECT n.event_id, n.noisy_label, l.canon_label,
+         CAST(levenshtein(n.noisy_label, l.canon_label) AS INT) AS lev_dist
+  FROM noisy n CROSS JOIN labels l
+),
+best AS (
+  SELECT * FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY event_id ORDER BY lev_dist ASC, canon_label ASC) = 1
+)
+SELECT event_id, noisy_label,
+       CASE WHEN lev_dist <= 2 THEN canon_label ELSE 'unknown' END AS matched_label,
+       CASE WHEN lev_dist <= 2 THEN lev_dist ELSE NULL END AS lev_dist,
+       lev_dist > 2 AS fallback_used
+FROM best
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1973,6 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
         "consecutive_noise": q_consecutive_noise,
+        "json_serialize": q_json_serialize,
+        "fuzzy_label_join": q_fuzzy_label_join,
     }
 
 
@@ -2029,4 +2150,6 @@ def oracle_sql() -> dict[str, str]:
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,
         "consecutive_noise": ORACLE_CONSECUTIVE,
+        "json_serialize": ORACLE_JSON_SERIALIZE,
+        "fuzzy_label_join": ORACLE_FUZZY_LABEL,
     }
