@@ -73,3 +73,56 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     n_all = spark.read.parquet(f"{SF}/events.parquet").where("event_type = 'purchase'").count()
     assert df.count() == n_all
+
+
+def test_pull_through_blob_cache(tmp_path):
+    """S4/S5: each key is fetched from the 'remote' exactly once per cache
+    dir; repeats are served locally (the image_cache pull-through analog)."""
+    fetch_log = tmp_path / "fetches"
+    fetch_log.mkdir()
+
+    def fetch(key: str) -> bytes:
+        (fetch_log / f"{key}.{len(list(fetch_log.iterdir()))}").touch()
+        return f"blob:{key}".encode()
+
+    cache = src_io.PullThroughBlobCache(str(tmp_path / "cache"), fetch)
+    assert cache.get("a") == b"blob:a"
+    assert cache.get("b") == b"blob:b"
+    assert cache.get("a") == b"blob:a"  # served from cache
+    assert len(list(fetch_log.iterdir())) == 2
+
+
+def test_pull_through_cache_in_map_in_pandas(spark, tmp_path):
+    """The cache working inside a mapInPandas stage: duplicate keys across
+    rows cost one remote read per worker, not one per row."""
+    import pandas as pd
+
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    for k in ("x", "y"):
+        (remote / k).write_bytes(f"payload-{k}".encode() * 10)
+    remote_dir = str(remote)
+    cache_dir = str(tmp_path / "wcache")
+
+    df = spark.createDataFrame(
+        [("x",), ("y",), ("x",), ("y",), ("x",)] * 4, "blob_key string"
+    ).coalesce(1)
+
+    def stage(batches):
+        cache = src_io.PullThroughBlobCache(
+            cache_dir, lambda k: open(f"{remote_dir}/{k}", "rb").read()
+        )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "blob_key": pdf["blob_key"],
+                    "byte_len": pdf["blob_key"].map(lambda k: len(cache.get(k))).astype("int64"),
+                }
+            )
+
+    out = df.mapInPandas(stage, "blob_key string, byte_len long")
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.byte_len == 90 for r in rows)
+    import os
+    assert len(os.listdir(cache_dir)) == 2  # one cached file per distinct key

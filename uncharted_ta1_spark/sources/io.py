@@ -78,3 +78,48 @@ def write_partitioned_parquet(df: DataFrame, path: str, *cols: str) -> None:
     """Partitioned parquet sink — readers prune on the partition columns
     (asserted by tests/test_sources.py::test_partitioned_write_prunes)."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+class PullThroughBlobCache:
+    """Executor-local keyed pull-through blob cache (S4/S5).
+
+    Reference analog: the reference's image cache fetches each blob from S3
+    once per worker and serves repeats from local disk
+    (``tasks/common/image_cache.py:17-69``).  Intended use: construct INSIDE
+    a ``mapInPandas`` closure (one instance per worker process) with a
+    ``fetch(key) -> bytes`` callable for the remote read; repeated keys in
+    later batches hit the local file.
+
+    Concurrency-safe for multiple workers sharing one cache dir: writes go
+    to a per-pid tmp file and ``os.replace`` into place, so readers never
+    see partial blobs and double-fetch races resolve to one surviving copy.
+    """
+
+    def __init__(self, cache_dir: str, fetch):
+        import os
+
+        self.cache_dir = cache_dir
+        self.fetch = fetch
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        import hashlib
+        import os
+
+        return os.path.join(
+            self.cache_dir, hashlib.sha256(key.encode()).hexdigest()
+        )
+
+    def get(self, key: str) -> bytes:
+        import os
+
+        p = self._path(key)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return f.read()
+        blob = self.fetch(key)
+        tmp = f"{p}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, p)  # atomic; concurrent fetchers converge
+        return blob
