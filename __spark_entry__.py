@@ -43,6 +43,8 @@ from uncharted_ta1_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_pairs_from_bands,
+    minhash_bands,
     minhash_params,
     minhash_signatures,
     simhash16,
@@ -608,10 +610,14 @@ WHERE round(n_common / (ca.n_sh + cb.n_sh - n_common), 9) >= 0.5
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (16 perms, 4 bands of 4) — the scale path."""
+    """MinHash-LSH candidate pairs (16 perms, 4 bands of 4) — the scale path.
+
+    Uses the fused ``minhash_bands`` (ONE groupBy over shingles, band sigs
+    inline on the wide row — bit-equal to the long-form
+    minhash_signatures → lsh_candidate_pairs pipeline, one fewer shuffle;
+    equality of the two paths is pinned by tests/test_plans.py)."""
     sh = doc_shingles(_documents(spark, sf_dir), n=3)
-    sig = minhash_signatures(sh, k=16, seed=42)
-    return lsh_candidate_pairs(sig, band_size=4)
+    return lsh_pairs_from_bands(minhash_bands(sh, k=16, band_size=4, seed=42))
 
 
 def _minhash_perm_values() -> str:

@@ -76,6 +76,27 @@ def test_group_fit_is_one_exchange_one_arrow_stage(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_minhash_fused_equals_long_form(spark):
+    """The fused minhash_bands path (one groupBy, band sigs inline) must be
+    row-identical to the long-form minhash_signatures -> lsh_candidate_pairs
+    pipeline — same pairs, same n_bands, same band_sig hashing."""
+    from uncharted_ta1_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        lsh_pairs_from_bands,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = datagen.register_base_tables(spark, SF) or spark.table("documents")
+    sh = doc_shingles(docs, n=3)
+    fused = lsh_pairs_from_bands(minhash_bands(sh, k=16, band_size=4, seed=42))
+    long_form = lsh_candidate_pairs(minhash_signatures(sh, k=16, seed=42), band_size=4)
+    assert fused.exceptAll(long_form).count() == 0
+    assert long_form.exceptAll(fused).count() == 0
+    assert fused.count() > 0
+
+
 def test_window_features_share_one_exchange(spark):
     seq = datagen.sequences_df(spark, SF)
     plan = _plan(sequence_features(seq))

@@ -147,6 +147,57 @@ def minhash_signatures(
     ).select("doc_id", F.col("perm").cast("int"), "minhash")
 
 
+def minhash_bands(
+    shingles: DataFrame, *, k: int = 16, band_size: int = 4, seed: int = 42
+) -> DataFrame:
+    """(doc_id, band, band_sig) in ONE aggregation pass — the fused fast path.
+
+    The long-form path (minhash_signatures → lsh_candidate_pairs) unpivots to
+    k rows/doc and re-aggregates per band with a collect_list — a second full
+    shuffle of the signature stream.  Here the band signatures are computed
+    INLINE on the wide row (the concatenated 'perm:minhash' string is
+    identical to the long path's sorted aggregate, so band_sig values are
+    bit-equal), then unpivoted to (band, band_sig) — a pure map, no extra
+    shuffle.  One groupBy over shingles total.
+    """
+    s_small = F.col("sh_hash") % F.lit(2**31)
+    mins = [
+        F.min((F.lit(a) * s_small + F.lit(b)) % F.lit(MERSENNE31)).alias(f"_m{i}")
+        for i, a, b in minhash_params(k, seed)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*mins)
+    n_bands = k // band_size
+    band_cols = []
+    for bnd in range(n_bands):
+        parts = [
+            F.concat(F.lit(f"{i}:"), F.col(f"_m{i}").cast("string"))
+            for i in range(bnd * band_size, (bnd + 1) * band_size)
+        ]
+        band_cols.append(md5_i64(F.concat_ws(",", *parts)).alias(f"_b{bnd}"))
+    banded = wide.select("doc_id", *band_cols)
+    stack_expr = ", ".join(f"{bnd}, _b{bnd}" for bnd in range(n_bands))
+    return banded.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_expr}) as (band, band_sig)"),
+    ).select("doc_id", F.col("band").cast("int"), "band_sig")
+
+
+def lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate pairs agreeing on >= 1 band: equi join on (band, band_sig)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, *, band_size: int = 4
 ) -> DataFrame:
