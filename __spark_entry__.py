@@ -63,18 +63,23 @@ from uncharted_ta1_spark.operators.filters import (
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup_pairs,
 )
-from uncharted_ta1_spark.functions.portable import md5_i64
+from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck
+from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg
+from uncharted_ta1_spark.operators.sampling import hash_sample
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.textstats import (
     consecutive_run_flags,
     doc_fingerprint,
     lang_id,
     text_quality,
+    tfidf_top_terms,
+    token_bigrams,
     token_counts,
 )
 from uncharted_ta1_spark.operators.windows import dedup_latest, lag_lead_context, rolling_agg
@@ -2036,6 +2041,148 @@ FROM best
 
 
 # ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: IVF ANN, exact grouped quantiles,
+# deterministic hash sampling, bigram stats, TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nearest-centroid cell) approximate cosine top-3, nprobe=1."""
+    return ann_ivf_topk(
+        _embeddings(spark, sf_dir), query_pred=F.col("vec_id") % 50 == 0, k=3
+    )
+
+
+ORACLE_ANN_IVF = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb, nrm AS cnrm
+  FROM base WHERE vec_id < 16
+),
+assign AS (
+  SELECT b.vec_id AS vid, c.cid AS cell,
+         list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
+  FROM base b CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) = 1
+),
+withc AS (
+  SELECT b.vec_id, b.emb, b.nrm, a.cell
+  FROM base b JOIN assign a ON a.vid = b.vec_id
+),
+q AS (SELECT vec_id AS qid, emb AS qe, nrm AS qn, cell AS qcell
+      FROM withc WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT qid, vec_id AS vid, withc.cell,
+         list_dot_product(qe, emb) / (qn * nrm) AS sim
+  FROM q JOIN withc ON qcell = withc.cell AND qid != vec_id
+)
+SELECT qid, vid, cell, round(sim, 9) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 3
+"""
+
+
+def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of n_tok per source (linear interpolation)."""
+    return grouped_quantiles(
+        _sequences(spark, sf_dir), keys=["source"], col="n_tok"
+    )
+
+
+ORACLE_NTOK_QUANTILES = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok,
+       round(quantile_cont(n_tok, 0.5), 9) AS p50_n_tok,
+       round(quantile_cont(n_tok, 0.9), 9) AS p90_n_tok,
+       round(quantile_cont(n_tok, 0.99), 9) AS p99_n_tok
+FROM sequences GROUP BY source
+"""
+)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of sequences by full row key — stable
+    across reruns/repartitions/engines (df.sample() is neither)."""
+    out = hash_sample(
+        _sequences(spark, sf_dir),
+        key_cols=["doc_id", "source", "seq_no"],
+        rate=0.10,
+        salt="eval",
+    )
+    return out.select("doc_id", "source", "seq_no", "event_epoch", "n_tok")
+
+
+ORACLE_HASH_SAMPLE = (
+    duck_with(SEQUENCES_DUCK)
+    + f"""
+SELECT doc_id, source, seq_no, event_epoch, n_tok
+FROM sequences
+WHERE {md5_i64_duck("concat_ws(chr(31), doc_id, source, CAST(seq_no AS VARCHAR))", salt="eval")}
+      % 1000000 < 100000
+"""
+)
+
+
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus adjacent-token bigram counts, deterministic top-100."""
+    return token_bigrams(_sequences(spark, sf_dir), top_n=100)
+
+
+ORACLE_TOKEN_BIGRAMS = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, pairs AS (
+  SELECT unnest(list_slice(tokens, 1, len(tokens) - 1)) AS t1,
+         unnest(list_slice(tokens, 2, len(tokens))) AS t2
+  FROM sequences
+)
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_occ
+FROM pairs GROUP BY t1, t2
+ORDER BY n_occ DESC, t1 ASC, t2 ASC
+LIMIT 100
+"""
+)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (fixed float tree over exact counts)."""
+    return tfidf_top_terms(_documents(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, dw AS (SELECT doc_id, unnest(words) AS word FROM doc_words),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM dw GROUP BY doc_id, word),
+dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM dw) GROUP BY word
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doc_words),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * ln(CAST(nd.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+)
+SELECT doc_id, word, tf, df, round(score, 9) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2100,6 +2247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consecutive_noise": q_consecutive_noise,
         "json_serialize": q_json_serialize,
         "fuzzy_label_join": q_fuzzy_label_join,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ntok_quantiles": q_ntok_quantiles,
+        "hash_sample": q_hash_sample,
+        "token_bigrams": q_token_bigrams,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2158,4 +2310,9 @@ def oracle_sql() -> dict[str, str]:
         "consecutive_noise": ORACLE_CONSECUTIVE,
         "json_serialize": ORACLE_JSON_SERIALIZE,
         "fuzzy_label_join": ORACLE_FUZZY_LABEL,
+        "ann_ivf_topk": ORACLE_ANN_IVF,
+        "ntok_quantiles": ORACLE_NTOK_QUANTILES,
+        "hash_sample": ORACLE_HASH_SAMPLE,
+        "token_bigrams": ORACLE_TOKEN_BIGRAMS,
+        "tfidf_top_terms": ORACLE_TFIDF,
     }

@@ -139,3 +139,35 @@ def rank_groups(
             "rank",
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``, verified bit-equal on integer inputs).
+
+    Exact quantiles shuffle the full column per group — the right tool up to
+    large-but-sortable groups (the per-group sort spills via
+    UnsafeExternalSorter).  For corpus-wide single-pass approximations at
+    100 TB, ``percentile_approx`` is the knob; it is NOT oracle-checkable
+    (t-digest vs DuckDB's sketch differ) so the exact op is the verified
+    surface.
+    """
+    pct = F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs]))
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+        pct.alias("_pct"),
+    )
+    cols = [*keys, "n", f"min_{col}", f"max_{col}"]
+    out = [F.col(c) for c in cols]
+    for i, p in enumerate(probs):
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}_{col}"
+        out.append(F.round(F.col("_pct").getItem(i), 9).alias(name))
+    return agg.select(*out)

@@ -1,0 +1,51 @@
+"""Deterministic hash sampling — the 100 TB sampling primitive.
+
+A training-data pipeline samples constantly (eval holdouts, ablation
+subsets, debugging slices).  ``df.sample()`` is seed-and-partitioning
+dependent: the same row can enter or leave the sample when the file layout
+changes, which silently breaks train/eval splits.  Hash-threshold sampling
+is the scale-correct alternative: membership is a pure function of the ROW
+KEY, so the sample is stable across reruns, repartitions, engines and time
+— and composable (a 10% sample of a 50% sample is the 5% whose hash falls
+in both thresholds).
+
+Reference analog: the reference pins every stochastic choice to a fixed
+seed for reproducibility (``tasks/geo_referencing/ground_control.py:25``
+``random.seed(911)``, ``outlier_filter.py:190-194`` RANSAC
+``random_state=911``) — here the "seed" is the content key itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uncharted_ta1_spark.functions.portable import md5_i64
+
+SCALE = 1_000_000  # rate resolution: 1e-6
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose md5(key) mod 1e6 falls below rate*1e6.
+
+    ``salt`` decorrelates independent samples over the same keys (eval split
+    vs debug slice).  Filter only — no shuffle; pushes down to the scan
+    stage and composes with any downstream plan.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return df.where(md5_i64(key, salt=salt) % SCALE < int(rate * SCALE))
+
+
+def sample_bucket_expr(key_cols: Sequence[str], salt: str = "") -> F.Column:
+    """The underlying [0, 1e6) bucket — exposed so train/val/test splits can
+    partition ONE hash into disjoint ranges instead of re-hashing per split."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return md5_i64(key, salt=salt) % SCALE

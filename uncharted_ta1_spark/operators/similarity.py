@@ -197,3 +197,81 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("qid", "vid", "bucket", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
     )
+
+
+N_CENTROIDS = 16
+
+
+def ivf_cells(
+    emb: DataFrame, *, id_col: str = "vec_id", n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """(vid, cell) — IVF coarse quantization: every vector assigned to its
+    nearest (max-cosine) centroid.
+
+    Centroids are the embeddings of ``vec_id < n_centroids`` — deterministic
+    seed vectors instead of k-means (no RNG in data paths; a production
+    deployment swaps in trained centroids, the assignment/search plan is
+    identical).  Assignment is a broadcast of the tiny centroid set against
+    the corpus (one narrow pass, |C| x n_centroids dot products) with a
+    deterministic argmax (sim desc, cid asc).
+    """
+    base = with_norm(emb)
+    cents = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col("_emb_d").alias("_c_emb"),
+        F.col("_norm").alias("_c_norm"),
+    )
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vid"),
+        "cid",
+        (_dot(F.col("_emb_d"), F.col("_c_emb")) / (F.col("_norm") * F.col("_c_norm"))).alias("_csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vid", F.col("cid").alias("cell"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    *,
+    query_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """IVF approximate top-k (nprobe=1): exact cosine ranking restricted to
+    the query's centroid cell.
+
+    The complement of the LSH path: data-dependent cells (centroid Voronoi
+    regions) instead of data-independent hyperplane buckets.  At corpus
+    scale the cell equi-join turns |Q|x|C| into |Q|x|C|/n_centroids, and the
+    candidate join is a plain hash shuffle — never a cartesian.
+    """
+    cells = ivf_cells(emb, id_col=id_col, n_centroids=n_centroids)
+    base = with_norm(emb).join(cells, F.col(id_col) == F.col("vid")).drop("vid")
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col("_emb_d").alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+        F.col("cell").alias("qcell"),
+    )
+    c = base.select(F.col(id_col).alias("vid"), "_emb_d", "_norm", "cell")
+    sims = (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("cell")) & (F.col("qid") != F.col("vid")))
+        .select(
+            "qid",
+            "vid",
+            F.col("cell"),
+            (_dot(F.col("_q_emb"), F.col("_emb_d")) / (F.col("_q_norm") * F.col("_norm"))).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_sim").desc(), F.col("vid").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vid", "cell", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
+    )

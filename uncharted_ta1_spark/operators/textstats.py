@@ -140,3 +140,73 @@ def consecutive_run_flags(seq: DataFrame) -> DataFrame:
             (F.col("n_tok") >= 3) & (F.size(incr) == (F.col("n_tok") - 1))
         ).alias("is_consecutive_run"),
     )
+
+
+def token_bigrams(seq: DataFrame, *, top_n: int = 100) -> DataFrame:
+    """Corpus-wide adjacent-token bigram counts, deterministic top-N.
+
+    The vocabulary/co-occurrence statistic of a training-data pipeline
+    (n-gram LM stats, tokenizer merge candidates).  One explode + one
+    map-side-combinable count shuffle; the top-N is a total order
+    (count desc, t1, t2) so the cut is reproducible.
+    """
+    n = F.size("tokens")
+    pairs = F.zip_with(
+        F.slice(F.col("tokens"), 1, n - 1),
+        F.slice(F.col("tokens"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+    )
+    exploded = seq.select(F.explode(pairs).alias("p")).select("p.t1", "p.t2")
+    return (
+        exploded.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (score = tf * ln((N+1)/(df+1))).
+
+    Plan: one explode of words, one (doc, word) count shuffle, one word-df
+    count shuffle joined back, broadcast scalar N, window top-k.  All float
+    math is a fixed expression tree over exact integer counts — bit-identical
+    to the DuckDB oracle.
+    """
+    words = words_col(F.col("text"))
+    dw = docs.select("doc_id", F.explode(words).alias("word"))
+    tf = dw.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = dw.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "word", "tf", "df",
+            F.round("score", 9).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
