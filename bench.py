@@ -34,10 +34,10 @@ SCALING_4N = os.environ.get("SPARK_GRAFT_SCALE_4N", "4")
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_worker(master: str) -> dict:
+def run_worker(master: str, iters: int = 2) -> dict:
     r = subprocess.run(
         [sys.executable, os.path.join(HERE, "scripts", "bench_worker.py"),
-         master, SF_DIR, str(AMP), "3"],
+         master, SF_DIR, str(AMP), str(iters)],
         capture_output=True,
         text=True,
         timeout=1200,
@@ -51,8 +51,18 @@ def run_worker(master: str) -> dict:
 
 def main() -> int:
     # --- part 1: scaling evidence -----------------------------------------
-    low = run_worker(f"local[{SCALING_N}]")
-    high = run_worker(f"local[{SCALING_4N}]")
+    # The sandbox VM's memory bandwidth swings ~5x over minutes (BENCH.md);
+    # running all of leg N then all of leg 4N lets one leg land in a bad
+    # epoch and fake the ratio (observed: 0.93 and 0.69 efficiency for the
+    # same build, back to back).  So the legs are INTERLEAVED — two
+    # alternating rounds, 2 timed iterations each — and each leg's min is
+    # taken across both epochs.  Same total sample count as 1x3, unbiased.
+    low_runs, high_runs = [], []
+    for _ in range(2):
+        low_runs.append(run_worker(f"local[{SCALING_N}]"))
+        high_runs.append(run_worker(f"local[{SCALING_4N}]"))
+    low = min(low_runs, key=lambda r: r["elapsed_sec"])
+    high = min(high_runs, key=lambda r: r["elapsed_sec"])
     speedup = low["elapsed_sec"] / high["elapsed_sec"]
     core_ratio = int(SCALING_4N) / int(SCALING_N)
     efficiency = speedup / core_ratio
@@ -106,6 +116,10 @@ def main() -> int:
             "speedup": round(speedup, 3),
             "core_ratio": core_ratio,
             "scaling_efficiency": round(efficiency, 3),
+            "interleaved_runs": {
+                f"local[{SCALING_N}]": [r["elapsed_sec"] for r in low_runs],
+                f"local[{SCALING_4N}]": [r["elapsed_sec"] for r in high_runs],
+            },
         },
     }
     print(json.dumps(result))
