@@ -2183,6 +2183,143 @@ QUALIFY rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Relational anchors round 2: top-k over join-agg (Q3 shape), HAVING-filtered
+# large-group join-back (Q18 shape), cohort retention windows
+# ---------------------------------------------------------------------------
+
+Q3_DATE = "1997-06-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: revenue of unshipped BUILDING orders, deterministic
+    top-10.  Dimension (filtered customer) broadcast; revenue in DECIMAL."""
+    datagen.register_base_tables(spark, sf_dir)
+    c = spark.table("customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    li = spark.table("lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l.l_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity exceeds 200 (HAVING on
+    a DECIMAL sum), joined back to order/customer attributes."""
+    datagen.register_base_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .where(F.col("_qty") > 200)
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+)
+SELECT o.o_orderkey, c.c_custkey, c.c_name,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by first-active
+    day, distinct actives per (cohort_day, day_offset) — the engagement
+    matrix every training-data/feature pipeline ends up computing."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    # integer division (Spark div == DuckDB // on non-negative operands);
+    # double division + cast would flirt with boundary rounding at 1e15 us
+    days = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").cast("long").alias("day")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    with_cohort = days.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        with_cohort.groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = (
+    duck_with(EVENTS_DUCK)
+    + """
+, days AS (
+  SELECT user_id, CAST(ts_us // 86400000000 AS BIGINT) AS day FROM events_epoch
+),
+wc AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM days
+)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM wc GROUP BY cohort_day, day_offset
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2252,6 +2389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "token_bigrams": q_token_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "shipping_priority": q_shipping_priority,
+        "big_orders": q_big_orders,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -2315,4 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "token_bigrams": ORACLE_TOKEN_BIGRAMS,
         "tfidf_top_terms": ORACLE_TFIDF,
+        "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+        "big_orders": ORACLE_BIG_ORDERS,
+        "retention_cohorts": ORACLE_RETENTION,
     }
