@@ -27,6 +27,7 @@ from uncharted_ta1_spark.datagen import (
     duck_with,
 )
 from uncharted_ta1_spark.functions.arrow_udfs import (
+    frame_sample,
     multimodal_features,
     token_stats_pandas,
 )
@@ -2319,6 +2320,28 @@ FROM wc GROUP BY cohort_day, day_offset
 )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride binary frame sampling (multimodal fan-out: 1 blob row ->
+    <=8 frame rows through an Arrow-batched mapInPandas, no shuffle).
+    Documents text is ASCII (verified), so DuckDB's char-substring md5
+    equals the Python byte-slice md5."""
+    return frame_sample(_documents(spark, sf_dir))
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest(range(least(8, (length(text) + 63) // 64))) AS frame_no
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(length(substring(text, CAST(frame_no * 64 + 1 AS INT), 48)) AS BIGINT) AS frame_len,
+       ('0x' || substr(md5(substring(text, CAST(frame_no * 64 + 1 AS INT), 48)), 1, 15))::BIGINT AS frame_hash
+FROM fr
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2392,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "big_orders": q_big_orders,
         "retention_cohorts": q_retention_cohorts,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -2458,4 +2482,5 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
+        "frame_sample": ORACLE_FRAME_SAMPLE,
     }

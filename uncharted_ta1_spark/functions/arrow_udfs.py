@@ -92,6 +92,58 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_STRIDE = 64
+FRAME_LEN = 48
+MAX_FRAMES = 8
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic frame sampler over opaque binary payloads: every
+    FRAME_STRIDE bytes, take a FRAME_LEN-byte window (<= MAX_FRAMES frames),
+    emit its length + 60-bit md5.  The video-frame-sampling analog: a real
+    deployment replaces the body with a codec keyframe grab; the fan-out
+    shape (1 blob row -> N frame rows, no shuffle) is identical."""
+    for pdf in batches:
+        doc_ids, frame_nos, frame_lens, frame_hashes = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            i = 0
+            while i * FRAME_STRIDE < len(data) and i < MAX_FRAMES:
+                frame = data[i * FRAME_STRIDE : i * FRAME_STRIDE + FRAME_LEN]
+                doc_ids.append(doc_id)
+                frame_nos.append(i)
+                frame_lens.append(len(frame))
+                frame_hashes.append(int(hashlib.md5(frame).hexdigest()[:15], 16))
+                i += 1
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_no": pd.Series(frame_nos, dtype="int64"),
+                "frame_len": pd.Series(frame_lens, dtype="int64"),
+                "frame_hash": pd.Series(frame_hashes, dtype="int64"),
+            }
+        )
+
+
+def frame_sample(docs: DataFrame) -> DataFrame:
+    """Sample fixed-stride frames from each document's binary payload via
+    Arrow-batched mapInPandas (the frame-sample half of the multimodal
+    column story; decode stub like multimodal_features)."""
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").cast(BinaryType()).alias("payload")
+    )
+    return with_payload.mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
 def multimodal_features(docs: DataFrame) -> DataFrame:
     """Treat text bytes as an opaque binary column and 'decode' it in an
     Arrow-batched mapInPandas stage.
