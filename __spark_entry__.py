@@ -83,7 +83,12 @@ from uncharted_ta1_spark.operators.textstats import (
     token_bigrams,
     token_counts,
 )
-from uncharted_ta1_spark.operators.windows import dedup_latest, lag_lead_context, rolling_agg
+from uncharted_ta1_spark.operators.windows import (
+    dedup_latest,
+    ewma,
+    lag_lead_context,
+    rolling_agg,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -2342,6 +2347,25 @@ FROM fr
 """
 
 
+def q_ewma_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc_id, source) EWMA of n_tok in event order (alpha=0.25) — a
+    recursion as a JVM-side left fold; bit-equal to DuckDB list_reduce."""
+    return ewma(_sequences(spark, sf_dir), alpha=0.25)
+
+
+ORACLE_EWMA = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n,
+       round(list_reduce(list(CAST(n_tok AS DOUBLE) ORDER BY event_epoch, seq_no),
+                         (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE),
+             9) AS ewma_n_tok
+FROM sequences GROUP BY doc_id, source
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2416,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
+        "ewma_ntok": q_ewma_ntok,
     }
 
 
@@ -2483,4 +2508,5 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "ewma_ntok": ORACLE_EWMA,
     }

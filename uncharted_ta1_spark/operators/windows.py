@@ -94,3 +94,42 @@ def dedup_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id", "source"),
+    order: Sequence[str] = ("event_epoch", "seq_no"),
+    col: str = "n_tok",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponentially-weighted moving average of `col` per key group, in
+    event order — the classic recursive sequential feature
+    (acc = (1-alpha)*acc + alpha*x, seeded with the first value).
+
+    A recursion cannot be a SQL window frame, so it runs as a LEFT FOLD over
+    the group's ordered value array (collect_list + array_sort + aggregate
+    HOF) — all JVM-side, no Python.  Memory bound = group size, the same
+    bound any ordered collapse has; groups here are per (doc_id, source)
+    sequences, bounded by construction.  The DuckDB twin is
+    list_reduce(list(x ORDER BY ...)) — both engines fold left with
+    identical IEEE ops, so results are bit-equal.
+    """
+    keys = list(keys)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(o) for o in order], F.col(col).cast("double").alias("_v"))
+        )
+    )
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        arr.alias("_arr"),
+    )
+    vals = F.transform(F.col("_arr"), lambda s: s["_v"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return g.select(*keys, "n", F.round(fold, 9).alias(f"ewma_{col}"))
