@@ -43,6 +43,13 @@ if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
     os.makedirs(_shm, exist_ok=True)
     _DEFAULTS["spark.local.dir"] = _shm
 
+if "SPARK_GRAFT_WAREHOUSE" not in os.environ:
+    # managed tables (bucketed layout, plans/layout.py) must not land in a
+    # ./spark-warehouse dir inside the repo checkout
+    _DEFAULTS["spark.sql.warehouse.dir"] = "/tmp/spark-graft-warehouse"
+else:
+    _DEFAULTS["spark.sql.warehouse.dir"] = os.environ["SPARK_GRAFT_WAREHOUSE"]
+
 
 def default_master() -> str:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
