@@ -34,7 +34,7 @@ SCALING_4N = os.environ.get("SPARK_GRAFT_SCALE_4N", "4")
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_worker(master: str, iters: int = 2) -> dict:
+def run_worker(master: str, iters: int = 3) -> dict:
     r = subprocess.run(
         [sys.executable, os.path.join(HERE, "scripts", "bench_worker.py"),
          master, SF_DIR, str(AMP), str(iters)],
@@ -51,21 +51,23 @@ def run_worker(master: str, iters: int = 2) -> dict:
 
 def main() -> int:
     # --- part 1: scaling evidence -----------------------------------------
-    # The sandbox VM's memory bandwidth swings ~5x over minutes (BENCH.md);
-    # running all of leg N then all of leg 4N lets one leg land in a bad
-    # epoch and fake the ratio (observed: 0.93 and 0.69 efficiency for the
-    # same build, back to back).  So the legs are INTERLEAVED — two
-    # alternating rounds, 2 timed iterations each — and each leg's min is
-    # taken across both epochs.  Same total sample count as 1x3, unbiased.
-    low_runs, high_runs = [], []
-    for _ in range(2):
-        low_runs.append(run_worker(f"local[{SCALING_N}]"))
-        high_runs.append(run_worker(f"local[{SCALING_4N}]"))
-    low = min(low_runs, key=lambda r: r["elapsed_sec"])
-    high = min(high_runs, key=lambda r: r["elapsed_sec"])
-    speedup = low["elapsed_sec"] / high["elapsed_sec"]
+    # The sandbox VM's memory bandwidth swings ~5x over minutes (BENCH.md),
+    # so any ratio of measurements taken in DIFFERENT epochs is biased —
+    # observed 0.69-0.93 "efficiency" for the same build depending purely on
+    # which epoch each leg sampled.  Estimator: legs run PAIRED (N then 4N,
+    # adjacent in time, same epoch), three rounds, per-round efficiency =
+    # (low/high)/core_ratio, and the reported figure is the MEDIAN of the
+    # paired rounds.  Pairing cancels epoch drift; the median rejects a
+    # single round whose epoch flipped mid-pair.
     core_ratio = int(SCALING_4N) / int(SCALING_N)
-    efficiency = speedup / core_ratio
+    rounds = []
+    for _ in range(3):
+        lo = run_worker(f"local[{SCALING_N}]")
+        hi = run_worker(f"local[{SCALING_4N}]")
+        rounds.append((lo, hi, (lo["elapsed_sec"] / hi["elapsed_sec"]) / core_ratio))
+    rounds_by_eff = sorted(rounds, key=lambda r: r[2])
+    low, high, efficiency = rounds_by_eff[len(rounds) // 2]  # median round
+    speedup = efficiency * core_ratio
 
     # --- part 2: per-query timings -----------------------------------------
     from uncharted_ta1_spark.session import get_spark
@@ -116,10 +118,14 @@ def main() -> int:
             "speedup": round(speedup, 3),
             "core_ratio": core_ratio,
             "scaling_efficiency": round(efficiency, 3),
-            "interleaved_runs": {
-                f"local[{SCALING_N}]": [r["elapsed_sec"] for r in low_runs],
-                f"local[{SCALING_4N}]": [r["elapsed_sec"] for r in high_runs],
-            },
+            "paired_rounds": [
+                {
+                    f"local[{SCALING_N}]_sec": lo["elapsed_sec"],
+                    f"local[{SCALING_4N}]_sec": hi["elapsed_sec"],
+                    "efficiency": round(eff, 3),
+                }
+                for lo, hi, eff in rounds
+            ],
         },
     }
     print(json.dumps(result))

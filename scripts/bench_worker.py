@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -72,11 +73,22 @@ def main() -> int:
     sf_dir = sys.argv[2]
     amp = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    conf = dict(BENCH_CONF)
+    # Fairness: JVM thread pools size themselves from the HOST's 32 cpus, not
+    # from local[N] — ParallelGC on the "1-core" leg would otherwise collect
+    # with 20+ threads, making leg N faster than a real 1-core node and
+    # understating the measured scaling efficiency.  Cap GC threads at the
+    # leg's core count so each leg models its node size.
+    m = re.match(r"local\[(\d+)\]", master)
+    if m:
+        conf["spark.driver.extraJavaOptions"] = (
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={m.group(1)}"
+        )
     spark = get_spark(
         master=master,
         app_name=f"bench-{master}",
         shuffle_partitions=64,
-        extra_conf=BENCH_CONF,
+        extra_conf=conf,
     )
     try:
         staging_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
