@@ -52,6 +52,7 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash_pairs,
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
+from uncharted_ta1_spark.operators.components import connected_components
 from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.groupfit import fit_residual_outliers, group_fit
@@ -2366,6 +2367,40 @@ FROM sequences GROUP BY doc_id, source
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the banded-simhash
+    candidate graph — the final step of every dedup pipeline (pairs ->
+    canonical doc per component).  Iterative min-label propagation in Spark;
+    recursive-CTE transitive closure in the oracle."""
+    pairs = simhash_pairs(simhash16(_documents(spark, sf_dir)), max_hamming=3)
+    return connected_components(pairs, src="doc1", dst="doc2")
+
+
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (\n"
+    + ORACLE_SIMHASH_PAIRS
+    + """
+),
+sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clusters AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM clusters
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2441,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2509,4 +2545,5 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "ewma_ntok": ORACLE_EWMA,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     }
