@@ -835,7 +835,7 @@ sims AS (
   SELECT qid, vec_id AS vid, list_dot_product(qe, e) / (qn * nrm) AS sim
   FROM q JOIN base ON qid != vec_id
 )
-SELECT qid, vid, round(sim, 9) AS cos_sim,
+SELECT qid, vid, round(sim, 9) + 0.0 AS cos_sim,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= 5
@@ -882,7 +882,7 @@ sims AS (
          list_dot_product(qe, emb) / (qn * nrm) AS sim
   FROM q JOIN base ON qbucket = base.bucket AND qid != vec_id
 )
-SELECT qid, vid, bucket, round(sim, 9) AS cos_sim,
+SELECT qid, vid, bucket, round(sim, 9) + 0.0 AS cos_sim,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= 3
@@ -1499,7 +1499,7 @@ base AS (
   FROM embeddings e JOIN buckets b ON b.vid = e.vec_id
 )
 SELECT a.id AS id1, b.id AS id2, a.bucket,
-       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 9) AS cos_sim
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 9) + 0.0 AS cos_sim
 FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.2
 """
@@ -1679,8 +1679,9 @@ def q_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = group_fit(_sequences(spark, sf_dir))
     return out.select(
         "doc_id", "source", "n", "x0",
-        F.round("slope", 9).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        # signed-zero collapse (see q_fit_residual_outliers): slope straddles 0
+        (F.round("slope", 9) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
         F.round("r2", 9).alias("r2"),
         F.round("rmse", 6).alias("rmse"),
     )
@@ -1735,8 +1736,8 @@ ORACLE_GROUP_FIT = (
     + _FIT_CTES
     + """
 SELECT doc_id, source, n, x0,
-       round(slope_u, 9) AS slope,
-       round(intercept_u, 6) AS intercept,
+       round(slope_u, 9) + 0.0 AS slope,
+       round(intercept_u, 6) + 0.0 AS intercept,
        round(r2_u, 9) AS r2,
        round(rmse_u, 6) AS rmse
 FROM fit_p
@@ -1750,7 +1751,11 @@ def q_fit_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fit_residual_outliers(_sequences(spark, sf_dir), sigma=2.0)
     return out.select(
         "doc_id", "source", "seq_no", "event_epoch", "n_tok",
-        F.round("resid", 6).alias("resid"),
+        # `+ 0.0` collapses IEEE -0.0 to +0.0 (a no-op for every other value,
+        # NaN included).  Residuals are centered on zero, and DuckDB's
+        # round() emits -0.0 where Spark emits +0.0 for tiny negative
+        # residuals — the one round-2 driver hash fail.  Both sides collapse.
+        (F.round("resid", 6) + F.lit(0.0)).alias("resid"),
         "is_outlier",
     )
 
@@ -1762,7 +1767,7 @@ ORACLE_FIT_RESID = (
 SELECT b.doc_id, b.source, b.seq_no, b.event_epoch, b.n_tok,
   CASE WHEN p.d1 = 0 THEN NULL
        ELSE round(CAST(b.n_tok AS DOUBLE)
-                  - (p.intercept_u + p.slope_u * CAST(b.x AS DOUBLE)), 6)
+                  - (p.intercept_u + p.slope_u * CAST(b.x AS DOUBLE)), 6) + 0.0
   END AS resid,
   CASE WHEN p.d1 = 0 THEN FALSE
        ELSE abs(CAST(b.n_tok AS DOUBLE)
@@ -2087,7 +2092,7 @@ sims AS (
          list_dot_product(qe, emb) / (qn * nrm) AS sim
   FROM q JOIN withc ON qcell = withc.cell AND qid != vec_id
 )
-SELECT qid, vid, cell, round(sim, 9) AS cos_sim,
+SELECT qid, vid, cell, round(sim, 9) + 0.0 AS cos_sim,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= 3

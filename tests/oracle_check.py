@@ -23,8 +23,11 @@ def _canon_value(v: Any) -> Any:
         f = float(v)
         if math.isnan(f):
             return None  # pandas encodes SQL NULL as NaN; treat them alike
-        # collapse -0.0/0.0 and use repr for stable hashing
-        return repr(f + 0.0)
+        # SIGNED-ZERO STRICT: the driver's value-hash distinguishes -0.0 from
+        # +0.0 (round-2 red row fit_residual_outliers proved it), so the local
+        # replica must too — repr(-0.0) == '-0.0' != '0.0'.  Queries collapse
+        # the sign themselves via `+ 0.0` on BOTH dialects.
+        return repr(f)
     if isinstance(v, np.bool_):
         return bool(v)
     if v is None or v is pd.NaT:

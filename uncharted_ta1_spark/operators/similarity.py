@@ -77,7 +77,7 @@ def cosine_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", "vid", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
+        .select("qid", "vid", (F.round(F.col("_sim"), 9) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
 
 
@@ -158,7 +158,7 @@ def embedding_near_dup_pairs(
         ).alias("_sim"),
     )
     return pairs.where(F.col("_sim") >= min_cosine).select(
-        "id1", "id2", "bucket", F.round(F.col("_sim"), 9).alias("cos_sim")
+        "id1", "id2", "bucket", (F.round(F.col("_sim"), 9) + F.lit(0.0)).alias("cos_sim")
     )
 
 
@@ -195,7 +195,7 @@ def ann_lsh_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", "vid", "bucket", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
+        .select("qid", "vid", "bucket", (F.round(F.col("_sim"), 9) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
 
 
@@ -273,5 +273,5 @@ def ann_ivf_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", "vid", "cell", F.round(F.col("_sim"), 9).alias("cos_sim"), "rank")
+        .select("qid", "vid", "cell", (F.round(F.col("_sim"), 9) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
