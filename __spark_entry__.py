@@ -55,7 +55,11 @@ from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_colla
 from uncharted_ta1_spark.operators.components import connected_components
 from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
-from uncharted_ta1_spark.operators.groupfit import fit_residual_outliers, group_fit
+from uncharted_ta1_spark.operators.groupfit import (
+    fit_residual_outliers,
+    group_fit,
+    ransac_refit_outliers,
+)
 from uncharted_ta1_spark.operators.spatial import grid_containment_join
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
@@ -1689,13 +1693,16 @@ def q_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The fit params are derived from EXACT integer sums through a fixed IEEE
 # expression tree replicated verbatim here — bit-identical across engines.
-_FIT_CTES = """
-, fit_base AS (
+# Parametrized (src table, CTE-name suffix) so the RANSAC oracle can run the
+# IDENTICAL fit round twice (round 1 over the inlier subset) with zero drift.
+def _fit_ctes(src: str = "sequences", sfx: str = "") -> str:
+    return f"""
+, fit_base{sfx} AS (
   SELECT doc_id, source, seq_no, event_epoch, n_tok,
          event_epoch - min(event_epoch) OVER (PARTITION BY doc_id, source) AS x
-  FROM sequences
+  FROM {src}
 ),
-fit_g AS (
+fit_g{sfx} AS (
   SELECT doc_id, source,
          CAST(count(*) AS BIGINT) AS n,
          CAST(min(event_epoch) AS BIGINT) AS x0,
@@ -1704,13 +1711,13 @@ fit_g AS (
          CAST(sum(x * n_tok) AS BIGINT) AS sxy,
          CAST(sum(x * x) AS BIGINT) AS sxx,
          CAST(sum(CAST(n_tok AS BIGINT) * n_tok) AS BIGINT) AS syy
-  FROM fit_base GROUP BY doc_id, source
+  FROM fit_base{sfx} GROUP BY doc_id, source
 ),
-fit_d AS (
+fit_d{sfx} AS (
   SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
-  FROM fit_g
+  FROM fit_g{sfx}
 ),
-fit_p AS (
+fit_p{sfx} AS (
   SELECT doc_id, source, n, x0, d1, d2,
     CASE WHEN d1 = 0 THEN NULL
          ELSE CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) END AS slope_u,
@@ -1727,9 +1734,12 @@ fit_p AS (
                  - (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / CAST(d1 AS DOUBLE))
                 / CAST(n * n AS DOUBLE),
                 CAST(0.0 AS DOUBLE))) END AS rmse_u
-  FROM fit_d
+  FROM fit_d{sfx}
 )
 """
+
+
+_FIT_CTES = _fit_ctes()
 
 ORACLE_GROUP_FIT = (
     duck_with(SEQUENCES_DUCK)
@@ -1776,6 +1786,74 @@ SELECT b.doc_id, b.source, b.seq_no, b.event_epoch, b.n_tok,
   END AS is_outlier
 FROM fit_base b
 JOIN fit_p p ON p.doc_id = b.doc_id AND p.source = b.source
+"""
+)
+
+
+def q_ransac_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC analog (F4's iterative half): exact-int fit ->
+    |resid| <= 2*rmse inlier mask -> refit on inliers -> final flags
+    (reference outlier_filter.py:190-261; flag-don't-delete semantics)."""
+    out = ransac_refit_outliers(_sequences(spark, sf_dir), sigma=2.0)
+    return out.select(
+        "doc_id", "source", "seq_no", "event_epoch", "n_tok",
+        (F.round("resid", 6) + F.lit(0.0)).alias("resid"),
+        "is_outlier", "n_inliers", "used_refit",
+    )
+
+
+# Round 1 = the SAME fit CTE template over the round-0 inlier subset; the
+# selector falls back to round-0 params when the refit is degenerate.
+ORACLE_RANSAC = (
+    duck_with(SEQUENCES_DUCK)
+    + _FIT_CTES
+    + """
+, r0 AS (
+  SELECT b.doc_id, b.source, b.seq_no, b.event_epoch, b.n_tok, p.d1,
+         CASE WHEN p.d1 = 0 THEN NULL
+              ELSE CAST(b.n_tok AS DOUBLE)
+                   - (p.intercept_u + p.slope_u * CAST(b.x AS DOUBLE)) END AS r0,
+         p.rmse_u AS rmse0
+  FROM fit_base b
+  JOIN fit_p p ON p.doc_id = b.doc_id AND p.source = b.source
+),
+inl AS (
+  SELECT doc_id, source, seq_no, event_epoch, n_tok
+  FROM r0 WHERE d1 != 0 AND abs(r0) <= 2.0 * rmse0
+)
+"""
+    + _fit_ctes("inl", "1")
+    + """
+, n_inl AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS cnt
+  FROM inl GROUP BY doc_id, source
+),
+sel AS (
+  SELECT p0.doc_id, p0.source, p0.d1 AS d1_0, p0.n AS n0,
+         coalesce(p1.d1 IS NOT NULL AND p1.d1 != 0, FALSE) AS use1,
+         CASE WHEN p1.d1 IS NOT NULL AND p1.d1 != 0 THEN p1.x0 ELSE p0.x0 END AS x0_s,
+         CASE WHEN p1.d1 IS NOT NULL AND p1.d1 != 0 THEN p1.slope_u ELSE p0.slope_u END AS m_s,
+         CASE WHEN p1.d1 IS NOT NULL AND p1.d1 != 0 THEN p1.intercept_u ELSE p0.intercept_u END AS b_s,
+         CASE WHEN p1.d1 IS NOT NULL AND p1.d1 != 0 THEN p1.rmse_u ELSE p0.rmse_u END AS rmse_s,
+         ni.cnt
+  FROM fit_p p0
+  LEFT JOIN fit_p1 p1 ON p1.doc_id = p0.doc_id AND p1.source = p0.source
+  LEFT JOIN n_inl ni ON ni.doc_id = p0.doc_id AND ni.source = p0.source
+)
+SELECT b.doc_id, b.source, b.seq_no, b.event_epoch, b.n_tok,
+  CASE WHEN s.d1_0 = 0 THEN NULL
+       ELSE round(CAST(b.n_tok AS DOUBLE)
+                  - (s.b_s + s.m_s * CAST(b.event_epoch - s.x0_s AS DOUBLE)), 6) + 0.0
+  END AS resid,
+  CASE WHEN s.d1_0 = 0 THEN FALSE
+       ELSE abs(CAST(b.n_tok AS DOUBLE)
+                - (s.b_s + s.m_s * CAST(b.event_epoch - s.x0_s AS DOUBLE)))
+            > 2.0 * s.rmse_s
+  END AS is_outlier,
+  CASE WHEN s.d1_0 = 0 THEN s.n0 ELSE s.cnt END AS n_inliers,
+  s.use1 AS used_refit
+FROM fit_base b
+JOIN sel s ON s.doc_id = b.doc_id AND s.source = b.source
 """
 )
 
@@ -2465,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "group_fit": q_group_fit,
         "fit_residual_outliers": q_fit_residual_outliers,
+        "ransac_outliers": q_ransac_outliers,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2534,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "group_fit": ORACLE_GROUP_FIT,
         "fit_residual_outliers": ORACLE_FIT_RESID,
+        "ransac_outliers": ORACLE_RANSAC,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

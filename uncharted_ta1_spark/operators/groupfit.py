@@ -143,6 +143,101 @@ def group_fit(
     return src.groupBy("_fb").applyInPandas(fit, FIT_SCHEMA)
 
 
+RANSAC_SCHEMA = (
+    "doc_id string, source string, seq_no int, event_epoch long, n_tok int, "
+    "resid double, is_outlier boolean, n_inliers long, used_refit boolean"
+)
+
+
+def ransac_refit_outliers(
+    seq: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id", "source"),
+    sigma: float = 2.0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic RANSAC-style robust refit: fit -> reject -> refit.
+
+    Reference analog: ``tasks/geo_referencing/outlier_filter.py:190-261`` —
+    ``RANSACRegressor`` with a MAD-derived residual threshold computes an
+    inlier mask, outlier coords are FLAGGED (moved aside, not silently
+    dropped), and the final slope comes from the refit on inliers.  The
+    reference pins ``random_state=911`` for determinism; here determinism is
+    structural instead of seeded: round 0 is the exact-integer closed-form
+    fit, the inlier mask is a bit-identical float compare (|resid0| <=
+    sigma*rmse0), and round 1 refits the same closed form on the inlier
+    subset — no sampling, so no seed.
+
+    Per input row the output carries the ROUND-1 residual and outlier flag,
+    plus ``n_inliers`` (rows the refit used) and ``used_refit`` (false when
+    the refit was degenerate — fewer than 2 distinct inlier x values — in
+    which case the round-0 fit is the fallback, mirroring the reference's
+    "exception -> keep all coords" path at ``outlier_filter.py:224-228``).
+    Groups with no round-0 fit at all emit NULL residuals, no flags.
+
+    Scale design: identical to :func:`fit_residual_outliers` — one hash
+    Exchange on coarse buckets, both fit rounds vectorized inside one Arrow
+    batch per bucket (a second round costs zero extra shuffles).
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(keys)
+
+    def resid2(pdf: pd.DataFrame) -> pd.DataFrame:
+        p0, x0c = _group_params(pdf, keys)
+        out = pdf[[*keys, "seq_no", "event_epoch", "n_tok"]].copy()
+        m = out.merge(
+            p0[[*keys, "x0", "slope", "intercept", "rmse", "has_fit"]],
+            on=keys, how="left",
+        )
+        y = m["n_tok"].to_numpy("int64").astype("float64")
+        xf0 = (m["event_epoch"].to_numpy("int64") - m["x0"].to_numpy("int64")).astype(
+            "float64"
+        )
+        r0 = y - (m["intercept"].to_numpy() + m["slope"].to_numpy() * xf0)
+        has0 = m["has_fit"].to_numpy(bool)
+        inlier = has0 & (np.abs(r0) <= sigma * m["rmse"].to_numpy())
+
+        p1, _ = _group_params(pdf[inlier], keys)
+        n_in = (
+            pd.Series(inlier, index=pdf.index)
+            .groupby([pdf[k] for k in keys], sort=False)
+            .transform("sum")
+            .to_numpy("int64")
+        )
+        m2 = out.merge(
+            p1[[*keys, "x0", "slope", "intercept", "rmse", "has_fit"]],
+            on=keys, how="left", suffixes=("", "_1"),
+        )
+        # .eq(True): NaN (group absent from refit params) -> False, warning-free
+        has1 = m2["has_fit"].eq(True).to_numpy(bool)
+        use1 = has0 & has1
+        x0_sel = np.where(use1, m2["x0"].to_numpy("float64"), m["x0"].to_numpy("float64")).astype("int64")
+        slope = np.where(use1, m2["slope"].to_numpy(), m["slope"].to_numpy())
+        icpt = np.where(use1, m2["intercept"].to_numpy(), m["intercept"].to_numpy())
+        rmse1 = np.where(use1, m2["rmse"].to_numpy(), m["rmse"].to_numpy())
+        xf1 = (m["event_epoch"].to_numpy("int64") - x0_sel).astype("float64")
+        r1 = y - (icpt + slope * xf1)
+        out["resid"] = np.where(has0, r1, np.nan)
+        out["is_outlier"] = has0 & (np.abs(r1) > sigma * rmse1)
+        # no-analysis groups keep all rows: n_inliers = group size
+        grp_n = (
+            out.groupby(keys, sort=False)["seq_no"].transform("size").to_numpy("int64")
+        )
+        out["n_inliers"] = np.where(has0, n_in, grp_n)
+        out["used_refit"] = use1
+        return out[[*keys, "seq_no", "event_epoch", "n_tok", "resid",
+                    "is_outlier", "n_inliers", "used_refit"]]
+
+    src = _with_bucket(
+        seq.select(*keys, "seq_no", "event_epoch", "n_tok"),
+        keys,
+        n_buckets or _default_buckets(seq),
+    )
+    return src.groupBy("_fb").applyInPandas(resid2, RANSAC_SCHEMA)
+
+
 def fit_residual_outliers(
     seq: DataFrame,
     *,
