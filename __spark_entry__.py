@@ -54,6 +54,7 @@ from uncharted_ta1_spark.operators.dedup import (
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
 from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
+from uncharted_ta1_spark.operators import geodesy
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.groupfit import (
     fit_residual_outliers,
@@ -1859,6 +1860,101 @@ JOIN sel s ON s.doc_id = b.doc_id AND s.source = b.source
 
 
 # ---------------------------------------------------------------------------
+# Geodesic scalar math (C6): deg-per-km resolution + geodesic eval RMSE in km
+# (reference scale_analyzer.py:147-167, eval/18month_eval/eval_utils.py:8-41)
+# Synthetic lon/lat pairs derived from events; the fragment below is valid in
+# BOTH dialects verbatim (non-negative % operands, e-notation double literals)
+# and the trig comes from operators/geodesy.py's fixed polynomial — the SAME
+# text runs in Spark (F.expr) and DuckDB, so every float is bit-identical.
+# ---------------------------------------------------------------------------
+
+GEO_PAIRS = """
+geo_pts AS (
+  SELECT event_id, user_id,
+         CAST((event_id * 7919 + 13) % 36000 AS DOUBLE) / 1e2 - 180e0 AS lon_p,
+         CAST((event_id * 104729 + 7) % 17000 AS DOUBLE) / 1e2 - 85e0 AS lat_p
+  FROM events_epoch
+),
+geo_pairs AS (
+  SELECT event_id, user_id, lon_p, lat_p,
+         lat_p + (CAST((event_id * 31 + 5) % 200 AS DOUBLE) - 100e0) / 1e3 AS lat_t,
+         lon_p + (CAST((event_id * 17 + 3) % 200 AS DOUBLE) - 100e0) / 1e3 AS lon_t
+  FROM geo_pts
+)
+"""
+
+
+def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point degrees-per-km resolution (C6): closed-form spherical analog
+    of scale_analyzer.calc_deg_per_km's geopy destination math."""
+    datagen.register_base_tables(spark, sf_dir)
+    pts = spark.sql(
+        datagen.spark_with(EVENTS_SPARK, GEO_PAIRS)
+        + " SELECT event_id, user_id, lon_p, lat_p FROM geo_pts"
+    )
+    out = geodesy.with_deg_per_km(pts, lat_col="lat_p")
+    return out.select(
+        "event_id",
+        (F.round("lat_p", 6) + F.lit(0.0)).alias("lat"),
+        (F.round("lon_p", 6) + F.lit(0.0)).alias("lon"),
+        (F.round("lat_per_km", 9) + F.lit(0.0)).alias("lat_per_km"),
+        (F.round("lon_per_km", 9) + F.lit(0.0)).alias("lon_per_km"),
+    )
+
+
+ORACLE_DEG_PER_KM = (
+    duck_with(EVENTS_DUCK, GEO_PAIRS)
+    + f"""
+SELECT event_id,
+       round(lat_p, 6) + 0.0 AS lat,
+       round(lon_p, 6) + 0.0 AS lon,
+       round({geodesy.lat_per_km_sql()}, 9) + 0.0 AS lat_per_km,
+       round({geodesy.lon_per_km_sql('lat_p')}, 9) + 0.0 AS lon_per_km
+FROM geo_pts
+"""
+)
+
+
+def q_geodesic_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geodesic eval in km (A3/A9/J10 made dimensionally faithful
+    to eval_utils.score_query_points): RMSE of the pred-vs-truth error
+    distance plus the <=5 km buffered-match rate.  Distances quantized to
+    integer micro-km so the group sums are exact and order-free."""
+    datagen.register_base_tables(spark, sf_dir)
+    pairs = spark.sql(
+        datagen.spark_with(EVENTS_SPARK, GEO_PAIRS)
+        + " SELECT * FROM geo_pairs"
+    )
+    return geodesy.geodesic_rmse(
+        pairs,
+        keys=["user_id"],
+        lat_pred="lat_p",
+        lon_pred="lon_p",
+        lat_truth="lat_t",
+        lon_truth="lon_t",
+        buffer_km=5.0,
+    )
+
+
+ORACLE_GEODESIC_RMSE = (
+    duck_with(EVENTS_DUCK, GEO_PAIRS)
+    + f"""
+, derr AS (
+  SELECT user_id,
+         {geodesy.dist_ukm_sql('lat_p', 'lon_p', 'lat_t', 'lon_t')} AS dukm
+  FROM geo_pairs
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+  round(sqrt(CAST(sum(dukm * dukm) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)) / 1e6, 9)
+    + 0.0 AS rmse_km,
+  round(CAST(sum(CASE WHEN dukm <= 5000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(CAST(count(*) AS BIGINT) AS DOUBLE), 9) + 0.0 AS match_rate
+FROM derr GROUP BY user_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # 2-D spatial containment join (J2/J5 analog): grid-bucketed equi join
 # (reference tasks/metadata_extraction/text_filter.py:63-107 token-in-segment;
 #  tasks/point_extraction/tiling.py:82-114 tile<->ROI masking)
@@ -2544,6 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_fit": q_group_fit,
         "fit_residual_outliers": q_fit_residual_outliers,
         "ransac_outliers": q_ransac_outliers,
+        "deg_per_km": q_deg_per_km,
+        "geodesic_rmse": q_geodesic_rmse,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2614,6 +2712,8 @@ def oracle_sql() -> dict[str, str]:
         "group_fit": ORACLE_GROUP_FIT,
         "fit_residual_outliers": ORACLE_FIT_RESID,
         "ransac_outliers": ORACLE_RANSAC,
+        "deg_per_km": ORACLE_DEG_PER_KM,
+        "geodesic_rmse": ORACLE_GEODESIC_RMSE,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,
