@@ -62,6 +62,7 @@ from uncharted_ta1_spark.operators.groupfit import (
     ransac_refit_outliers,
 )
 from uncharted_ta1_spark.operators.spatial import grid_containment_join
+from uncharted_ta1_spark.operators.sweep import sweep_argmax
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
     group_agg_filter,
@@ -1884,6 +1885,71 @@ geo_pairs AS (
 """
 
 
+def q_sweep_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-sweep argmax (W8): per row, best cyclic-shift alignment of a
+    fixed integer template by Pearson xcorr — the batched rotate-sweep-argmax
+    kernel of point_orientation_extractor.py:240-330, shuffle-free."""
+    out = sweep_argmax(_sequences(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", "seq_no", "n_tok", "best_shift",
+        (F.round("best_score", 9) + F.lit(0.0)).alias("best_score"),
+    )
+
+
+def _sweep_oracle() -> str:
+    from uncharted_ta1_spark.operators.sweep import N_SHIFTS, P, template_base
+
+    base = [template_base(k) for k in range(P)]
+    sy = sum(base)
+    syy = sum(b * b for b in base)
+    dt = P * syy - sy * sy
+    return (
+        duck_with(SEQUENCES_DUCK)
+        + f"""
+, sw_pos AS (
+  SELECT doc_id, source, seq_no, n_tok, k,
+         CAST(tokens[(k % n_tok) + 1] AS BIGINT) AS p
+  FROM sequences, (SELECT unnest(range({P})) AS k)
+),
+sw_stats AS (
+  SELECT doc_id, source, seq_no, n_tok,
+         CAST(sum(p) AS BIGINT) AS sx,
+         CAST(sum(p * p) AS BIGINT) AS sxx
+  FROM sw_pos GROUP BY doc_id, source, seq_no, n_tok
+),
+sw_xy AS (
+  SELECT doc_id, source, seq_no, j,
+         CAST(sum(p * ((((k + j) % {P}) * 37 + 11) % 100)) AS BIGINT) AS sxy
+  FROM sw_pos, (SELECT unnest(range({N_SHIFTS})) AS j)
+  GROUP BY doc_id, source, seq_no, j
+),
+sw_corr AS (
+  SELECT x.doc_id, x.source, x.seq_no, st.n_tok, x.j,
+         {P} * st.sxx - st.sx * st.sx AS dp,
+         CASE WHEN {P} * st.sxx - st.sx * st.sx = 0 THEN NULL
+              ELSE CAST({P} * x.sxy - st.sx * {sy} AS DOUBLE)
+                   / (sqrt(CAST({P} * st.sxx - st.sx * st.sx AS DOUBLE))
+                      * sqrt(CAST({dt} AS DOUBLE)))
+         END AS corr
+  FROM sw_xy x
+  JOIN sw_stats st
+    ON st.doc_id = x.doc_id AND st.source = x.source AND st.seq_no = x.seq_no
+)
+SELECT doc_id, source, seq_no, n_tok,
+  CASE WHEN dp = 0 THEN NULL ELSE CAST(j AS INT) END AS best_shift,
+  CASE WHEN dp = 0 THEN NULL ELSE round(corr, 9) + 0.0 END AS best_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, source, seq_no
+                               ORDER BY corr DESC, j ASC) AS rn
+  FROM sw_corr
+) WHERE rn = 1
+"""
+    )
+
+
+ORACLE_SWEEP_ARGMAX = _sweep_oracle()
+
+
 def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point degrees-per-km resolution (C6): closed-form spherical analog
     of scale_analyzer.calc_deg_per_km's geopy destination math."""
@@ -2642,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ransac_outliers": q_ransac_outliers,
         "deg_per_km": q_deg_per_km,
         "geodesic_rmse": q_geodesic_rmse,
+        "sweep_argmax": q_sweep_argmax,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2714,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "ransac_outliers": ORACLE_RANSAC,
         "deg_per_km": ORACLE_DEG_PER_KM,
         "geodesic_rmse": ORACLE_GEODESIC_RMSE,
+        "sweep_argmax": ORACLE_SWEEP_ARGMAX,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

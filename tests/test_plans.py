@@ -76,6 +76,16 @@ def test_group_fit_is_one_exchange_one_arrow_stage(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_sweep_argmax_is_shuffle_free_one_arrow_stage(spark):
+    """The template-sweep kernel is per-row: it must plan as ONE MapInPandas
+    stage with ZERO exchanges (no group-key shuffle at all) and no
+    row-at-a-time Python."""
+    plan = _plan(E.q_sweep_argmax(spark, SF))
+    assert len(re.findall(r"MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_minhash_fused_equals_long_form(spark):
     """The fused minhash_bands path (one groupBy, band sigs inline) must be
     row-identical to the long-form minhash_signatures -> lsh_candidate_pairs
