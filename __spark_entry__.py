@@ -62,6 +62,7 @@ from uncharted_ta1_spark.operators.groupfit import (
     ransac_refit_outliers,
 )
 from uncharted_ta1_spark.operators.spatial import grid_containment_join
+from uncharted_ta1_spark.operators.anchors import synthesize_anchors
 from uncharted_ta1_spark.operators.sweep import sweep_argmax
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
@@ -1950,6 +1951,94 @@ FROM (
 ORACLE_SWEEP_ARGMAX = _sweep_oracle()
 
 
+# Synthetic per-group pixel coordinates for the anchor-synthesis operator
+# (W7).  user_id % 3 = 0 groups get a narrow minor-axis band (colinear by
+# construction); the % 17 gate keeps groups small so 1/2/3-point groups all
+# occur.  Valid verbatim in both dialects (non-negative % operands; DuckDB
+# accepts STRING as a VARCHAR alias).
+COORDS_SQL = """
+coords AS (
+  SELECT 'u' || CAST(user_id AS STRING) || '_' || event_type AS grp,
+         event_id AS id,
+         (event_id * 7919 + 13) % 10000 AS pi,
+         CASE WHEN user_id % 3 = 0
+              THEN 200 + (((event_id * 7919 + 13) % 10000) * 41) % 150
+              ELSE (event_id * 104729 + 7) % 8000 END AS pj,
+         CAST((event_id * 31 + 7) % 90 AS INT) AS deg
+  FROM events_epoch
+  WHERE event_id % 17 < 4
+)
+"""
+
+
+def q_anchor_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colinearity check + derived-anchor synthesis (W7): groups whose pixel
+    spread fails the 5% colinearity test — or that have only 2 distinct
+    points — gain one synthesized anchor row (finalize_coordinates.py:30-230
+    semantics; originals always pass through)."""
+    datagen.register_base_tables(spark, sf_dir)
+    coords = spark.sql(
+        datagen.spark_with(EVENTS_SPARK, COORDS_SQL) + " SELECT * FROM coords"
+    )
+    return synthesize_anchors(coords, keys=["grp"])
+
+
+ORACLE_ANCHOR_SYNTHESIS = (
+    duck_with(EVENTS_DUCK, COORDS_SQL)
+    + """
+, anc_g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT deg) AS BIGINT) AS nd,
+         CAST(min(pi) AS BIGINT) AS i_min, CAST(max(pi) AS BIGINT) AS i_max,
+         CAST(min(pj) AS BIGINT) AS j_min, CAST(max(pj) AS BIGINT) AS j_max,
+         CAST(sum(pi) AS BIGINT) AS si, CAST(sum(pj) AS BIGINT) AS sj,
+         CAST(sum(pi * pi) AS BIGINT) AS sii,
+         CAST(sum(pi * pj) AS BIGINT) AS sij,
+         CAST(arg_min(pi, (pi * 16384 + pj) * 2147483648 + id) AS BIGINT) AS f_i,
+         CAST(arg_min(pj, (pi * 16384 + pj) * 2147483648 + id) AS BIGINT) AS f_j,
+         arg_min(deg, (pi * 16384 + pj) * 2147483648 + id) AS f_deg
+  FROM coords GROUP BY grp
+),
+anc_flags AS (
+  SELECT *,
+    (nd >= 2 AND i_max > i_min
+     AND (j_max - j_min) * 20 < i_max - i_min) AS colinear,
+    CASE WHEN f_j > 6000.0 THEN 0 ELSE 12000 END AS new_j,
+    CAST(n * sij - si * sj AS DOUBLE)
+      / CAST(n * sii - si * si AS DOUBLE) AS m
+  FROM anc_g
+),
+anc_off AS (
+  SELECT *, m * CAST(f_j - new_j AS DOUBLE) AS off_f FROM anc_flags
+),
+anc_ioff AS (
+  SELECT *, CASE WHEN off_f >= 0 THEN CAST(floor(off_f) AS BIGINT)
+                 ELSE CAST(ceil(off_f) AS BIGINT) END AS i_off0
+  FROM anc_off
+),
+anc_synth AS (
+  SELECT grp, CAST(-1 AS BIGINT) AS id,
+    CAST(CASE WHEN colinear
+         THEN greatest(least(f_i + (CASE WHEN i_off0 = 0 THEN 1 ELSE i_off0 END),
+                             9999), 0)
+         ELSE greatest(least(f_i + 1, 9999), 0) END AS BIGINT) AS pi,
+    CAST(new_j AS BIGINT) AS pj,
+    f_deg AS deg,
+    CAST(0.5 AS DOUBLE) AS confidence,
+    TRUE AS is_synthetic
+  FROM anc_ioff
+  WHERE colinear OR ((NOT colinear) AND n = 2 AND nd = 2)
+)
+SELECT grp, CAST(id AS BIGINT) AS id, CAST(pi AS BIGINT) AS pi,
+       CAST(pj AS BIGINT) AS pj, deg,
+       CAST(1.0 AS DOUBLE) AS confidence, FALSE AS is_synthetic
+FROM coords
+UNION ALL
+SELECT * FROM anc_synth
+"""
+)
+
+
 def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point degrees-per-km resolution (C6): closed-form spherical analog
     of scale_analyzer.calc_deg_per_km's geopy destination math."""
@@ -2709,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deg_per_km": q_deg_per_km,
         "geodesic_rmse": q_geodesic_rmse,
         "sweep_argmax": q_sweep_argmax,
+        "anchor_synthesis": q_anchor_synthesis,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2782,6 +2872,7 @@ def oracle_sql() -> dict[str, str]:
         "deg_per_km": ORACLE_DEG_PER_KM,
         "geodesic_rmse": ORACLE_GEODESIC_RMSE,
         "sweep_argmax": ORACLE_SWEEP_ARGMAX,
+        "anchor_synthesis": ORACLE_ANCHOR_SYNTHESIS,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,
