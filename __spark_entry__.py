@@ -54,7 +54,7 @@ from uncharted_ta1_spark.operators.dedup import (
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
 from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
-from uncharted_ta1_spark.operators import geodesy
+from uncharted_ta1_spark.operators import geodesy, utmconv
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.groupfit import (
     fit_residual_outliers,
@@ -2039,6 +2039,55 @@ SELECT * FROM anc_synth
 )
 
 
+def q_utm_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM conversion (C4's missing arithmetic half): lat/lon -> zone +
+    easting/northing via the Snyder/Krüger TM series as pure column math
+    (utm_extractor.py:168-175,214 utm.from_latlon analog)."""
+    datagen.register_base_tables(spark, sf_dir)
+    pts = spark.sql(
+        datagen.spark_with(EVENTS_SPARK, GEO_PAIRS)
+        + " SELECT event_id, lat_p, lon_p FROM geo_pts"
+        + " WHERE lat_p > -80.0e0 AND lat_p <= 84.0e0"
+    )
+    out = utmconv.with_utm(pts, lat_col="lat_p", lon_col="lon_p")
+    # RAW doubles, deliberately unrounded: every stage is a shared-text IEEE
+    # tree (bit-identical across engines), whereas round(x, 6) itself
+    # diverges at decimal ties — Spark rounds via the shortest decimal repr,
+    # DuckDB via x*1e6, and a northing ending ...49950 split them (observed
+    # at sf0.01).  Rounding would INTRODUCE the only cross-engine hazard.
+    return out.select(
+        "event_id",
+        F.col("lat_p").alias("lat"),
+        F.col("lon_p").alias("lon"),
+        "utm_zone",
+        "utm_easting",
+        "utm_northing",
+        "is_northern",
+    )
+
+
+def _utm_oracle() -> str:
+    src = (
+        duck_with(EVENTS_DUCK, GEO_PAIRS)
+        + " SELECT event_id, lat_p, lon_p FROM geo_pts"
+        + " WHERE lat_p > -80.0e0 AND lat_p <= 84.0e0"
+    )
+    staged = utmconv.utm_select_sql(src, "lat_p", "lon_p")
+    return f"""
+SELECT event_id,
+       lat_p AS lat,
+       lon_p AS lon,
+       utm_zone,
+       utm_easting,
+       utm_northing,
+       is_northern
+FROM ({staged})
+"""
+
+
+ORACLE_UTM_CONVERT = _utm_oracle()
+
+
 def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point degrees-per-km resolution (C6): closed-form spherical analog
     of scale_analyzer.calc_deg_per_km's geopy destination math."""
@@ -2048,12 +2097,14 @@ def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " SELECT event_id, user_id, lon_p, lat_p FROM geo_pts"
     )
     out = geodesy.with_deg_per_km(pts, lat_col="lat_p")
+    # raw doubles: shared-text IEEE trees are bit-identical across engines;
+    # round() itself is the only tie-divergence hazard (see q_utm_convert)
     return out.select(
         "event_id",
-        (F.round("lat_p", 6) + F.lit(0.0)).alias("lat"),
-        (F.round("lon_p", 6) + F.lit(0.0)).alias("lon"),
-        (F.round("lat_per_km", 9) + F.lit(0.0)).alias("lat_per_km"),
-        (F.round("lon_per_km", 9) + F.lit(0.0)).alias("lon_per_km"),
+        F.col("lat_p").alias("lat"),
+        F.col("lon_p").alias("lon"),
+        "lat_per_km",
+        "lon_per_km",
     )
 
 
@@ -2061,10 +2112,10 @@ ORACLE_DEG_PER_KM = (
     duck_with(EVENTS_DUCK, GEO_PAIRS)
     + f"""
 SELECT event_id,
-       round(lat_p, 6) + 0.0 AS lat,
-       round(lon_p, 6) + 0.0 AS lon,
-       round({geodesy.lat_per_km_sql()}, 9) + 0.0 AS lat_per_km,
-       round({geodesy.lon_per_km_sql('lat_p')}, 9) + 0.0 AS lon_per_km
+       lat_p AS lat,
+       lon_p AS lon,
+       {geodesy.lat_per_km_sql()} AS lat_per_km,
+       {geodesy.lon_per_km_sql('lat_p')} AS lon_per_km
 FROM geo_pts
 """
 )
@@ -2100,10 +2151,10 @@ ORACLE_GEODESIC_RMSE = (
   FROM geo_pairs
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
-  round(sqrt(CAST(sum(dukm * dukm) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)) / 1e6, 9)
-    + 0.0 AS rmse_km,
-  round(CAST(sum(CASE WHEN dukm <= 5000000 THEN 1 ELSE 0 END) AS DOUBLE)
-        / CAST(CAST(count(*) AS BIGINT) AS DOUBLE), 9) + 0.0 AS match_rate
+  sqrt(CAST(sum(dukm * dukm) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)) / 1e6
+    AS rmse_km,
+  CAST(sum(CASE WHEN dukm <= 5000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS match_rate
 FROM derr GROUP BY user_id
 """
 )
@@ -2799,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_rmse": q_geodesic_rmse,
         "sweep_argmax": q_sweep_argmax,
         "anchor_synthesis": q_anchor_synthesis,
+        "utm_convert": q_utm_convert,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2873,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_rmse": ORACLE_GEODESIC_RMSE,
         "sweep_argmax": ORACLE_SWEEP_ARGMAX,
         "anchor_synthesis": ORACLE_ANCHOR_SYNTHESIS,
+        "utm_convert": ORACLE_UTM_CONVERT,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

@@ -53,6 +53,19 @@ def cos_poly_sql(x: str) -> str:
     )
 
 
+def sin_poly_sql(x: str) -> str:
+    """sin(x) as a fixed 8-term Taylor series in Horner form — same
+    cross-engine bit-exactness contract as :func:`cos_poly_sql`.  Valid for
+    |x| <= ~1.49 rad; truncation error < 3e-12."""
+    x2 = f"(({x}) * ({x}))"
+    return (
+        f"(({x}) * (1.0e0 - {x2} * (1.6666666666666666e-1 - {x2} * "
+        f"(8.333333333333333e-3 - {x2} * (1.984126984126984e-4 - {x2} * "
+        f"(2.7557319223985893e-6 - {x2} * (2.505210838544172e-8 - {x2} * "
+        f"(1.6059043836821613e-10 - {x2} * 7.647163731819816e-13))))))))"
+    )
+
+
 def lat_per_km_sql() -> str:
     """Degrees of latitude per km: (180/pi)/R — constant on the sphere."""
     return f"({RAD2DEG} / {EARTH_RADIUS_KM})"
@@ -149,20 +162,14 @@ def geodesic_rmse(
             F.when(F.col("dist_ukm") <= F.lit(buf_ukm), F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("_matched"),
     )
+    # raw doubles, not rounded: the inputs are exact integers and the trees
+    # are shared-text, so both engines emit identical bits; engine round()
+    # itself diverges at decimal ties and is the only hazard to avoid
     return agg.select(
         *keys,
         "n_pts",
-        (
-            F.round(
-                F.expr(
-                    "sqrt(CAST(_sd2 AS DOUBLE) / CAST(n_pts AS DOUBLE)) / 1e6"
-                ),
-                9,
-            )
-            + F.lit(0.0)
-        ).alias("rmse_km"),
-        (
-            F.round(F.expr("CAST(_matched AS DOUBLE) / CAST(n_pts AS DOUBLE)"), 9)
-            + F.lit(0.0)
-        ).alias("match_rate"),
+        F.expr("sqrt(CAST(_sd2 AS DOUBLE) / CAST(n_pts AS DOUBLE)) / 1e6")
+        .alias("rmse_km"),
+        F.expr("CAST(_matched AS DOUBLE) / CAST(n_pts AS DOUBLE)")
+        .alias("match_rate"),
     )
