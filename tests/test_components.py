@@ -24,12 +24,56 @@ def test_chain_and_separate_components(spark):
     }
 
 
-def test_max_iter_caps_rounds(spark):
-    # a long chain with max_iter=1 must still return a valid partial labeling
-    # (every label is some reachable node), just not fully converged
+def test_unconverged_raises_instead_of_splitting(spark):
+    # with convergence checking on, running out of rounds must FAIL LOUDLY —
+    # a silent partial labeling would emit split clusters as if correct
+    import pytest
+
     edges = spark.createDataFrame(
         [("d", "c"), ("c", "b"), ("b", "a")], "doc1 string, doc2 string"
     )
-    rows = connected_components(edges, max_iter=1).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+
+
+def test_cap_rounds_mode_returns_partial(spark):
+    # check_convergence=False is the explicit cap-rounds mode: no per-round
+    # count jobs, partial labels allowed (every label <= its node)
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a")], "doc1 string, doc2 string"
+    )
+    rows = connected_components(
+        edges, max_iter=1, check_convergence=False
+    ).collect()
     assert {r.doc_id for r in rows} == {"a", "b", "c", "d"}
     assert all(r.cluster_id <= r.doc_id for r in rows)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # a 33-node chain (diameter 32) must fully converge well inside
+    # max_iter=20: star contraction + path halving give O(log d) rounds,
+    # where plain propagation would need >20
+    n = 33
+    names = [f"n{i:02d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(names[i + 1], names[i]) for i in range(n - 1)],
+        "doc1 string, doc2 string",
+    )
+    rows = connected_components(edges, max_iter=20).collect()
+    assert len(rows) == n
+    assert all(r.cluster_id == "n00" and r.cluster_size == n for r in rows)
+
+
+def test_no_broadcast_path_matches(spark):
+    # broadcast_labels=False (the billions-of-nodes fallback) must produce
+    # identical clusters
+    edges = spark.createDataFrame(
+        [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "doc1 string, doc2 string",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, broadcast_labels=False).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x"}

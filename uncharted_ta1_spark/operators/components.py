@@ -7,15 +7,34 @@ the reference collapses duplicate extractions by key-override merge
 (``tasks/common/pipeline.py:188-199``, ``text_filter.py:113-124``); at
 corpus scale the same idea needs transitive closure over the near-dup graph.
 
-Algorithm: iterative min-label propagation.  Every node starts labeled with
-itself; each round a node adopts the minimum label among itself and its
-neighbors; converges in O(graph diameter) rounds (dup clusters are
-small-world: diameter is tiny).  Each round is ONE hash-join + ONE groupBy
-— all shuffle-bounded, no per-key quadratic term; ``localCheckpoint``
-truncates the lineage so plans don't grow with iterations.  The per-round
-``count`` of changed labels is the convergence test — a scalar job result,
-not a data collect (at 10^12 edges you'd cap rounds at log2(diameter)+slack
-and skip the check; ``max_iter`` is that cap).
+Algorithm: one STAR-CONTRACTION round, then min-label propagation with path
+halving on the contracted graph (the large-star/small-star family):
+
+1. ``lab0(v) = min(v, neighbors(v))`` — ONE edge-sized groupBy.  Dense dup
+   clusters (the common case: near-dup sets are near-cliques) collapse to
+   their minimum immediately.
+2. Contract: every edge (a, b) becomes (lab0(a), lab0(b)); self-loops drop,
+   duplicates merge.  For near-clique graphs the contracted edge set is
+   orders of magnitude smaller than |E| (measured: 2.0M -> a few thousand
+   at sf0.1).
+3. Iterate neighbor-min + path halving (``lab <- min(lab, label[lab])``,
+   which halves chain lengths so rounds are O(log diameter)) on the SMALL
+   contracted graph only; per-round cost is label-table-sized, not
+   edge-sized.
+4. Final label of v = root(lab0(v)) via one broadcast join.
+
+So the |E|-sized work is exactly: the symmetrize scan, one groupBy, one
+contraction join, one final join — a CONSTANT number of edge-sized passes
+regardless of diameter; everything iterative happens on the contracted
+graph.  The input edge list is NOT pre-deduplicated: min() and contraction
+are duplicate-insensitive, and a distinct over |E| would cost a full extra
+shuffle for nothing.
+
+Scale notes: ``broadcast_labels=True`` is right whenever the label/
+contracted tables fit an executor; at 10^12-edge scale with billions of
+nodes pass False and the joins fall back to hash shuffles — the pass
+structure is unchanged.  ``check_convergence=False`` skips the per-round
+count job on the contracted loop (cap-rounds mode).
 
 Determinism: labels are min() over string ids — binary collation in both
 Spark and DuckDB for the ASCII ids used here, so the cluster ids are
@@ -35,6 +54,8 @@ def connected_components(
     src: str = "doc1",
     dst: str = "doc2",
     max_iter: int = 20,
+    check_convergence: bool = True,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every node with >= 1 edge.
 
@@ -42,47 +63,111 @@ def connected_components(
     doc of the dup cluster.  Singletons (no edges) are by definition their
     own cluster and are not emitted (semi-join the corpus afterwards if the
     full partition is needed).
+
+    Raises ``RuntimeError`` if ``check_convergence`` is set and the
+    contracted-graph labels are still changing after ``max_iter`` rounds —
+    an unconverged component must never silently pass as a result (a
+    >2^max_iter-hop contracted chain would otherwise emit split clusters).
     """
-    # materialize the symmetrized edge set ONCE — every iteration joins
-    # against it, and without the checkpoint the full upstream lineage
-    # (e.g. a simhash pair generator) would recompute per round
+    maybe_bcast = F.broadcast if broadcast_labels else (lambda df: df)
+
+    # symmetrized edges, materialized ONCE (upstream pair generators are
+    # expensive; without the checkpoint each pass would recompute them).
+    # Deliberately NO distinct: min/contract are duplicate-insensitive.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
+    )
+
+    # 1. star contraction: lab0 = min(self, neighbors) — one edge-sized agg
+    lab0 = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("lab"))
+        .localCheckpoint()
+    )
+
+    # 2. contracted edge set (both directions; tiny for near-clique graphs)
+    e2 = (
+        sym.join(maybe_bcast(lab0.select(F.col("a"), F.col("lab").alias("la"))), "a")
+        .join(
+            maybe_bcast(
+                lab0.select(F.col("a").alias("b"), F.col("lab").alias("lb"))
+            ),
+            "b",
+        )
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select("a").distinct().withColumn("lab", F.col("a"))
 
+    # 3. min-label + path halving on the contracted graph only
+    labels = e2.select("a").distinct().withColumn("lab", F.col("a"))
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("a").alias("b"), F.col("lab").alias("blab")),
-                "b",
-            )
+        nbr = e2.join(
+            maybe_bcast(
+                labels.select(F.col("a").alias("b"), F.col("lab").alias("nlab"))
+            ),
+            "b",
+        ).select("a", "nlab")
+        stepped = (
+            nbr.unionByName(labels.select("a", F.col("lab").alias("nlab")))
             .groupBy("a")
-            .agg(F.min("blab").alias("nlab"))
+            .agg(F.min("nlab").alias("lab"))
         )
-        folded = F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab")))
-        # the convergence flag rides the update row: ONE materializing job
-        # per round (the checkpoint), then a cheap count over checkpointed
-        # data — no extra join against the previous generation
-        new_labels = (
-            labels.join(nbr_min, "a", "left")
+        halved = (
+            stepped.alias("x")
+            .join(
+                maybe_bcast(
+                    stepped.select(
+                        F.col("a").alias("lab"), F.col("lab").alias("lab2")
+                    ).alias("y")
+                ),
+                "lab",
+                "left",
+            )
             .select(
                 "a",
-                folded.alias("newlab"),
-                (folded != F.col("lab")).alias("chg"),
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
+                ).alias("lab"),
             )
             .localCheckpoint()
         )
-        changed = new_labels.where(F.col("chg")).count()
-        labels = new_labels.select("a", F.col("newlab").alias("lab"))
-        if changed == 0:
-            break
+        if check_convergence:
+            changed = (
+                halved.join(labels.select("a", F.col("lab").alias("old")), "a")
+                .where(F.col("lab") != F.col("old"))
+                .count()
+            )
+            labels = halved
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = halved
+
+    if check_convergence and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds on "
+            "the contracted graph; labels were still changing — raise "
+            "max_iter instead of accepting split clusters"
+        )
+
+    # 4. final label: root of my contraction representative
+    final = (
+        lab0.join(
+            maybe_bcast(labels.select(F.col("a").alias("lab"), F.col("lab").alias("root"))),
+            "lab",
+            "left",
+        )
+        .select("a", F.coalesce(F.col("root"), F.col("lab")).alias("lab"))
+    )
 
     w = Window.partitionBy("lab")
-    return labels.select(
+    return final.select(
         F.col("a").alias("doc_id"),
         F.col("lab").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
