@@ -87,6 +87,10 @@ def main() -> int:
         extra_conf={
             "spark.memory.offHeap.enabled": "true",
             "spark.memory.offHeap.size": "16g",
+            # keep stdout clean: the one JSON line must survive output
+            # capping (BENCH_r02 was recorded parsed:null after progress
+            # bars pushed the line past the driver's capture window)
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     # warm the session (JVM/JIT, parquet footers, Python workers) so the
@@ -135,7 +139,11 @@ def main() -> int:
             ],
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line, flush=True)
+    # fallback artifact in case the caller's stdout capture truncates
+    with open(os.path.join(HERE, "bench_out.json"), "w") as f:
+        f.write(line + "\n")
     return 0
 
 

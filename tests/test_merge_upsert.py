@@ -81,3 +81,20 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert s2["rows_total"] == 64 and s2["rows_updated"] == 1
     got = {r.doc_id: r.payload for r in read_current(spark, t).collect()}
     assert got["d1"] == 100 and len(got) == 64
+
+
+def test_concurrent_commit_collision_fails_loudly(spark, tmp_path):
+    """Two writers that both observed version v must not both commit v+1:
+    the second commit hits the O_CREAT|O_EXCL manifest CAS and raises
+    instead of silently discarding the first writer's rows."""
+    import pytest
+
+    from uncharted_ta1_spark.plans.merge import _manifest_path
+
+    t = str(tmp_path / "tbl_cas")
+    merge_upsert(spark, t, _df(spark, [("d1", "op", 1)]), ["doc_id", "op_id"])
+    # simulate a racing writer that already committed version 1
+    with open(_manifest_path(t, 1), "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="concurrent merge"):
+        merge_upsert(spark, t, _df(spark, [("d2", "op", 2)]), ["doc_id", "op_id"])

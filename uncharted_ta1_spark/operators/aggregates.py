@@ -147,18 +147,31 @@ def grouped_quantiles(
     keys: Sequence[str],
     col: str,
     probs: Sequence[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact linear-interpolation quantiles per group (Spark ``percentile``
-    == DuckDB ``quantile_cont``, verified bit-equal on integer inputs).
+    """Per-group quantiles, exact by default, sketched with ``approx=True``.
 
-    Exact quantiles shuffle the full column per group — the right tool up to
-    large-but-sortable groups (the per-group sort spills via
-    UnsafeExternalSorter).  For corpus-wide single-pass approximations at
-    100 TB, ``percentile_approx`` is the knob; it is NOT oracle-checkable
-    (t-digest vs DuckDB's sketch differ) so the exact op is the verified
-    surface.
+    Exact: Spark ``percentile`` == DuckDB ``quantile_cont`` (verified
+    bit-equal on integer inputs); shuffles the full column per group — the
+    right tool up to large-but-sortable groups (the per-group sort spills
+    via UnsafeExternalSorter).
+
+    Approx (the 100x path): ``percentile_approx`` (Greenwald-Khanna sketch,
+    mergeable map-side partials — no per-group sort, bounded memory
+    ``O(accuracy)`` per group regardless of group size).  Rank error is
+    <= 1/accuracy of the group size.  NOT oracle-checkable (no DuckDB sketch
+    twin), so the exact op is the verified surface and
+    tests/test_approx_quantiles.py pins approx-vs-exact agreement instead.
     """
-    pct = F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs]))
+    if approx:
+        pct = F.percentile_approx(
+            F.col(col),
+            F.array(*[F.lit(p) for p in probs]),
+            F.lit(approx_accuracy),
+        )
+    else:
+        pct = F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs]))
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min(col).alias(f"min_{col}"),

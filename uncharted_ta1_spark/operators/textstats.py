@@ -123,7 +123,9 @@ def consecutive_run_flags(seq: DataFrame) -> DataFrame:
     Shuffle-free: pure columnar array HOFs (slice + zip_with + filter) on
     each row — no explode, no window, survives any scale the scan survives.
     """
-    n = F.size("tokens")
+    # clamp: size=0 would make n-1 = -1 and slice throws at runtime (the
+    # engine's datagen guarantees >=1 token, but the operator must not)
+    n = F.greatest(F.size("tokens"), F.lit(1))
     heads = F.slice(F.col("tokens"), 2, n - 1)   # tokens[2..n]
     prevs = F.slice(F.col("tokens"), 1, n - 1)   # tokens[1..n-1]
     incr = F.filter(
@@ -150,7 +152,8 @@ def token_bigrams(seq: DataFrame, *, top_n: int = 100) -> DataFrame:
     map-side-combinable count shuffle; the top-N is a total order
     (count desc, t1, t2) so the cut is reproducible.
     """
-    n = F.size("tokens")
+    # same empty-array clamp as consecutive_run_flags
+    n = F.greatest(F.size("tokens"), F.lit(1))
     pairs = F.zip_with(
         F.slice(F.col("tokens"), 1, n - 1),
         F.slice(F.col("tokens"), 2, n - 1),

@@ -203,11 +203,21 @@ def merge_upsert(
         "rows_inserted": n_inserted,
         "buckets": entries,
     }
+    # compare-and-swap commit: the manifest for version v is created with
+    # O_CREAT|O_EXCL, so two writers that both read version v-1 cannot both
+    # commit v — the loser fails loudly here instead of silently discarding
+    # the winner's rows (Iceberg's optimistic-concurrency commit analog;
+    # the caller may re-read and retry the whole merge).
     mpath = _manifest_path(target_dir, next_v)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
+    try:
+        fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError as e:
+        raise RuntimeError(
+            f"concurrent merge detected: manifest version {next_v} already "
+            "committed by another writer; re-read the table and retry"
+        ) from e
+    with os.fdopen(fd, "w") as f:
         json.dump(new_manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, mpath)
 
     tmp_ptr = os.path.join(target_dir, "._CURRENT.tmp")
     with open(tmp_ptr, "w") as f:

@@ -53,14 +53,37 @@ def read_binary_blobs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path)
 
 
+class QuarantinedRead:
+    """Result of :func:`read_json_with_quarantine`.
+
+    Unpacks like the historical 2-tuple (``good, bad = read_...``) and
+    additionally exposes ``unpersist()`` to release the cached scan — in a
+    long-running pipeline the cache would otherwise pin executor memory for
+    the whole session once both splits are consumed.
+    """
+
+    def __init__(self, good: DataFrame, bad: DataFrame, raw: DataFrame):
+        self.good = good
+        self.bad = bad
+        self._raw = raw
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._raw.unpersist(blocking)
+
+
 def read_json_with_quarantine(
     spark: SparkSession, path: str, schema: str
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedRead:
     """S1 corrupt-skip: PERMISSIVE read returning (good, quarantined).
 
     Non-parseable records land in the quarantine frame instead of failing
     the job — the ``_verify_is_image`` skip analog.  The scan is cached
-    because Spark disallows filtering a raw scan on only its corrupt column.
+    because Spark disallows filtering a raw scan on only its corrupt column;
+    call ``.unpersist()`` on the returned object when both splits have been
+    consumed.
     """
     df = (
         spark.read.schema(f"{schema}, {CORRUPT_COL} string")
@@ -71,7 +94,7 @@ def read_json_with_quarantine(
     )
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull())
-    return good, bad
+    return QuarantinedRead(good, bad, df)
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, *cols: str) -> None:
