@@ -2088,6 +2088,62 @@ FROM ({staged})
 ORACLE_UTM_CONVERT = _utm_oracle()
 
 
+def q_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both directions of C4: from_latlon then to_latlon
+    (utm_extractor.py:171-175 uses the inverse to bound zone longitudes);
+    emits the recovered coordinates alongside the originals (round-trip
+    closes to ~1e-8 deg).  Raw doubles — shared-text trees, see
+    q_utm_convert."""
+    datagen.register_base_tables(spark, sf_dir)
+    pts = spark.sql(
+        datagen.spark_with(EVENTS_SPARK, GEO_PAIRS)
+        + " SELECT event_id, lat_p, lon_p FROM geo_pts"
+        + " WHERE lat_p > -80.0e0 AND lat_p <= 84.0e0"
+    )
+    fwd = utmconv.with_utm(pts, lat_col="lat_p", lon_col="lon_p").select(
+        "event_id", "lat_p", "lon_p",
+        "utm_zone", "utm_easting", "utm_northing", "is_northern",
+    )
+    rt = utmconv.with_latlon(
+        fwd,
+        easting_col="utm_easting",
+        northing_col="utm_northing",
+        zone_col="utm_zone",
+        northern_col="is_northern",
+    )
+    return rt.select(
+        "event_id",
+        F.col("lat_p").alias("lat"),
+        F.col("lon_p").alias("lon"),
+        "utm_zone",
+        F.col("lat_deg").alias("lat_rt"),
+        F.col("lon_deg").alias("lon_rt"),
+    )
+
+
+def _utm_roundtrip_oracle() -> str:
+    src = (
+        duck_with(EVENTS_DUCK, GEO_PAIRS)
+        + " SELECT event_id, lat_p, lon_p FROM geo_pts"
+        + " WHERE lat_p > -80.0e0 AND lat_p <= 84.0e0"
+    )
+    fwd = (
+        "SELECT event_id, lat_p, lon_p, utm_zone, utm_easting, utm_northing, "
+        f"is_northern FROM ({utmconv.utm_select_sql(src, 'lat_p', 'lon_p')})"
+    )
+    staged = utmconv.utm_inverse_select_sql(
+        fwd, "utm_easting", "utm_northing", "utm_zone", "is_northern"
+    )
+    return f"""
+SELECT event_id, lat_p AS lat, lon_p AS lon, utm_zone,
+       lat_deg AS lat_rt, lon_deg AS lon_rt
+FROM ({staged})
+"""
+
+
+ORACLE_UTM_ROUNDTRIP = _utm_roundtrip_oracle()
+
+
 def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point degrees-per-km resolution (C6): closed-form spherical analog
     of scale_analyzer.calc_deg_per_km's geopy destination math."""
@@ -2851,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_argmax": q_sweep_argmax,
         "anchor_synthesis": q_anchor_synthesis,
         "utm_convert": q_utm_convert,
+        "utm_roundtrip": q_utm_roundtrip,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2926,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "sweep_argmax": ORACLE_SWEEP_ARGMAX,
         "anchor_synthesis": ORACLE_ANCHOR_SYNTHESIS,
         "utm_convert": ORACLE_UTM_CONVERT,
+        "utm_roundtrip": ORACLE_UTM_ROUNDTRIP,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

@@ -55,3 +55,21 @@ def test_easting_within_zone_bounds(spark):
            for lon in (-179.0, -91.5, 0.5, 120.7)]
     for r in _convert(spark, pts):
         assert 100_000 < r.utm_easting < 900_000
+
+
+def test_roundtrip_closes(spark):
+    """from_latlon then to_latlon must recover the input to ~1e-6 deg
+    (sub-meter) across hemispheres, zone edges, and the Svalbard band."""
+    pts = [(51.2, 7.5), (-33.92, 18.42), (75.0, 25.0), (0.5, -0.5),
+           (-79.5, 179.5), (83.9, -120.3)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    fwd = utmconv.with_utm(df, lat_col="lat", lon_col="lon").select(
+        "lat", "lon", "utm_zone", "utm_easting", "utm_northing", "is_northern"
+    )
+    rt = utmconv.with_latlon(
+        fwd, easting_col="utm_easting", northing_col="utm_northing",
+        zone_col="utm_zone", northern_col="is_northern",
+    )
+    for r in rt.select("lat", "lon", "lat_deg", "lon_deg").collect():
+        assert abs(r.lat - r.lat_deg) < 1e-6, (r.lat, r.lat_deg)
+        assert abs(r.lon - r.lon_deg) < 1e-6, (r.lon, r.lon_deg)

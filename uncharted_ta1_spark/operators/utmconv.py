@@ -112,6 +112,109 @@ def utm_stages(lat: str, lon: str) -> list[tuple[str, str]]:
     ]
 
 
+# inverse-series constants (utm package to_latlon): e1 and the footprint-
+# latitude coefficients, composed as literal arithmetic
+_SQRT1E = f"sqrt(1.0e0 - {_E})"
+_E1 = f"((1.0e0 - {_SQRT1E}) / (1.0e0 + {_SQRT1E}))"
+_P2 = f"(3.0e0 / 2.0e0 * {_E1} - 27.0e0 / 32.0e0 * (({_E1} * {_E1}) * {_E1}))"
+_P3 = (
+    f"(21.0e0 / 16.0e0 * ({_E1} * {_E1}) "
+    f"- 55.0e0 / 32.0e0 * (({_E1} * {_E1}) * ({_E1} * {_E1})))"
+)
+_P4 = f"(151.0e0 / 96.0e0 * (({_E1} * {_E1}) * {_E1}))"
+_P5 = f"(1097.0e0 / 512.0e0 * (({_E1} * {_E1}) * ({_E1} * {_E1})))"
+_RAD2DEG = "5.729577951308232e1"
+
+
+def utm_inverse_stages(
+    easting: str, northing: str, zone: str, northern: str
+) -> list[tuple[str, str]]:
+    """Ordered stages of the inverse conversion (utm package ``to_latlon``):
+    footprint latitude via the e1 series (sin of multiples from double-angle
+    recurrences, same bit-exactness contract as the forward path), then the
+    standard inverse TM series.  Final columns: lat_deg, lon_deg (degrees).
+    """
+    return [
+        ("inv_x", f"({easting}) - 500000.0e0"),
+        (
+            "inv_y",
+            f"CASE WHEN {northern} THEN ({northing}) "
+            f"ELSE ({northing}) - 10000000.0e0 END",
+        ),
+        ("inv_mu", f"(inv_y / {_K0}) / ({_R} * {_M1})"),
+        ("mu_s", sin_poly_sql("inv_mu")),
+        ("mu_c", cos_poly_sql("inv_mu")),
+        ("mu_s2", "2.0e0 * mu_s * mu_c"),
+        ("mu_c2", "1.0e0 - 2.0e0 * mu_s * mu_s"),
+        ("mu_s4", "2.0e0 * mu_s2 * mu_c2"),
+        ("mu_c4", "1.0e0 - 2.0e0 * mu_s2 * mu_s2"),
+        ("mu_s6", "mu_s4 * mu_c2 + mu_c4 * mu_s2"),
+        ("mu_s8", "2.0e0 * mu_s4 * mu_c4"),
+        (
+            "p_rad",
+            f"inv_mu + {_P2} * mu_s2 + {_P3} * mu_s4 "
+            f"+ {_P4} * mu_s6 + {_P5} * mu_s8",
+        ),
+        ("p_sin", sin_poly_sql("p_rad")),
+        ("p_cos", cos_poly_sql("p_rad")),
+        ("p_tan", "p_sin / p_cos"),
+        ("p_tan2", "p_tan * p_tan"),
+        ("ep_sin", f"1.0e0 - {_E} * p_sin * p_sin"),
+        ("inv_n", f"{_R} / sqrt(ep_sin)"),
+        ("inv_r", f"(1.0e0 - {_E}) / ep_sin"),
+        ("inv_c", f"{_EP2} * p_cos * p_cos"),
+        ("inv_d", f"inv_x / (inv_n * {_K0})"),
+        ("d2", "inv_d * inv_d"),
+        (
+            "lat_rad",
+            f"p_rad - (p_tan / inv_r) * (d2 / 2.0e0 "
+            f"- (d2 * d2) / 24.0e0 * (5.0e0 + 3.0e0 * p_tan2 "
+            f"+ 10.0e0 * inv_c - 4.0e0 * (inv_c * inv_c) - 9.0e0 * {_EP2})) "
+            f"+ ((d2 * d2) * d2) / 720.0e0 * (61.0e0 + 90.0e0 * p_tan2 "
+            f"+ 298.0e0 * inv_c + 45.0e0 * (p_tan2 * p_tan2) "
+            f"- 252.0e0 * {_EP2} - 3.0e0 * (inv_c * inv_c))",
+        ),
+        (
+            "lon_rad",
+            f"(inv_d - (d2 * inv_d) / 6.0e0 * (1.0e0 + 2.0e0 * p_tan2 + inv_c) "
+            f"+ ((d2 * d2) * inv_d) / 120.0e0 * (5.0e0 - 2.0e0 * inv_c "
+            f"+ 28.0e0 * p_tan2 - 3.0e0 * (inv_c * inv_c) + 8.0e0 * {_EP2} "
+            f"+ 24.0e0 * (p_tan2 * p_tan2))) / p_cos",
+        ),
+        ("lat_deg", f"lat_rad * {_RAD2DEG}"),
+        (
+            "lon_deg",
+            f"lon_rad * {_RAD2DEG} + CAST(({zone} - 1) * 6 - 177 AS DOUBLE)",
+        ),
+    ]
+
+
+def with_latlon(
+    df: DataFrame,
+    *,
+    easting_col: str,
+    northing_col: str,
+    zone_col: str,
+    northern_col: str,
+) -> DataFrame:
+    """Inverse conversion: append lat_deg / lon_deg (degrees) columns."""
+    for name, expr in utm_inverse_stages(
+        easting_col, northing_col, zone_col, northern_col
+    ):
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def utm_inverse_select_sql(
+    src_sql: str, easting: str, northing: str, zone: str, northern: str
+) -> str:
+    """Oracle twin of :func:`with_latlon` (nested SELECT per stage)."""
+    sql = src_sql
+    for name, expr in utm_inverse_stages(easting, northing, zone, northern):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
 def with_utm(df: DataFrame, *, lat_col: str, lon_col: str) -> DataFrame:
     """Append utm_zone / utm_easting / utm_northing / is_northern columns
     (plus the intermediate stage columns; callers select what they need)."""
