@@ -29,6 +29,7 @@ from uncharted_ta1_spark.datagen import (
 from uncharted_ta1_spark.functions.arrow_udfs import (
     frame_sample,
     multimodal_features,
+    pixel_lut_stats,
     token_stats_pandas,
 )
 from uncharted_ta1_spark.operators.aggregates import (
@@ -2144,6 +2145,60 @@ FROM ({staged})
 ORACLE_UTM_ROUNDTRIP = _utm_roundtrip_oracle()
 
 
+def q_pixel_lut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma LUT + color stats over binary payloads (C12 made real):
+    background whitening + LUT gather + segmented stats, the
+    image_pre_processing analog (point_extractor_utils.py:194-224), as a
+    shuffle-free Arrow kernel.  lut_mean is a fixed tree over exact ints."""
+    out = pixel_lut_stats(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_px", "n_foreground",
+        (F.col("lut_sum").cast("double") / F.col("n_px").cast("double"))
+        .alias("lut_mean"),
+        "lut_min", "lut_max", "h0", "h1", "h2", "h3",
+    )
+
+
+def _pixel_lut_oracle() -> str:
+    from uncharted_ta1_spark.functions.arrow_udfs import (
+        FG_HI,
+        FG_LO,
+        GAMMA_LUT,
+        WHITE_SHIFT,
+    )
+
+    lut_list = "[" + ", ".join(str(v) for v in GAMMA_LUT) + "]"
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         unicode(substring(text, CAST(i + 1 AS INT), 1)) AS v
+  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)
+),
+lutv AS (
+  SELECT doc_id, v,
+         (v BETWEEN {FG_LO} AND {FG_HI}) AS fg,
+         list_extract({lut_list},
+           CASE WHEN v BETWEEN {FG_LO} AND {FG_HI} THEN v
+                ELSE least(v + {WHITE_SHIFT}, 255) END + 1) AS lv
+  FROM px
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_px,
+  CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_foreground,
+  CAST(sum(lv) AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS lut_mean,
+  CAST(min(lv) AS BIGINT) AS lut_min,
+  CAST(max(lv) AS BIGINT) AS lut_max,
+  CAST(sum(CASE WHEN (lv >> 6) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+  CAST(sum(CASE WHEN (lv >> 6) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+  CAST(sum(CASE WHEN (lv >> 6) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+  CAST(sum(CASE WHEN (lv >> 6) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+FROM lutv GROUP BY doc_id
+"""
+
+
+ORACLE_PIXEL_LUT = _pixel_lut_oracle()
+
+
 def q_deg_per_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point degrees-per-km resolution (C6): closed-form spherical analog
     of scale_analyzer.calc_deg_per_km's geopy destination math."""
@@ -2908,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_synthesis": q_anchor_synthesis,
         "utm_convert": q_utm_convert,
         "utm_roundtrip": q_utm_roundtrip,
+        "pixel_lut_stats": q_pixel_lut_stats,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -2984,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_synthesis": ORACLE_ANCHOR_SYNTHESIS,
         "utm_convert": ORACLE_UTM_CONVERT,
         "utm_roundtrip": ORACLE_UTM_ROUNDTRIP,
+        "pixel_lut_stats": ORACLE_PIXEL_LUT,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

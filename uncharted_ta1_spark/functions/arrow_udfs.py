@@ -92,6 +92,86 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# ---------------------------------------------------------------------------
+# C12: per-pixel LUT transform + color stats over binary payloads
+# ---------------------------------------------------------------------------
+
+# Foreground byte range + background whitening, mirroring the reference's
+# image_pre_processing (tasks/point_extraction/point_extractor_utils.py:
+# 194-224): pixels outside the foreground colour range get +WHITE_SHIFT
+# clipped to 255.  Here the "pixels" are payload bytes; lowercase letters
+# act as foreground ink.
+FG_LO = 97
+FG_HI = 122
+WHITE_SHIFT = 100
+
+# gamma-correction LUT (gamma = 1/2.2), precomputed EXACTLY once in Python —
+# the oracle embeds the same 256 integers, so no pow() runs at query time
+GAMMA_LUT = tuple(
+    int((255.0 * ((v / 255.0) ** (1.0 / 2.2)) + 0.5) // 1) for v in range(256)
+)
+
+PIXEL_LUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("n_foreground", LongType()),
+        StructField("lut_sum", LongType()),
+        StructField("lut_min", LongType()),
+        StructField("lut_max", LongType()),
+        StructField("h0", LongType()),
+        StructField("h1", LongType()),
+        StructField("h2", LongType()),
+        StructField("h3", LongType()),
+    ]
+)
+
+
+def _pixel_lut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized per-blob kernel: whiten background bytes, apply the gamma
+    LUT, reduce to per-doc stats + a 4-bin histogram.  All integer
+    arithmetic; per-doc reductions via np.add.reduceat over the
+    concatenated byte stream — per-row Python never runs."""
+    import numpy as np
+
+    lut = np.asarray(GAMMA_LUT, dtype="int64")
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        raw = [np.frombuffer(bytes(p), dtype="uint8") for p in pdf["payload"]]
+        n = np.array([len(r) for r in raw], dtype="int64")
+        flat = np.concatenate(raw).astype("int64")
+        offs = np.concatenate(([0], np.cumsum(n)[:-1]))
+        fg = (flat >= FG_LO) & (flat <= FG_HI)
+        whitened = np.where(fg, flat, np.minimum(flat + WHITE_SHIFT, 255))
+        vals = lut[whitened]
+        bins = vals >> 6  # 4 histogram buckets of 64 intensity levels
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy("int64"),
+                "n_px": n,
+                "n_foreground": np.add.reduceat(fg.astype("int64"), offs),
+                "lut_sum": np.add.reduceat(vals, offs),
+                "lut_min": np.minimum.reduceat(vals, offs),
+                "lut_max": np.maximum.reduceat(vals, offs),
+            }
+        )
+        for b in range(4):
+            out[f"h{b}"] = np.add.reduceat((bins == b).astype("int64"), offs)
+        yield out
+
+
+def pixel_lut_stats(docs: DataFrame) -> DataFrame:
+    """C12 made real: foreground-mask whitening + gamma LUT + per-channel
+    stats over an opaque binary column, Arrow-batched, shuffle-free.
+    A real deployment swaps the byte stream for decoded pixel planes; the
+    kernel shape (LUT gather + reduceat segmented stats) is identical."""
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").cast(BinaryType()).alias("payload")
+    )
+    return with_payload.mapInPandas(_pixel_lut_batches, PIXEL_LUT_SCHEMA)
+
+
 FRAME_STRIDE = 64
 FRAME_LEN = 48
 MAX_FRAMES = 8
