@@ -64,6 +64,7 @@ from uncharted_ta1_spark.operators.groupfit import (
 )
 from uncharted_ta1_spark.operators.spatial import grid_containment_join
 from uncharted_ta1_spark.operators.anchors import synthesize_anchors
+from uncharted_ta1_spark.operators.packing import pack_chunks
 from uncharted_ta1_spark.operators.sweep import sweep_argmax
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
@@ -2145,6 +2146,30 @@ FROM ({staged})
 ORACLE_UTM_ROUNDTRIP = _utm_roundtrip_oracle()
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 96-token context windows —
+    the LLM-pretraining packing step (tiling.py:82-114 fan-out applied to
+    the token axis); one window cumsum per stream, all-integer."""
+    return pack_chunks(_sequences(spark, sf_dir), capacity=96)
+
+
+ORACLE_PACK_CHUNKS = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, event_epoch, seq_no, n_tok,
+  CAST(sum(CAST(n_tok AS BIGINT)) OVER w - n_tok AS BIGINT) AS start_off,
+  CAST((sum(CAST(n_tok AS BIGINT)) OVER w - n_tok) // 96 AS BIGINT) AS chunk_id,
+  CAST((sum(CAST(n_tok AS BIGINT)) OVER w - n_tok) % 96 AS BIGINT) AS chunk_off,
+  CAST((sum(CAST(n_tok AS BIGINT)) OVER w - 1) // 96 AS BIGINT) AS end_chunk,
+  (sum(CAST(n_tok AS BIGINT)) OVER w - 1) // 96
+    > (sum(CAST(n_tok AS BIGINT)) OVER w - n_tok) // 96 AS straddles
+FROM sequences
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+
 def q_pixel_lut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gamma LUT + color stats over binary payloads (C12 made real):
     background whitening + LUT gather + segmented stats, the
@@ -2964,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_convert": q_utm_convert,
         "utm_roundtrip": q_utm_roundtrip,
         "pixel_lut_stats": q_pixel_lut_stats,
+        "pack_chunks": q_pack_chunks,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3041,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_convert": ORACLE_UTM_CONVERT,
         "utm_roundtrip": ORACLE_UTM_ROUNDTRIP,
         "pixel_lut_stats": ORACLE_PIXEL_LUT,
+        "pack_chunks": ORACLE_PACK_CHUNKS,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,
