@@ -82,7 +82,7 @@ from uncharted_ta1_spark.operators.similarity import (
 from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg
-from uncharted_ta1_spark.operators.sampling import hash_sample
+from uncharted_ta1_spark.operators.sampling import hash_sample, stratified_hash_sample
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.textstats import (
     consecutive_run_flags,
@@ -2660,6 +2660,35 @@ WHERE {md5_i64_duck("concat_ws(chr(31), doc_id, source, CAST(seq_no AS VARCHAR))
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): events kept
+    at a per-event_type rate over the same stable hash bucket as
+    hash_sample, filter-only (no join, no shuffle)."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return stratified_hash_sample(
+        ev,
+        key_cols=["event_id"],
+        stratum_col="event_type",
+        rates={"click": 0.5, "view": 0.1, "error": 1.0},
+        default_rate=0.25,
+        salt="strat",
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+ORACLE_STRATIFIED_SAMPLE = (
+    duck_with(EVENTS_DUCK)
+    + f"""
+SELECT event_id, user_id, event_type, value
+FROM events_epoch
+WHERE {md5_i64_duck("CAST(event_id AS VARCHAR)", salt="strat")} % 1000000
+      < CASE WHEN event_type = 'view' THEN 100000
+             WHEN event_type = 'error' THEN 1000000
+             WHEN event_type = 'click' THEN 500000
+             ELSE 250000 END
+"""
+)
+
+
 def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus adjacent-token bigram counts, deterministic top-100."""
     return token_bigrams(_sequences(spark, sf_dir), top_n=100)
@@ -2990,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_roundtrip": q_utm_roundtrip,
         "pixel_lut_stats": q_pixel_lut_stats,
         "pack_chunks": q_pack_chunks,
+        "stratified_sample": q_stratified_sample,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3068,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_roundtrip": ORACLE_UTM_ROUNDTRIP,
         "pixel_lut_stats": ORACLE_PIXEL_LUT,
         "pack_chunks": ORACLE_PACK_CHUNKS,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

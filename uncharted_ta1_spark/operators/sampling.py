@@ -44,6 +44,36 @@ def hash_sample(
     return df.where(md5_i64(key, salt=salt) % SCALE < int(rate * SCALE))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling — the class-rebalancing step of a training
+    pipeline (downsample the over-represented language/source/domain, keep
+    the rare one whole) with the same determinism contract as
+    :func:`hash_sample`.
+
+    ``rates`` maps stratum value -> keep rate; strata not listed keep
+    ``default_rate``.  Still filter-only: the per-stratum threshold is a
+    CASE expression on the stratum column, so there is NO join, NO shuffle,
+    and the predicate stays scan-side.  Sampling within each stratum uses
+    the same hash bucket as :func:`hash_sample`, so a stratified sample is
+    consistent with (a subset/superset of) an unstratified one at the
+    corresponding rate — re-stratifying never reshuffles membership.
+    """
+    thr = F.lit(int(default_rate * SCALE))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(value), F.lit(int(rate * SCALE))
+        ).otherwise(thr)
+    return df.where(sample_bucket_expr(key_cols, salt=salt) < thr)
+
+
 def sample_bucket_expr(key_cols: Sequence[str], salt: str = "") -> F.Column:
     """The underlying [0, 1e6) bucket — exposed so train/val/test splits can
     partition ONE hash into disjoint ranges instead of re-hashing per split."""
