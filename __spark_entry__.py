@@ -55,7 +55,7 @@ from uncharted_ta1_spark.operators.dedup import (
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
 from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
-from uncharted_ta1_spark.operators import geodesy, utmconv
+from uncharted_ta1_spark.operators import datum, geodesy, utmconv
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.groupfit import (
     fit_residual_outliers,
@@ -2170,6 +2170,42 @@ WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no
 )
 
 
+def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abridged-Molodensky NAD27->WGS84 datum shift over whole columns (J8:
+    the pyproj Transformer loop of georeference.py:162-174, vectorized).
+    Raw doubles — shared-text trees (see q_utm_convert)."""
+    datagen.register_base_tables(spark, sf_dir)
+    pts = spark.sql(
+        datagen.spark_with(EVENTS_SPARK, GEO_PAIRS)
+        + " SELECT event_id, lat_p, lon_p FROM geo_pts"
+        + " WHERE lat_p > -84.0e0 AND lat_p < 84.0e0"
+    )
+    out = datum.with_datum_shift(pts, lat_col="lat_p", lon_col="lon_p")
+    return out.select(
+        "event_id",
+        F.col("lat_p").alias("lat"),
+        F.col("lon_p").alias("lon"),
+        "lat_shifted",
+        "lon_shifted",
+    )
+
+
+def _datum_shift_oracle() -> str:
+    src = (
+        duck_with(EVENTS_DUCK, GEO_PAIRS)
+        + " SELECT event_id, lat_p, lon_p FROM geo_pts"
+        + " WHERE lat_p > -84.0e0 AND lat_p < 84.0e0"
+    )
+    staged = datum.datum_shift_select_sql(src, "lat_p", "lon_p")
+    return f"""
+SELECT event_id, lat_p AS lat, lon_p AS lon, lat_shifted, lon_shifted
+FROM ({staged})
+"""
+
+
+ORACLE_DATUM_SHIFT = _datum_shift_oracle()
+
+
 def q_pixel_lut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gamma LUT + color stats over binary payloads (C12 made real):
     background whitening + LUT gather + segmented stats, the
@@ -3020,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_lut_stats": q_pixel_lut_stats,
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
+        "datum_shift": q_datum_shift,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3099,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_lut_stats": ORACLE_PIXEL_LUT,
         "pack_chunks": ORACLE_PACK_CHUNKS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "datum_shift": ORACLE_DATUM_SHIFT,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,
