@@ -54,7 +54,7 @@ from uncharted_ta1_spark.operators.dedup import (
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
-from uncharted_ta1_spark.operators.evalmetrics import buffered_f1
+from uncharted_ta1_spark.operators.evalmetrics import buffered_f1, greedy_buffered_f1
 from uncharted_ta1_spark.operators import datum, geodesy, utmconv
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.groupfit import (
@@ -2170,6 +2170,89 @@ WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no
 )
 
 
+def q_greedy_match_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy one-to-one buffered matching (the reference's FULL scoring
+    semantics, fe_metrics_utils.py:18-120): candidate pairs consumed by
+    ascending distance, each side matched once, then per-user P/R/F1."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return greedy_buffered_f1(
+        ev,
+        keys=["user_id"],
+        ts="ts_us",
+        id_col="event_id",
+        pred_filter=F.col("event_type") == "purchase",
+        truth_filter=F.col("event_type") == "signup",
+        buffer=3_600_000_000,
+    )
+
+
+# The greedy consumption is replayed exactly in SQL: a recursive CTE whose
+# working table carries one row per still-active group with the lists of
+# already-matched ids; each step picks that group's lowest-ranked
+# non-conflicting pair ((dist, tid, pid) total order == the Spark kernel's).
+ORACLE_GREEDY_MATCH = (
+    "WITH RECURSIVE "
+    + EVENTS_DUCK.strip()
+    + """
+, gm_preds AS (
+  SELECT user_id AS g, event_id AS pid, ts_us AS pts
+  FROM events_epoch WHERE event_type = 'purchase'
+),
+gm_truths AS (
+  SELECT user_id AS g, event_id AS tid, ts_us AS tts
+  FROM events_epoch WHERE event_type = 'signup'
+),
+gm_rp AS (
+  SELECT p.g, t.tid, p.pid, abs(p.pts - t.tts) AS dist
+  FROM gm_preds p
+  JOIN gm_truths t ON t.g = p.g AND abs(p.pts - t.tts) <= 3600000000
+),
+gm_gp AS (
+  SELECT g, tid, pid,
+         row_number() OVER (PARTITION BY g ORDER BY dist, tid, pid) AS rn
+  FROM gm_rp
+),
+gm_sel AS (
+  SELECT g, [tid] AS tids, [pid] AS pids, 1 AS n
+  FROM gm_gp WHERE rn = 1
+  UNION ALL
+  SELECT g, list_append(tids, tid), list_append(pids, pid), n + 1
+  FROM (
+    SELECT s.g, p.tid, p.pid, s.tids, s.pids, s.n,
+           row_number() OVER (PARTITION BY s.g ORDER BY p.rn) AS pick
+    FROM gm_sel s
+    JOIN gm_gp p ON p.g = s.g
+     AND NOT list_contains(s.tids, p.tid)
+     AND NOT list_contains(s.pids, p.pid)
+  ) WHERE pick = 1
+),
+gm_m AS (SELECT g, CAST(max(n) AS BIGINT) AS n_matched FROM gm_sel GROUP BY g),
+gm_np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pred FROM gm_preds GROUP BY g),
+gm_nt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_truth FROM gm_truths GROUP BY g)
+SELECT b.user_id,
+  coalesce(np.n_pred, 0) AS n_pred,
+  coalesce(nt.n_truth, 0) AS n_truth,
+  coalesce(m.n_matched, 0) AS n_matched,
+  round(CASE WHEN coalesce(np.n_pred, 0) > 0
+             THEN coalesce(m.n_matched, 0) / np.n_pred END, 6) AS precision,
+  round(CASE WHEN coalesce(nt.n_truth, 0) > 0
+             THEN coalesce(m.n_matched, 0) / nt.n_truth END, 6) AS recall,
+  round(CASE WHEN coalesce(np.n_pred, 0) > 0 AND coalesce(nt.n_truth, 0) > 0
+             AND (coalesce(m.n_matched, 0) / np.n_pred
+                  + coalesce(m.n_matched, 0) / nt.n_truth) > 0
+             THEN 2 * (coalesce(m.n_matched, 0) / np.n_pred)
+                  * (coalesce(m.n_matched, 0) / nt.n_truth)
+                  / (coalesce(m.n_matched, 0) / np.n_pred
+                     + coalesce(m.n_matched, 0) / nt.n_truth)
+        END, 6) AS f1
+FROM (SELECT DISTINCT user_id FROM events_epoch) b
+LEFT JOIN gm_np np ON np.g = b.user_id
+LEFT JOIN gm_nt nt ON nt.g = b.user_id
+LEFT JOIN gm_m m ON m.g = b.user_id
+"""
+)
+
+
 def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Abridged-Molodensky NAD27->WGS84 datum shift over whole columns (J8:
     the pyproj Transformer loop of georeference.py:162-174, vectorized).
@@ -3057,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
         "datum_shift": q_datum_shift,
+        "greedy_match_f1": q_greedy_match_f1,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3137,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": ORACLE_PACK_CHUNKS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "datum_shift": ORACLE_DATUM_SHIFT,
+        "greedy_match_f1": ORACLE_GREEDY_MATCH,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,
