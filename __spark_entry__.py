@@ -2734,6 +2734,61 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): queries search their TWO nearest
+    centroid cells — the standard recall knob of IVF indexes; candidate
+    volume grows by nprobe/n_centroids, still a plain cell equi-join."""
+    return ann_ivf_topk(
+        _embeddings(spark, sf_dir),
+        query_pred=F.col("vec_id") % 50 == 0,
+        k=3,
+        nprobe=2,
+    )
+
+
+ORACLE_ANN_IVF_NPROBE2 = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb, nrm AS cnrm
+  FROM base WHERE vec_id < 16
+),
+assign AS (
+  SELECT b.vec_id AS vid, c.cid AS cell,
+         list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
+  FROM base b CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) = 1
+),
+qassign AS (
+  SELECT b.vec_id AS vid, c.cid AS cell,
+         list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
+  FROM base b CROSS JOIN cents c
+  WHERE b.vec_id % 50 = 0
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) <= 2
+),
+withc AS (
+  SELECT b.vec_id, b.emb, b.nrm, a.cell
+  FROM base b JOIN assign a ON a.vid = b.vec_id
+),
+q AS (
+  SELECT b.vec_id AS qid, b.emb AS qe, b.nrm AS qn, a.cell AS qcell
+  FROM base b JOIN qassign a ON a.vid = b.vec_id
+),
+sims AS (
+  SELECT qid, vec_id AS vid, withc.cell,
+         list_dot_product(qe, emb) / (qn * nrm) AS sim
+  FROM q JOIN withc ON qcell = withc.cell AND qid != vec_id
+)
+SELECT qid, vid, cell, round(sim, 9) + 0.0 AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 3
+"""
+
+
 def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of n_tok per source (linear interpolation)."""
     return grouped_quantiles(
@@ -3141,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "datum_shift": q_datum_shift,
         "greedy_match_f1": q_greedy_match_f1,
+        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3222,6 +3278,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "datum_shift": ORACLE_DATUM_SHIFT,
         "greedy_match_f1": ORACLE_GREEDY_MATCH,
+        "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

@@ -234,6 +234,35 @@ def ivf_cells(
     )
 
 
+def ivf_query_cells(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(vid, cell) for the ``nprobe`` nearest centroids of each vector —
+    the multi-probe side of IVF search (same assignment math as
+    :func:`ivf_cells`, keeping ranks 1..nprobe instead of only 1)."""
+    base = with_norm(emb)
+    cents = base.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col("_emb_d").alias("_c_emb"),
+        F.col("_norm").alias("_c_norm"),
+    )
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vid"),
+        "cid",
+        (_dot(F.col("_emb_d"), F.col("_c_emb")) / (F.col("_norm") * F.col("_c_norm"))).alias("_csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("vid", F.col("cid").alias("cell"))
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     *,
@@ -241,22 +270,34 @@ def ann_ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     n_centroids: int = N_CENTROIDS,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k (nprobe=1): exact cosine ranking restricted to
-    the query's centroid cell.
+    """IVF approximate top-k: exact cosine ranking restricted to the
+    query's ``nprobe`` nearest centroid cells.
 
     The complement of the LSH path: data-dependent cells (centroid Voronoi
     regions) instead of data-independent hyperplane buckets.  At corpus
-    scale the cell equi-join turns |Q|x|C| into |Q|x|C|/n_centroids, and the
-    candidate join is a plain hash shuffle — never a cartesian.
+    scale the cell equi-join turns |Q|x|C| into |Q|x|C|*nprobe/n_centroids,
+    and the candidate join is a plain hash shuffle — never a cartesian.
+    Candidates live in exactly one cell while queries probe ``nprobe``
+    distinct cells, so (qid, vid) pairs are unique without dedup.
     """
     cells = ivf_cells(emb, id_col=id_col, n_centroids=n_centroids)
     base = with_norm(emb).join(cells, F.col(id_col) == F.col("vid")).drop("vid")
-    q = base.where(query_pred).select(
-        F.col(id_col).alias("qid"),
-        F.col("_emb_d").alias("_q_emb"),
-        F.col("_norm").alias("_q_norm"),
-        F.col("cell").alias("qcell"),
+    qcells = ivf_query_cells(
+        emb, id_col=id_col, n_centroids=n_centroids, nprobe=nprobe
+    )
+    q = (
+        with_norm(emb)
+        .where(query_pred)
+        .join(qcells, F.col(id_col) == F.col("vid"))
+        .drop("vid")
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col("_emb_d").alias("_q_emb"),
+            F.col("_norm").alias("_q_norm"),
+            F.col("cell").alias("qcell"),
+        )
     )
     c = base.select(F.col(id_col).alias("vid"), "_emb_d", "_norm", "cell")
     sims = (
