@@ -169,3 +169,34 @@ def test_merge_time_travel(spark, tmp_path):
     v1 = {r.k: r.v for r in read_snapshot(spark, t, 1).collect()}
     assert v0 == {"a": 1, "b": 2}
     assert v1 == {"a": 1, "b": 20, "c": 3}
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Rows duplicated across FILES (arriving in different micro-batches via
+    maxFilesPerTrigger=1) must be emitted exactly once — state carries
+    across batches; the batch golden is a plain dropDuplicates."""
+    from uncharted_ta1_spark.streaming.sessions import deduped_stream
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "dup_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    ev.repartition(2).write.mode("append").parquet(src)  # every row twice
+
+    stream = deduped_stream(
+        events_stream(spark, src, max_files_per_trigger=1),
+        key_cols=("event_id",),
+        watermark="60 days",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.groupBy("event_id").count().where("count > 1").count() == 0

@@ -106,3 +106,26 @@ def quarantine_foreach_batch(
         quarantine_writer(bad, batch_id)
 
     return _fn
+
+
+def deduped_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup: drop key-duplicates arriving across
+    micro-batches (the at-least-once source replays rows — ST1 — so ingest
+    must be idempotent BEFORE state/aggregation).
+
+    Uses ``dropDuplicatesWithinWatermark``: per-key state is retained only
+    inside the event-time watermark horizon, so state is bounded by the
+    late-data window — a plain streaming ``dropDuplicates`` keeps every key
+    forever, which is a state-store OOM at 10^12-row streams.  Duplicates
+    separated by more than the watermark are by definition late data and are
+    handled by the idempotent MERGE sink (plans/merge.py) instead.
+    """
+    ev = events.withColumn("event_time", F.col("ts").cast("timestamp"))
+    return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
