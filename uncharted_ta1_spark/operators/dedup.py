@@ -291,10 +291,13 @@ def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
     Scale design: the band-collision predicate is a disjunction
     (``hi=hi OR lo=lo``), which as a single join has no equi conjunct and
     Spark would plan it as a BroadcastNestedLoopJoin — cartesian at corpus
-    scale.  Instead each band is its own hash-partitioned equi self-join and
-    the two candidate streams are unioned with pair-level dedup (a pair
-    colliding on both bands appears in both legs exactly once).  Plan-asserted
-    in tests/test_plans.py::test_simhash_pairs_is_not_nested_loop.
+    scale.  Instead each band is its own hash-partitioned equi self-join,
+    and the legs are made DISJOINT by construction: the lo leg additionally
+    requires ``hi != hi``, so a pair colliding on both bands appears only in
+    the hi leg and the union needs NO pair-level dropDuplicates — that dedup
+    was a full shuffle of the candidate stream (the operator's largest, cut
+    here).  Plan-asserted in
+    tests/test_plans.py::test_simhash_pairs_is_not_nested_loop.
     """
     banded = sim.select(
         "doc_id",
@@ -303,27 +306,29 @@ def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
         F.col("simhash").bitwiseAND(F.lit(255)).alias("lo"),
     )
 
-    def _leg(band_col: str) -> DataFrame:
+    def _leg(band_col: str, extra=None) -> DataFrame:
         a = banded.alias("a")
         b = banded.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        cond = (F.col(f"a.{band_col}") == F.col(f"b.{band_col}")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        if extra is not None:
+            cond = cond & extra
+        return a.join(b, cond).select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
             F.col("a.simhash").alias("sh1"),
             F.col("b.simhash").alias("sh2"),
         )
 
-    cand = _leg("hi").unionByName(_leg("lo"))
+    cand = _leg("hi").unionByName(
+        _leg("lo", extra=F.col("a.hi") != F.col("b.hi"))
+    )
     return (
         cand.withColumn(
             "hamming",
             F.bit_count(F.expr("sh1 ^ sh2")).cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc1", "doc2"])
         .select("doc1", "doc2", "sh1", "sh2", "hamming")
     )
