@@ -41,6 +41,7 @@ from uncharted_ta1_spark.operators.aggregates import (
 )
 from uncharted_ta1_spark.operators.asof import asof_join
 from uncharted_ta1_spark.operators.dedup import (
+    contamination_pairs,
     doc_shingles,
     exact_dedup,
     jaccard_pairs,
@@ -50,6 +51,7 @@ from uncharted_ta1_spark.operators.dedup import (
     minhash_params,
     minhash_signatures,
     simhash16,
+    shingle_repetition,
     simhash_pairs,
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
@@ -626,6 +628,72 @@ FROM pairs
 JOIN cnt ca ON ca.doc_id = doc1
 JOIN cnt cb ON cb.doc_id = doc2
 WHERE round(n_common / (ca.n_sh + cb.n_sh - n_common), 9) >= 0.5
+"""
+)
+
+
+DOC_SHINGLES_ALL_DUCK = """
+doc_shingles_all AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS sh_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+    FROM doc_words
+  )
+)
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram fraction per document — the repetition quality
+    filter (Gopher/RefinedWeb-style) over 3-word shingles."""
+    return shingle_repetition(_documents(spark, sf_dir), n=3)
+
+
+ORACLE_DOC_REPETITION = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_ALL_DUCK)
+    + """
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(DISTINCT sh_hash) AS BIGINT) AS n_distinct,
+  CAST(CAST(count(*) AS BIGINT) - CAST(count(DISTINCT sh_hash) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS rep_frac
+FROM doc_shingles_all GROUP BY doc_id
+"""
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval decontamination pairs: train docs sharing >= 3 distinct
+    3-gram shingles with a held-out eval slice (doc_id % 10 = 3), with the
+    fraction of the eval doc covered — the benchmark-overlap removal step."""
+    docs = _documents(spark, sf_dir)
+    train = doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3)
+    ev = doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3)
+    return contamination_pairs(train, ev, min_common=3)
+
+
+ORACLE_DECONTAMINATE = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+    + """
+, dc_tr AS (SELECT doc_id, sh_hash FROM doc_shingles WHERE doc_id % 10 != 3),
+dc_ev AS (SELECT doc_id AS eval_doc, sh_hash FROM doc_shingles WHERE doc_id % 10 = 3),
+dc_evs AS (
+  SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_eval_sh
+  FROM dc_ev GROUP BY eval_doc
+),
+dc_cm AS (
+  SELECT t.doc_id AS train_doc, e.eval_doc, CAST(count(*) AS BIGINT) AS n_common
+  FROM dc_tr t JOIN dc_ev e ON e.sh_hash = t.sh_hash
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT train_doc, dc_cm.eval_doc AS eval_doc, n_common, s.n_eval_sh,
+       CAST(n_common AS DOUBLE) / CAST(s.n_eval_sh AS DOUBLE) AS overlap_frac
+FROM dc_cm
+JOIN dc_evs s ON s.eval_doc = dc_cm.eval_doc
 """
 )
 
@@ -3197,6 +3265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datum_shift": q_datum_shift,
         "greedy_match_f1": q_greedy_match_f1,
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3279,6 +3349,8 @@ def oracle_sql() -> dict[str, str]:
         "datum_shift": ORACLE_DATUM_SHIFT,
         "greedy_match_f1": ORACLE_GREEDY_MATCH,
         "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
+        "doc_repetition": ORACLE_DOC_REPETITION,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

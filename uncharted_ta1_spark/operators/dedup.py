@@ -34,8 +34,10 @@ from uncharted_ta1_spark.functions.portable import (
 )
 
 
-def doc_shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
-    """(doc_id, sh_hash) — DISTINCT hashed n-word shingles per document.
+def doc_shingles(docs: DataFrame, *, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, sh_hash) — hashed n-word shingles per document (DISTINCT by
+    default; ``distinct=False`` keeps multiplicities, the input of the
+    repetition quality filter).
 
     The doc frame is repartitioned before the explode: the shingle+hash
     work is CPU-bound per document, and a small corpus arriving as one
@@ -45,11 +47,69 @@ def doc_shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """
     words = words_col(F.col("text"))
     par = 2 * docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    out = (
         docs.repartition(par, "doc_id")
         .select("doc_id", F.explode(shingles_col(words, n)).alias("shingle"))
         .select("doc_id", md5_i64(F.col("shingle")).alias("sh_hash"))
-        .distinct()
+    )
+    return out.distinct() if distinct else out
+
+
+def shingle_repetition(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """Intra-document repetition quality signal: the fraction of a doc's
+    n-word shingles that are repeats (1 - distinct/total) — the
+    Gopher/RefinedWeb-style "duplicate n-gram fraction" filter every LLM
+    corpus pipeline applies before training.  Exact integer counts through
+    a fixed float tree; one map-side-combinable groupBy.  Docs with fewer
+    than ``n`` words have no shingles and are not emitted."""
+    sh = doc_shingles(docs, n=n, distinct=False)
+    agg = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.countDistinct("sh_hash").cast("long").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        ((F.col("n_shingles") - F.col("n_distinct")).cast("double")
+         / F.col("n_shingles").cast("double")).alias("rep_frac"),
+    )
+
+
+def contamination_pairs(
+    train_sh: DataFrame,
+    eval_sh: DataFrame,
+    *,
+    min_common: int = 3,
+) -> DataFrame:
+    """Train-vs-eval decontamination: (train_doc, eval_doc) pairs sharing
+    >= ``min_common`` distinct n-gram shingles, with the fraction of the
+    EVAL doc's shingles found in the train doc — the benchmark-overlap
+    removal step of an LLM data pipeline (same inverted-index equi-join
+    shape as :func:`jaccard_pairs`, cross-corpus instead of self).
+
+    The eval corpus is tiny relative to train, so its shingle index
+    broadcasts: the candidate join adds no train-side shuffle at all.
+    """
+    ev = eval_sh.select(
+        F.col("doc_id").alias("eval_doc"), "sh_hash"
+    )
+    ev_sizes = ev.groupBy("eval_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_sh")
+    )
+    common = (
+        train_sh.join(F.broadcast(ev), "sh_hash")
+        .groupBy(F.col("doc_id").alias("train_doc"), F.col("eval_doc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return common.join(F.broadcast(ev_sizes), "eval_doc").select(
+        "train_doc",
+        "eval_doc",
+        "n_common",
+        "n_eval_sh",
+        (F.col("n_common").cast("double") / F.col("n_eval_sh").cast("double"))
+        .alias("overlap_frac"),
     )
 
 
