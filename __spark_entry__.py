@@ -53,6 +53,7 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash16,
     shingle_repetition,
     simhash_pairs,
+    span_duplication,
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
@@ -86,6 +87,7 @@ from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg
 from uncharted_ta1_spark.operators.sampling import hash_sample, stratified_hash_sample
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
+from uncharted_ta1_spark.operators.textscrub import scrub_pii, url_domain_stats
 from uncharted_ta1_spark.operators.textstats import (
     consecutive_run_flags,
     doc_fingerprint,
@@ -94,6 +96,7 @@ from uncharted_ta1_spark.operators.textstats import (
     tfidf_top_terms,
     token_bigrams,
     token_counts,
+    word_entropy,
 )
 from uncharted_ta1_spark.operators.windows import (
     dedup_latest,
@@ -694,6 +697,164 @@ SELECT train_doc, dc_cm.eval_doc AS eval_doc, n_common, s.n_eval_sh,
        CAST(n_common AS DOUBLE) / CAST(s.n_eval_sh AS DOUBLE) AS overlap_frac
 FROM dc_cm
 JOIN dc_evs s ON s.eval_doc = dc_cm.eval_doc
+"""
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction (C4-style span dedup signal):
+    per-doc share of non-overlapping 10-word spans seen in >1 document."""
+    return span_duplication(_documents(spark, sf_dir), span_words=10)
+
+
+ORACLE_SPAN_DEDUP = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, sp_inst AS (
+  SELECT doc_id,
+         {md5_i64_duck("array_to_string(list_slice(words, (k-1)*10 + 1, (k-1)*10 + 10), ' ')")}
+           AS span_hash
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, greatest(CAST(ceil(len(words) / 10.0) AS BIGINT), 1) + 1)) AS k
+    FROM doc_words
+  )
+),
+sp_df AS (
+  SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS span_df
+  FROM sp_inst GROUP BY 1
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_span_frac
+FROM sp_inst i JOIN sp_df d ON d.span_hash = i.span_hash
+GROUP BY i.doc_id
+"""
+)
+
+
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the word distribution (quality proxy)."""
+    return word_entropy(_documents(spark, sf_dir))
+
+
+ORACLE_WORD_ENTROPY = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, we_counts AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(words) AS word FROM doc_words)
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS entropy_nats
+FROM we_counts
+GROUP BY doc_id
+"""
+)
+
+
+# web_docs: documents deterministically enriched with synthetic contact
+# strings / URLs (the base corpus is plain word-soup) so the scrub and URL
+# operators have realistic inputs.  Dual-dialect invariant: the Spark
+# builder in _web_docs and this fragment must stay identical.
+WEB_DOCS_DUCK = """
+web_docs AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id % 89 AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com or admin@example.org tel 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' at https://www.Site' || CAST(doc_id % 13 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+              || ' mirror http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.net/x' AS text
+  FROM documents
+)
+"""
+
+
+def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of WEB_DOCS_DUCK (dual-dialect invariant)."""
+    d = _documents(spark, sf_dir)
+
+    def s(c):  # noqa: ANN001, ANN202
+        return c.cast("string")
+
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), s(did % 89),
+        F.lit("@mail"), s(did % 7),
+        F.lit(".example.com or admin@example.org tel 555-01"),
+        F.lpad(s(did % 100), 2, "0"),
+        F.lit(" node 10."), s(did % 256),
+        F.lit(".0."), s(did % 100),
+        F.lit(" at https://www.Site"), s(did % 13),
+        F.lit(".example.org/p/"), s(did),
+        F.lit(" mirror http://cdn"), s(did % 5),
+        F.lit(".example.net/x"),
+    )
+    return d.select("doc_id", raw.alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the enriched web corpus: per-doc email/phone/IP
+    counts + hash of the redacted text (pins the exact redaction)."""
+    return scrub_pii(_web_docs(spark, sf_dir))
+
+
+# SQL-literal forms of the textscrub patterns (single quotes; DuckDB
+# standard strings keep backslashes literal, so these reach RE2 verbatim)
+_EMAIL_SQL = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+_PHONE_SQL = "'\\b555-[0-9]{4}\\b'"
+_IPV4_SQL = "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'"
+_REDACTED_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    + _EMAIL_SQL + ", '<EMAIL>', 'g'), "
+    + _PHONE_SQL + ", '<PHONE>', 'g'), "
+    + _IPV4_SQL + ", '<IP>', 'g')"
+)
+
+ORACLE_PII_REDACT = (
+    duck_with(WEB_DOCS_DUCK)
+    + """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, """ + _EMAIL_SQL + """)) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, """ + _PHONE_SQL + """)) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, """ + _IPV4_SQL + """)) AS BIGINT) AS n_ips,
+  """ + md5_i64_duck(_REDACTED_SQL) + """ AS redacted_hash
+FROM web_docs
+"""
+)
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain normalization + per-domain corpus stats."""
+    return url_domain_stats(_web_docs(spark, sf_dir))
+
+
+ORACLE_URL_DOMAINS = (
+    duck_with(WEB_DOCS_DUCK)
+    + """
+, ud AS (
+  SELECT doc_id,
+         lower(regexp_replace(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)),
+                              '^www\\.', '')) AS domain
+  FROM web_docs
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ud GROUP BY domain
 """
 )
 
@@ -3267,6 +3428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
+        "span_dedup": q_span_dedup,
+        "word_entropy": q_word_entropy,
+        "pii_redact": q_pii_redact,
+        "url_domains": q_url_domains,
         "spatial_contain_join": q_spatial_contain_join,
         "string_agg_groups": q_string_agg_groups,
         "line_blocks": q_line_blocks,
@@ -3351,6 +3516,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
         "doc_repetition": ORACLE_DOC_REPETITION,
         "decontaminate": ORACLE_DECONTAMINATE,
+        "span_dedup": ORACLE_SPAN_DEDUP,
+        "word_entropy": ORACLE_WORD_ENTROPY,
+        "pii_redact": ORACLE_PII_REDACT,
+        "url_domains": ORACLE_URL_DOMAINS,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
         "string_agg_groups": ORACLE_STRING_AGG,
         "line_blocks": ORACLE_LINE_BLOCKS,

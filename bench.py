@@ -84,8 +84,10 @@ def main() -> int:
     # bandwidth-hungry one), so a sub-target median after 3 rounds is more
     # likely a bad epoch than the engine.  Two extra paired rounds make the
     # median robust to two bad epochs; a genuinely non-scaling engine stays
-    # sub-target through all five.
-    if median_round()[2] < 0.8:
+    # sub-target through all five.  Trigger at 0.85 (not the 0.8 target):
+    # a marginal median is itself evidence one round's epoch flipped —
+    # round-3 observed paired medians {0.956, 0.805, 0.507} in one run.
+    if median_round()[2] < 0.85:
         for _ in range(2):
             paired_round()
     low, high, efficiency = median_round()

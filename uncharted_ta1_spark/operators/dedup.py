@@ -55,6 +55,59 @@ def doc_shingles(docs: DataFrame, *, n: int = 3, distinct: bool = True) -> DataF
     return out.distinct() if distinct else out
 
 
+def span_duplication(docs: DataFrame, *, span_words: int = 10) -> DataFrame:
+    """Cross-document duplicated-span fraction (C4-style span dedup signal).
+
+    Chunks each document's words into consecutive non-overlapping
+    ``span_words``-word spans (the tail span may be shorter), hashes each,
+    and reports per document how many of its span instances occur in more
+    than one distinct document — the boilerplate / license-block /
+    navigation-chrome signal that corpus-level span dedup removes.
+
+    Plan: one explode (map-side), one distinct + groupBy for span document
+    frequency, one equi join back, one per-doc groupBy.  No all-pairs path:
+    the join key is the span hash, so cost is linear in corpus spans plus
+    the (small) hot-span fan-in, exactly the shape that survives 100 TB.
+    """
+    words = words_col(F.col("text"))
+    n_spans_arr = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_spans_arr, F.lit(1))),
+        lambda k: F.array_join(
+            F.slice(words, (k - F.lit(1)) * span_words + F.lit(1), span_words), " "
+        ),
+    )
+    par = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    inst = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", md5_i64(F.col("span")).alias("span_hash"))
+    )
+    doc_freq = (
+        inst.select("doc_id", "span_hash")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").cast("long").alias("span_df"))
+    )
+    return (
+        inst.join(doc_freq, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("span_df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
 def shingle_repetition(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """Intra-document repetition quality signal: the fraction of a doc's
     n-word shingles that are repeats (1 - distinct/total) — the

@@ -168,6 +168,44 @@ def token_bigrams(seq: DataFrame, *, top_n: int = 100) -> DataFrame:
     )
 
 
+def word_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the word distribution —
+    the repetitiveness / gibberish quality proxy of a corpus pipeline
+    (low entropy = boilerplate or keyword stuffing).
+
+    H = ln(n) - (Σ c·ln c) / n over exact per-word counts c, n = Σ c.
+    The Σ c·ln c accumulation order differs between engines, so the result
+    is rounded (6 dp) and signed-zero-collapsed (+0.0) per the repo's
+    cross-engine float rules; everything upstream of the sum is exact
+    integers.  Plan: one explode + one (doc, word) count + one per-doc
+    aggregate — both groupBys map-side combinable.
+    """
+    words = words_col(F.col("text"))
+    wc = (
+        docs.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.countDistinct("word").cast("long").alias("n_distinct_words"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_clnc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (
+            F.round(
+                F.log(F.col("n_words").cast("double"))
+                - F.col("_clnc") / F.col("n_words").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("entropy_nats"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document (score = tf * ln((N+1)/(df+1))).
 
