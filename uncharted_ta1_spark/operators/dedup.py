@@ -83,11 +83,14 @@ def span_duplication(docs: DataFrame, *, span_words: int = 10) -> DataFrame:
         .select("doc_id", F.explode(spans).alias("span"))
         .select("doc_id", md5_i64(F.col("span")).alias("span_hash"))
     )
+    # (doc_id, span_hash) is unique after distinct(), so a plain count is
+    # the distinct-doc count — avoids stacking a second dedup (countDistinct
+    # plans an Expand + extra aggregate) on already-distinct rows
     doc_freq = (
         inst.select("doc_id", "span_hash")
         .distinct()
         .groupBy("span_hash")
-        .agg(F.countDistinct("doc_id").cast("long").alias("span_df"))
+        .agg(F.count(F.lit(1)).cast("long").alias("span_df"))
     )
     return (
         inst.join(doc_freq, "span_hash")
