@@ -87,6 +87,7 @@ from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg
 from uncharted_ta1_spark.operators.sampling import hash_sample, stratified_hash_sample
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
+from uncharted_ta1_spark.operators.curation import curate_corpus
 from uncharted_ta1_spark.operators.textscrub import scrub_pii, url_domain_stats
 from uncharted_ta1_spark.operators.textstats import (
     consecutive_run_flags,
@@ -857,6 +858,41 @@ SELECT domain,
 FROM ud GROUP BY domain
 """
 )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-cascade curation decision fusing quality, entropy, repetition
+    and span-dup signals (first failing rule wins)."""
+    return curate_corpus(_documents(spark, sf_dir))
+
+
+# The signal CTEs are the signal queries' own oracles, nested verbatim —
+# the fused decision is then derived from provably-identical inputs.
+ORACLE_CORPUS_CURATION = f"""
+WITH cur_tq AS ({{tq}}),
+cur_we AS ({{we}}),
+cur_rep AS ({{rep}}),
+cur_sp AS ({{sp}})
+SELECT t.doc_id, t.n_words, t.stopword_ratio, w.entropy_nats,
+       coalesce(r.rep_frac, 0.0::DOUBLE) AS rep_frac,
+       coalesce(s.dup_span_frac, 0.0::DOUBLE) AS dup_span_frac,
+       CASE WHEN t.n_words < 20 THEN 'too_short'
+            WHEN t.stopword_ratio < 0.01::DOUBLE THEN 'low_stopword'
+            WHEN w.entropy_nats < 2.5::DOUBLE THEN 'low_entropy'
+            WHEN coalesce(r.rep_frac, 0.0::DOUBLE) > 0.05::DOUBLE THEN 'repetitive'
+            WHEN coalesce(s.dup_span_frac, 0.0::DOUBLE) > 0.5::DOUBLE THEN 'duplicated'
+            ELSE 'keep' END AS drop_reason,
+       (CASE WHEN t.n_words < 20 THEN 'too_short'
+            WHEN t.stopword_ratio < 0.01::DOUBLE THEN 'low_stopword'
+            WHEN w.entropy_nats < 2.5::DOUBLE THEN 'low_entropy'
+            WHEN coalesce(r.rep_frac, 0.0::DOUBLE) > 0.05::DOUBLE THEN 'repetitive'
+            WHEN coalesce(s.dup_span_frac, 0.0::DOUBLE) > 0.5::DOUBLE THEN 'duplicated'
+            ELSE 'keep' END) = 'keep' AS keep
+FROM (SELECT doc_id, n_words, stopword_ratio FROM cur_tq) t
+LEFT JOIN cur_we w USING (doc_id)
+LEFT JOIN cur_rep r USING (doc_id)
+LEFT JOIN cur_sp s USING (doc_id)
+"""
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3430,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
         "word_entropy": q_word_entropy,
+        "corpus_curation": q_corpus_curation,
         "pii_redact": q_pii_redact,
         "url_domains": q_url_domains,
         "spatial_contain_join": q_spatial_contain_join,
@@ -3518,6 +3555,12 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "span_dedup": ORACLE_SPAN_DEDUP,
         "word_entropy": ORACLE_WORD_ENTROPY,
+        "corpus_curation": ORACLE_CORPUS_CURATION.format(
+            tq=ORACLE_TEXT_QUALITY,
+            we=ORACLE_WORD_ENTROPY,
+            rep=ORACLE_DOC_REPETITION,
+            sp=ORACLE_SPAN_DEDUP,
+        ),
         "pii_redact": ORACLE_PII_REDACT,
         "url_domains": ORACLE_URL_DOMAINS,
         "spatial_contain_join": ORACLE_SPATIAL_CONTAIN,
