@@ -33,7 +33,9 @@ def test_unconverged_raises_instead_of_splitting(spark):
         [("d", "c"), ("c", "b"), ("b", "a")], "doc1 string, doc2 string"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1).collect()
+        # driver_finish_limit=0 forces the iterative path (the driver-side
+        # union-find finisher would otherwise solve this exactly)
+        connected_components(edges, max_iter=1, driver_finish_limit=0).collect()
 
 
 def test_cap_rounds_mode_returns_partial(spark):
@@ -43,7 +45,7 @@ def test_cap_rounds_mode_returns_partial(spark):
         [("d", "c"), ("c", "b"), ("b", "a")], "doc1 string, doc2 string"
     )
     rows = connected_components(
-        edges, max_iter=1, check_convergence=False
+        edges, max_iter=1, check_convergence=False, driver_finish_limit=0
     ).collect()
     assert {r.doc_id for r in rows} == {"a", "b", "c", "d"}
     assert all(r.cluster_id <= r.doc_id for r in rows)
@@ -59,7 +61,7 @@ def test_long_chain_converges_in_log_rounds(spark):
         [(names[i + 1], names[i]) for i in range(n - 1)],
         "doc1 string, doc2 string",
     )
-    rows = connected_components(edges, max_iter=20).collect()
+    rows = connected_components(edges, max_iter=20, driver_finish_limit=0).collect()
     assert len(rows) == n
     assert all(r.cluster_id == "n00" and r.cluster_size == n for r in rows)
 
