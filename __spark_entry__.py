@@ -359,6 +359,126 @@ GROUP BY user_id, session_id
 )
 
 
+def _stage_stream_dir(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> str:
+    """Stage the events table into a temp dir as ``copies`` parquet files —
+    the file-arrival stand-in for a queue source (each copy lands in its own
+    micro-batch under maxFilesPerTrigger=1, so copies>1 simulates an
+    at-least-once source replaying the stream)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for _ in range(copies):
+        df.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8 through the REAL streaming engine: event-time session windows
+    (30-min gap, 1-h watermark) drained with an availableNow trigger into a
+    memory sink.  The oracle is the BATCH gap-sessionization SQL — streaming
+    and batch sessionization must agree row-for-row on a bounded replay
+    (reference: the queue-driven pipeline re-run path, request_client.py
+    at-least-once + CDR replay)."""
+    import uuid
+
+    from uncharted_ta1_spark.streaming.sessions import (
+        events_stream,
+        run_available_now,
+        sessionized_stream,
+    )
+
+    datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
+    src = _stage_stream_dir(spark, sf_dir)
+    name = "strm_sess_" + uuid.uuid4().hex[:8]
+    import tempfile
+
+    stream = sessionized_stream(events_stream(spark, src), gap="30 minutes")
+    run_available_now(
+        stream,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
+        query_name=name,
+    )
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("first_event_time")).alias("session_start"),
+        F.unix_micros(F.col("last_event_time")).alias("session_end"),
+        "session_len",
+        "session_sum_value",
+    )
+
+
+ORACLE_STREAMING_SESSIONS = (
+    duck_with(EVENTS_DUCK)
+    + f"""
+, marked AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
+         WHEN ts_us - lag(ts_us) OVER w > {GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM events_epoch
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start,
+       CAST(max(ts_us) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS session_len,
+       round(sum(value), 6) AS session_sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+)
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 idempotent ingest through the REAL streaming engine: the events
+    stream staged TWICE (an at-least-once source replaying every row, one
+    copy per micro-batch) through ``dropDuplicatesWithinWatermark`` — the
+    drained result must be the events table EXACTLY ONCE, which is what the
+    oracle asserts."""
+    import tempfile
+    import uuid
+
+    from uncharted_ta1_spark.streaming.sessions import (
+        deduped_stream,
+        events_stream,
+        run_available_now,
+    )
+
+    datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
+    src = _stage_stream_dir(spark, sf_dir, copies=2)
+    name = "strm_dedup_" + uuid.uuid4().hex[:8]
+    stream = deduped_stream(
+        events_stream(spark, src, max_files_per_trigger=1), watermark="1 hour"
+    )
+    run_available_now(
+        stream,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
+        query_name=name,
+        output_mode="append",
+    )
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+ORACLE_STREAMING_DEDUP = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_id, user_id, ts_us, event_type, value
+FROM events_epoch
+"""
+)
+
+
 def q_session_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 sessions per user by event count (T6 analog)."""
     ev = datagen.events_epoch_df(spark, sf_dir)
@@ -3408,6 +3528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_ntok": q_rolling_ntok,
         "sessionize_events": q_sessionize_events,
         "session_aggs": q_session_aggs,
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_dedup": q_streaming_dedup,
         "session_top2": q_session_top2,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
@@ -3497,6 +3619,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_ntok": ORACLE_ROLLING,
         "sessionize_events": ORACLE_SESSIONIZE,
         "session_aggs": ORACLE_SESSION_AGGS,
+        "streaming_sessions": ORACLE_STREAMING_SESSIONS,
+        "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "session_top2": ORACLE_SESSION_TOP2,
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,

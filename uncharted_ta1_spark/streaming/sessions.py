@@ -77,13 +77,18 @@ def run_available_now(
     *,
     checkpoint_dir: str,
     query_name: str = "sessions",
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available (the batch-replay trigger, ST4)
-    into an in-memory sink and stop — deterministic for tests."""
+    into an in-memory sink and stop — deterministic for tests.
+
+    ``complete`` for aggregations (emits the final state regardless of
+    watermark holds); ``append`` for stateless/dedup streams (rows are
+    emitted as they pass, so the drain is already complete)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
