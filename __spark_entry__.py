@@ -85,11 +85,16 @@ from uncharted_ta1_spark.operators.similarity import (
 from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg
-from uncharted_ta1_spark.operators.sampling import hash_sample, stratified_hash_sample
+from uncharted_ta1_spark.operators.sampling import (
+    hash_sample,
+    importance_sample,
+    stratified_hash_sample,
+)
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.curation import curate_corpus
 from uncharted_ta1_spark.operators.textscrub import scrub_pii, url_domain_stats
 from uncharted_ta1_spark.operators.textstats import (
+    bigram_logprob,
     consecutive_run_flags,
     doc_fingerprint,
     lang_id,
@@ -976,6 +981,78 @@ SELECT domain,
        CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM ud GROUP BY domain
+"""
+)
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-prob under an add-1 corpus bigram LM (the
+    perplexity-proxy quality score)."""
+    return bigram_logprob(_documents(spark, sf_dir))
+
+
+ORACLE_BIGRAM_LOGPROB = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, bgi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i+1])) AS w2
+  FROM doc_words
+),
+bg_doc AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k FROM bgi GROUP BY 1, 2, 3
+),
+bg_corpus AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM bg_doc GROUP BY 1, 2),
+ug AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(words) AS w1 FROM doc_words) GROUP BY 1
+),
+voc AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(words) AS w FROM doc_words)
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(k AS DOUBLE)
+                 * ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)))
+             / CAST(sum(k) AS DOUBLE), 6) AS avg_logprob
+FROM bg_doc
+JOIN bg_corpus USING (w1, w2)
+JOIN ug USING (w1)
+CROSS JOIN voc
+GROUP BY doc_id
+"""
+)
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep probability =
+    clamp(quality_score, 0.1, 1.0) over the stable doc_id hash bucket."""
+    docs = _documents(spark, sf_dir)
+    q = text_quality(docs).select("doc_id", "quality_score")
+    kept = importance_sample(
+        q, key_cols=["doc_id"], weight_col="quality_score", min_rate=0.1, salt="imp"
+    )
+    return kept.select("doc_id", "quality_score")
+
+
+ORACLE_IMPORTANCE_SAMPLE = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, iq AS (
+  SELECT doc_id,
+         round(least(CAST(len(words) AS BIGINT) / 100.0, 1.0) * 0.5::DOUBLE
+               + least(CAST(len(list_filter(words,
+                     w -> list_contains(['the','and','of','to','a'], w))) AS BIGINT)
+                 / CAST(len(words) AS BIGINT) * 5.0, 1.0) * 0.5::DOUBLE, 9)
+           AS quality_score
+  FROM doc_words
+)
+SELECT doc_id, quality_score
+FROM iq
+WHERE (('0x' || substr(md5('imp' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000
+      < CAST(floor(least(greatest(quality_score, 0.1::DOUBLE), 1.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
 """
 )
 
@@ -3589,6 +3666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "word_entropy": q_word_entropy,
         "corpus_curation": q_corpus_curation,
+        "bigram_logprob": q_bigram_logprob,
+        "importance_sample": q_importance_sample,
         "pii_redact": q_pii_redact,
         "url_domains": q_url_domains,
         "spatial_contain_join": q_spatial_contain_join,
@@ -3679,6 +3758,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "span_dedup": ORACLE_SPAN_DEDUP,
         "word_entropy": ORACLE_WORD_ENTROPY,
+        "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
+        "importance_sample": ORACLE_IMPORTANCE_SAMPLE,
         "corpus_curation": ORACLE_CORPUS_CURATION.format(
             tq=ORACLE_TEXT_QUALITY,
             we=ORACLE_WORD_ENTROPY,

@@ -74,6 +74,32 @@ def stratified_hash_sample(
     return df.where(sample_bucket_expr(key_cols, salt=salt) < thr)
 
 
+def importance_sample(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    weight_col: str,
+    min_rate: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted sampling: keep probability = clamp(weight, min_rate, 1)
+    — the importance-resampling step of a curation pipeline (keep all of the
+    best documents, a deterministic thinning of the worst; DCLM/FineWeb-style
+    quality upsampling by the complementary rates).
+
+    Same determinism contract as :func:`hash_sample` (membership is a pure
+    function of the key and the weight), same filter-only plan: the
+    threshold is ``floor(clamp(w)*1e6)`` — floor EXPLICITLY, because a bare
+    double→int cast truncates in Spark but rounds in DuckDB and membership
+    must be engine-exact.
+    """
+    thr = F.floor(
+        F.least(F.greatest(F.col(weight_col), F.lit(float(min_rate))), F.lit(1.0))
+        * F.lit(float(SCALE))
+    ).cast("long")
+    return df.where(sample_bucket_expr(key_cols, salt=salt) < thr)
+
+
 def sample_bucket_expr(key_cols: Sequence[str], salt: str = "") -> F.Column:
     """The underlying [0, 1e6) bucket — exposed so train/val/test splits can
     partition ONE hash into disjoint ranges instead of re-hashing per split."""

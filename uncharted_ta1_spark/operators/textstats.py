@@ -168,6 +168,62 @@ def token_bigrams(seq: DataFrame, *, top_n: int = 100) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-1-smoothed
+    corpus bigram LM — the perplexity-proxy quality score of a training
+    pipeline (low score = unnatural word sequences / gibberish), computed
+    exactly, in-engine, with no model artifact.
+
+    score(doc) = (Σ_bigrams k·ln((C(w1,w2)+1)/(C(w1)+V))) / Σ k over the
+    doc's bigram counts k, corpus counts C, vocab size V.  All counts are
+    exact integers; the one order-dependent float sum is rounded (6 dp).
+    Plan: bigram instances aggregate per-doc first (map-side combinable), the
+    corpus LM is a reaggregation of that same table (never a second pass
+    over the raw text), and the scalar V broadcasts.  Joins shuffle on the
+    bigram/unigram keys — vocabulary-sized, sublinear in corpus size.
+    """
+    words = words_col(F.col("text"))
+    d = docs.select("doc_id", words.alias("w"))
+    n = F.greatest(F.size("w"), F.lit(1))
+    pairs = F.zip_with(
+        F.slice(F.col("w"), 1, n - 1),
+        F.slice(F.col("w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    bg_corpus = doc_bg.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    ug = (
+        d.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    voc = d.select(F.explode("w").alias("word")).agg(
+        F.countDistinct("word").cast("long").alias("v")
+    )
+    scored = (
+        doc_bg.join(bg_corpus, ["w1", "w2"])
+        .join(ug.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(voc))
+        .withColumn(
+            "lp",
+            F.col("k").cast("double")
+            * F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.sum("k").cast("double"), 6).alias("avg_logprob"),
+    )
+
+
 def word_entropy(docs: DataFrame) -> DataFrame:
     """Per-document Shannon entropy (nats) of the word distribution —
     the repetitiveness / gibberish quality proxy of a corpus pipeline
