@@ -484,6 +484,63 @@ FROM events_epoch
 )
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM event-time interval join (the streaming twin of J3):
+    every view matched to same-user clicks within 30 minutes, both sides
+    watermarked so join state is bounded; drained result must equal the
+    batch interval join SQL exactly."""
+    import tempfile
+    import uuid
+
+    from uncharted_ta1_spark.streaming.joins import interval_join_streams
+    from uncharted_ta1_spark.streaming.sessions import (
+        events_stream,
+        run_available_now,
+    )
+
+    datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
+    src = _stage_stream_dir(spark, sf_dir)
+    views = events_stream(spark, src).where(F.col("event_type") == "view")
+    clicks = events_stream(spark, src).where(F.col("event_type") == "click")
+    joined = interval_join_streams(
+        views, clicks, key="user_id", window="30 minutes", watermark="1 hour"
+    )
+    name = "strm_attr_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        joined,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
+        query_name=name,
+        output_mode="append",
+    )
+    return spark.table(name).select(
+        F.col("left_id").alias("view_id"),
+        F.col("right_id").alias("click_id"),
+        "user_id",
+        F.col("left_ts").alias("view_ts"),
+        F.col("right_ts").alias("click_ts"),
+        (F.col("right_ts") - F.col("left_ts")).alias("gap_us"),
+    )
+
+
+ORACLE_STREAMING_ATTRIBUTION = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       CAST(v.ts_us AS BIGINT) AS view_ts,
+       CAST(c.ts_us AS BIGINT) AS click_ts,
+       CAST(c.ts_us - v.ts_us AS BIGINT) AS gap_us
+FROM events_epoch v
+JOIN events_epoch c
+  ON c.user_id = v.user_id
+ AND c.ts_us >= v.ts_us
+ AND c.ts_us <= v.ts_us + 1800000000
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+)
+
+
 def q_session_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 sessions per user by event count (T6 analog)."""
     ev = datagen.events_epoch_df(spark, sf_dir)
@@ -3607,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_aggs": q_session_aggs,
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_attribution": q_streaming_attribution,
         "session_top2": q_session_top2,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
@@ -3700,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
         "session_aggs": ORACLE_SESSION_AGGS,
         "streaming_sessions": ORACLE_STREAMING_SESSIONS,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
+        "streaming_attribution": ORACLE_STREAMING_ATTRIBUTION,
         "session_top2": ORACLE_SESSION_TOP2,
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
