@@ -84,7 +84,7 @@ from uncharted_ta1_spark.operators.similarity import (
 )
 from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
-from uncharted_ta1_spark.operators.salting import salted_agg
+from uncharted_ta1_spark.operators.salting import salted_agg, salted_join
 from uncharted_ta1_spark.operators.sampling import (
     hash_sample,
     importance_sample,
@@ -482,6 +482,46 @@ ORACLE_STREAMING_DEDUP = (
     + """
 SELECT event_id, user_id, ts_us, event_type, value
 FROM events_epoch
+"""
+)
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi join: events (5 ultra-hot event_type keys,
+    10^4-10^5 rows each) enriched with a per-type dimension through
+    ``salted_join`` — each hot key spreads over 8 reducers.  Results are
+    exactly the plain join's, which is what the oracle asserts.  (At this
+    SF Catalyst would broadcast the tiny dim anyway; the operator is the
+    fallback for when the skewed join's build side is broadcast-infeasible
+    — the unit test pins the salted shuffle shape with broadcast off.)"""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("type_count"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("type_sum"),
+    )
+    out = salted_join(
+        ev.select("event_id", "event_type", "user_id"),
+        dim,
+        keys=["event_type"],
+        salt_from="event_id",
+        n_salts=8,
+    )
+    return out.select("event_id", "event_type", "user_id", "type_count", "type_sum")
+
+
+ORACLE_SKEW_SALTED_JOIN = (
+    duck_with(EVENTS_DUCK)
+    + """
+, sj_dim AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS type_count,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS type_sum
+  FROM events_epoch GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.user_id, d.type_count, d.type_sum
+FROM events_epoch e JOIN sj_dim d USING (event_type)
 """
 )
 
@@ -3668,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
         "streaming_attribution": q_streaming_attribution,
+        "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
@@ -3762,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": ORACLE_STREAMING_SESSIONS,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_attribution": ORACLE_STREAMING_ATTRIBUTION,
+        "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,

@@ -63,3 +63,39 @@ def test_non_algebraic_rejected(spark):
         assert "non-algebraic" in str(e)
     else:
         raise AssertionError("median must be rejected")
+
+
+def test_salted_join_equals_plain_join_without_broadcast(spark):
+    """With broadcast off (the hot-key scenario the operator exists for),
+    the salted join must produce exactly the plain join's rows and spread
+    each key over multiple salt values."""
+    from pyspark.sql import functions as F
+
+    from uncharted_ta1_spark.operators.salting import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 0 else f"cold{i % 3}") for i in range(1000)],
+        "row_id long, k string",
+    )
+    small = big.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(
+            big, small, keys=["k"], salt_from="row_id", n_salts=8
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        rows = {(r.row_id, r.k, r.n) for r in got.collect()}
+        want = {(r.row_id, r.k, r.n) for r in big.join(small, "k").collect()}
+        assert rows == want and len(rows) == 1000
+        # the hot key's big-side rows really carry > 1 distinct salt
+        n_salts_used = (
+            big.where(F.col("k") == "hot")
+            .select(F.pmod(F.xxhash64(F.col("row_id")), F.lit(8)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_salts_used > 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -68,3 +68,36 @@ def salted_agg(
 
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    keys: Sequence[str],
+    salt_from: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi join: salt the BIG side, replicate the SMALL side.
+
+    The manual form of AQE's skew-join split, for when the skew is known
+    up front (a handful of ultra-hot keys — here 5 event types over 10^5+
+    rows each; at corpus scale, viral documents): each big-side row gets a
+    deterministic salt in [0, n_salts) derived from a data column, the
+    small side is exploded n_salts times, and the join key becomes
+    (keys..., salt) — so one hot key's probe rows spread over ``n_salts``
+    reducers instead of one.  Results are EXACTLY the plain join's (each
+    big row matches the single replica carrying its salt).
+
+    Replication multiplies the small side by ``n_salts`` — only legal when
+    |small| × n_salts still fits a shuffle comfortably (it must, or it was
+    never the small side).  The salt comes from a data column, never
+    rand(): re-runs and resumed stages see identical placement.
+    """
+    keys = list(keys)
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return b.join(s, [*keys, "_salt"]).drop("_salt")
