@@ -160,3 +160,34 @@ def test_no_python_row_udfs_in_core_paths(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Scale lever: Catalyst's runtime bloom-filter injection (enabled in
+    this engine's sessions) pre-filters the probe side of a shuffle join
+    with a bloom of the selective build side — at 100 TB this cuts the
+    probe shuffle by the build side's selectivity BEFORE the exchange.
+    The default size thresholds target cluster-scale inputs, so the test
+    lowers them to the sandbox SF to pin the injection machinery itself."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        sel = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
