@@ -1498,6 +1498,36 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style selective scan+sum: every predicate reaches the
+    parquet scan (pushdown plan-asserted for this table in test_plans),
+    revenue in DECIMAL so the one-row result is partition-order-free."""
+    datagen.register_base_tables(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return li.agg(
+        F.sum(dp * dd).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05::DOUBLE AND 0.07::DOUBLE
+  AND l_quantity < 24
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicitly broadcast dimensions (nation/region/customer)."""
     datagen.register_base_tables(spark, sf_dir)
@@ -3727,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "pricing_summary": q_pricing_summary,
+        "forecast_revenue": q_forecast_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "interval_join": q_interval_join,
         "confidence_product": q_confidence_product,
@@ -3822,6 +3853,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
         "interval_join": ORACLE_INTERVAL_JOIN,
         "confidence_product": ORACLE_CONFIDENCE_PRODUCT,
