@@ -109,6 +109,7 @@ from uncharted_ta1_spark.operators.windows import (
     ewma,
     lag_lead_context,
     rolling_agg,
+    rolling_median,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -295,6 +296,33 @@ SELECT doc_id, source, seq_no, event_epoch, n_tok,
        round(avg(CAST(n_tok AS BIGINT)) OVER w, 9) AS roll_mean_n_tok_w5,
        min(n_tok) OVER w AS roll_min_n_tok_w5,
        max(n_tok) OVER w AS roll_max_n_tok_w5
+FROM sequences
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row MEDIAN of n_tok — the order-statistic window
+    (bit-equal to DuckDB median-over-frame; see operators/windows.py)."""
+    out = rolling_median(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        order=["event_epoch"],
+        col="n_tok",
+        window=5,
+    )
+    return out.select(
+        "doc_id", "source", "seq_no", "event_epoch", "n_tok", "roll_med_n_tok_w5"
+    )
+
+
+ORACLE_ROLLING_MEDIAN = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no, event_epoch, n_tok,
+       median(CAST(n_tok AS DOUBLE)) OVER w AS roll_med_n_tok_w5
 FROM sequences
 WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -3733,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_any_source": q_asof_any_source,
         "lag_lead_context": q_lag_lead_context,
         "rolling_ntok": q_rolling_ntok,
+        "rolling_median": q_rolling_median,
         "sessionize_events": q_sessionize_events,
         "session_aggs": q_session_aggs,
         "streaming_sessions": q_streaming_sessions,
@@ -3829,6 +3858,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_any_source": ORACLE_ASOF_ANY_SOURCE,
         "lag_lead_context": ORACLE_LAG_LEAD,
         "rolling_ntok": ORACLE_ROLLING,
+        "rolling_median": ORACLE_ROLLING_MEDIAN,
         "sessionize_events": ORACLE_SESSIONIZE,
         "session_aggs": ORACLE_SESSION_AGGS,
         "streaming_sessions": ORACLE_STREAMING_SESSIONS,

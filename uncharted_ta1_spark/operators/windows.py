@@ -74,6 +74,39 @@ def rolling_agg(
     )
 
 
+def rolling_median(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id", "source"),
+    order: Sequence[str] = ("event_epoch",),
+    col: str = "n_tok",
+    window: int = 5,
+) -> DataFrame:
+    """Trailing `window`-row MEDIAN of `col` per key group — the
+    order-statistic window the algebraic rolling aggregates can't express
+    (robust local level for spike-resistant features).
+
+    Implementation: collect_list over the rows frame (bounded at `window`
+    elements, so the per-row state is O(window), never O(partition)),
+    array_sort, then exact middle/two-middle interpolation in double —
+    (a+b)/2 on integer inputs is bit-equal to quantile_cont(0.5)'s
+    a+(b-a)*0.5, so the DuckDB `median(::DOUBLE) OVER frame` oracle matches
+    without rounding.  Same single Exchange as the other ordered features
+    (shared window spec).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(o).asc() for o in order])
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(col).cast("double")).over(w))
+    m = F.size(arr)
+    i1 = F.floor((m + F.lit(1)) / F.lit(2)).cast("int")
+    i2 = F.ceil((m + F.lit(1)) / F.lit(2)).cast("int")
+    med = (F.element_at(arr, i1) + F.element_at(arr, i2)) / F.lit(2.0)
+    return df.withColumn(f"roll_med_{col}_w{window}", med)
+
+
 def dedup_latest(
     df: DataFrame,
     *,
