@@ -612,6 +612,54 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 )
 
 
+def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5/ST7 through the REAL streaming engine: custom per-user running
+    counters via ``applyInPandasWithState`` (explicit state tuple, Arrow
+    batches) drained on a bounded replay — final state must equal the plain
+    batch aggregate, which is what the oracle asserts.  value_sum rounds at
+    the contract surface (Arrow-batch accumulation order differs from the
+    oracle's)."""
+    import tempfile
+    import uuid
+
+    from uncharted_ta1_spark.streaming.sessions import (
+        events_stream,
+        run_available_now,
+    )
+    from uncharted_ta1_spark.streaming.stateful import stateful_user_counters
+
+    datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
+    src = _stage_stream_dir(spark, sf_dir)
+    name = "strm_cnt_" + uuid.uuid4().hex[:8]
+    stream = stateful_user_counters(events_stream(spark, src))
+    run_available_now(
+        stream,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
+        query_name=name,
+        output_mode="update",
+        state_partitions=8,
+    )
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
+ORACLE_STREAMING_COUNTERS = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum,
+       CAST(max(ts_us) AS BIGINT) AS last_ts_us
+FROM events_epoch
+GROUP BY user_id
+"""
+)
+
+
 def q_session_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 sessions per user by event count (T6 analog)."""
     ev = datagen.events_epoch_df(spark, sf_dir)
@@ -3767,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "streaming_dedup": q_streaming_dedup,
         "streaming_attribution": q_streaming_attribution,
+        "streaming_counters": q_streaming_counters,
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "dedup_latest_state": q_dedup_latest_state,
@@ -3864,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": ORACLE_STREAMING_SESSIONS,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_attribution": ORACLE_STREAMING_ATTRIBUTION,
+        "streaming_counters": ORACLE_STREAMING_COUNTERS,
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
