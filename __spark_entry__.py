@@ -1536,6 +1536,68 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (not guessed) ANN quality: per-query recall@3 of the LSH
+    path against the exact brute-force top-3 — the self-measurement harness
+    a production similarity service runs before trusting a sketch index.
+    Measured at BOTH 8 planes (256 buckets — far too fine for a 500-vector
+    corpus, recall ≈ 0) and 4 planes (16 buckets — the right granularity
+    here): the harness IS the tuning loop for the bucket-count knob."""
+    emb = _embeddings(spark, sf_dir)
+    pred = F.col("vec_id") % 50 == 0
+    exact = (
+        cosine_topk(emb, query_pred=pred, k=5)
+        .where(F.col("rank") <= 3)
+        .select("qid", "vid")
+    )
+
+    def recall_for(n_planes: int, tag: str) -> DataFrame:
+        lsh = ann_lsh_topk(emb, query_pred=pred, k=3, n_planes=n_planes).select(
+            "qid", "vid", F.lit(1).alias("hit")
+        )
+        return (
+            exact.join(lsh, ["qid", "vid"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count("hit").cast("long").alias(f"n_hits_{tag}"),
+                (F.count("hit").cast("double") / F.lit(3.0)).alias(f"recall_{tag}"),
+            )
+        )
+
+    return recall_for(8, "b8").join(recall_for(4, "b4"), "qid")
+
+
+def _oracle_ann_lsh_planes(n_planes: int) -> str:
+    """ORACLE_ANN_LSH with a different plane count (single substitution
+    point; n_planes=8 reproduces the original text exactly)."""
+    return ORACLE_ANN_LSH.replace("range(8) t1(j)", f"range({n_planes}) t1(j)")
+
+
+# exact/LSH CTE bodies are the ANN queries' own oracles, nested verbatim
+ORACLE_ANN_RECALL = """
+WITH ex_full AS ({ex}),
+ls8_full AS ({ls8}),
+ls4_full AS ({ls4}),
+ex3 AS (SELECT qid, vid FROM ex_full WHERE rank <= 3),
+r8 AS (
+  SELECT ex3.qid,
+         CAST(count(l.hit) AS BIGINT) AS n_hits_b8,
+         CAST(count(l.hit) AS DOUBLE) / 3.0::DOUBLE AS recall_b8
+  FROM ex3 LEFT JOIN (SELECT qid, vid, 1 AS hit FROM ls8_full) l USING (qid, vid)
+  GROUP BY ex3.qid
+),
+r4 AS (
+  SELECT ex3.qid,
+         CAST(count(l.hit) AS BIGINT) AS n_hits_b4,
+         CAST(count(l.hit) AS DOUBLE) / 3.0::DOUBLE AS recall_b4
+  FROM ex3 LEFT JOIN (SELECT qid, vid, 1 AS hit FROM ls4_full) l USING (qid, vid)
+  GROUP BY ex3.qid
+)
+SELECT r8.qid, r8.n_hits_b8, r8.recall_b8, r4.n_hits_b4, r4.recall_b4
+FROM r8 JOIN r4 USING (qid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational anchors: scans, broadcast joins, decimal-exact aggs, range join
 # (SURVEY.md §2.1 S1, §2.3 J3, §2.4 A1-A8) + the Arrow-UDF surface (§2.11)
@@ -3834,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3932,6 +3995,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
+        "ann_recall": ORACLE_ANN_RECALL.format(
+            ex=ORACLE_ANN_COSINE,
+            ls8=ORACLE_ANN_LSH,
+            ls4=_oracle_ann_lsh_planes(4),
+        ),
         "pricing_summary": ORACLE_PRICING_SUMMARY,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "revenue_by_nation": ORACLE_REVENUE_BY_NATION,

@@ -81,11 +81,11 @@ def cosine_topk(
     )
 
 
-def hyperplanes(spark) -> DataFrame:
+def hyperplanes(spark, n_planes: int = N_PLANES) -> DataFrame:
     """(j, i, w) integer hyperplane weights in [-1000, 1000], derived from
     md5('hp_{j}_{i}') — reproducible in any engine, no RNG state."""
     return (
-        spark.range(N_PLANES)
+        spark.range(n_planes)
         .withColumnRenamed("id", "j")
         .crossJoin(spark.range(64).withColumnRenamed("id", "i"))
         .select(
@@ -100,14 +100,18 @@ def hyperplanes(spark) -> DataFrame:
     )
 
 
-def lsh_buckets(emb: DataFrame, *, id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, bucket) — 8-bit signed-projection LSH bucket per vector.
+def lsh_buckets(
+    emb: DataFrame, *, id_col: str = "vec_id", n_planes: int = N_PLANES
+) -> DataFrame:
+    """(vec_id, bucket) — n_planes-bit signed-projection LSH bucket per
+    vector (2^n_planes buckets: the recall/cost knob — fewer planes =
+    coarser buckets = more candidates = higher recall).
 
     Embeddings are fixed-point scaled (floor(x*1e6 + 0.5), exact in both
     engines) so the projection sum is integer arithmetic — the sign (and
     hence the bucket) is deterministic regardless of summation order.
     """
-    hp = hyperplanes(emb.sparkSession)
+    hp = hyperplanes(emb.sparkSession, n_planes)
     flat = emb.select(
         F.col(id_col).alias("vid"),
         F.posexplode(_as_double(F.col("embedding"))).alias("i", "e"),
@@ -129,6 +133,7 @@ def embedding_near_dup_pairs(
     *,
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-pruned.
 
@@ -137,7 +142,7 @@ def embedding_near_dup_pairs(
     At corpus scale this is |C|^2/256 pair-evaluations instead of |C|^2 —
     and the bucket join is a plain equi shuffle.
     """
-    buckets = lsh_buckets(emb, id_col=id_col)
+    buckets = lsh_buckets(emb, id_col=id_col, n_planes=n_planes)
     base = (
         with_norm(emb)
         .join(buckets, F.col(id_col) == F.col("vid"))
@@ -168,11 +173,12 @@ def ann_lsh_topk(
     query_pred: Column,
     k: int = 3,
     id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's LSH
     bucket.  The bucket equi-join replaces the all-pairs product — at scale
     this is the difference between |Q|x|C| and |Q|x|C|/256."""
-    buckets = lsh_buckets(emb, id_col=id_col)
+    buckets = lsh_buckets(emb, id_col=id_col, n_planes=n_planes)
     base = with_norm(emb).join(buckets, F.col(id_col) == F.col("vid")).drop("vid")
     q = base.where(query_pred).select(
         F.col(id_col).alias("qid"),
