@@ -1233,6 +1233,57 @@ WHERE (('0x' || substr(md5('imp' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) %
 )
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (not guessed) sketch-dedup quality: MinHash-LSH candidate
+    pairs scored against exact 3-gram-Jaccard>=0.5 truth — corpus-level
+    precision/recall of the 16-perm/4-band sketch, the go/no-go check
+    before trusting LSH dedup at a scale where exact Jaccard is
+    unaffordable."""
+    sh = doc_shingles(_documents(spark, sf_dir), n=3)
+    cand = lsh_pairs_from_bands(minhash_bands(sh, k=16, band_size=4, seed=42)).select(
+        "doc1", "doc2", F.lit(1).alias("c")
+    )
+    true = jaccard_pairs(sh, min_jaccard=0.5, max_df=JACCARD_MAX_DF).select(
+        "doc1", "doc2", F.lit(1).alias("t")
+    )
+    j = cand.join(true, ["doc1", "doc2"], "full")
+    return j.agg(
+        F.count("c").cast("long").alias("n_candidates"),
+        F.count("t").cast("long").alias("n_true"),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"))
+        .alias("precision"),
+        (F.col("n_hits").cast("double") / F.col("n_true").cast("double"))
+        .alias("recall"),
+    )
+
+
+ORACLE_DEDUP_EVAL = """
+WITH mh_full AS ({mh}),
+jc_full AS ({jc}),
+de AS (
+  SELECT m.doc1 AS c1, m.doc2 AS c2, j.doc1 AS t1, j.doc2 AS t2
+  FROM mh_full m FULL JOIN jc_full j ON j.doc1 = m.doc1 AND j.doc2 = m.doc2
+),
+agg AS (
+  SELECT CAST(count(c1) AS BIGINT) AS n_candidates,
+         CAST(count(t1) AS BIGINT) AS n_true,
+         CAST(count(CASE WHEN c1 IS NOT NULL AND t1 IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits
+  FROM de
+)
+SELECT n_candidates, n_true, n_hits,
+       CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
+       CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+FROM agg
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-cascade curation decision fusing quality, entropy, repetition
     and span-dup signals (first failing rule wins)."""
@@ -3897,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
+        "dedup_eval": q_dedup_eval,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3995,6 +4047,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
+        "dedup_eval": ORACLE_DEDUP_EVAL.format(
+            mh=ORACLE_DEDUP_MINHASH, jc=ORACLE_DEDUP_JACCARD
+        ),
         "ann_recall": ORACLE_ANN_RECALL.format(
             ex=ORACLE_ANN_COSINE,
             ls8=ORACLE_ANN_LSH,
