@@ -82,12 +82,13 @@ from uncharted_ta1_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
 )
-from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck
+from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck, words_col
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg, salted_join
 from uncharted_ta1_spark.operators.sampling import (
     hash_sample,
     importance_sample,
+    sample_bucket_expr,
     stratified_hash_sample,
 )
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
@@ -1229,6 +1230,110 @@ SELECT doc_id, quality_score
 FROM iq
 WHERE (('0x' || substr(md5('imp' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000
       < CAST(floor(least(greatest(quality_score, 0.1::DOUBLE), 1.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
+"""
+)
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary / Zipf profile: vocab size, token count, hapax
+    fraction, and top-10-term mass — the tokenizer-design statistics every
+    corpus pipeline reports.  Two map-side-combinable aggregations over one
+    word explode."""
+    docs = _documents(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = wc.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    # top-10 via orderBy+limit plans as TakeOrdered (distributed partial
+    # top-k), NOT an unpartitioned window's single-partition sort
+    top10 = (
+        wc.orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("top10_tokens"))
+    )
+    return totals.crossJoin(F.broadcast(top10)).select(
+        "vocab_size",
+        "n_tokens",
+        "n_hapax",
+        "top10_tokens",
+        (F.col("n_hapax").cast("double") / F.col("vocab_size").cast("double"))
+        .alias("hapax_frac"),
+        (F.col("top10_tokens").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("top10_mass"),
+    )
+
+
+ORACLE_VOCAB_STATS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, vs_wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS word FROM doc_words) GROUP BY 1
+),
+vs_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM vs_wc
+),
+vs_top AS (
+  SELECT CAST(sum(c) AS BIGINT) AS top10_tokens
+  FROM (SELECT c FROM vs_wc ORDER BY c DESC, word ASC LIMIT 10)
+),
+vs_agg AS (SELECT * FROM vs_tot CROSS JOIN vs_top)
+SELECT vocab_size, n_tokens, n_hapax, top10_tokens,
+       CAST(n_hapax AS DOUBLE) / CAST(vocab_size AS DOUBLE) AS hapax_frac,
+       CAST(top10_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top10_mass
+FROM vs_agg
+"""
+)
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split from ONE stable hash bucket partitioned into
+    disjoint ranges (80/10/10) — re-hashing per split would correlate
+    membership; range-partitioning one hash cannot overlap or leak.  Emits
+    per-split doc counts and token sums (the split manifest)."""
+    docs = _documents(spark, sf_dir)
+    bucket = sample_bucket_expr(["doc_id"], salt="split")
+    split = (
+        F.when(bucket < 800_000, F.lit("train"))
+        .when(bucket < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(words_col(F.col("text"))).cast("long"))
+            .cast("long")
+            .alias("n_words"),
+        )
+    )
+
+
+ORACLE_DATASET_SPLIT = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, ds AS (
+  SELECT CASE
+           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1000000 < 800000 THEN 'train'
+           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1000000 < 900000 THEN 'val'
+           ELSE 'test' END AS split,
+         CAST(len(words) AS BIGINT) AS nw
+  FROM doc_words
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
+FROM ds GROUP BY split
 """
 )
 
@@ -3949,6 +4054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
         "dedup_eval": q_dedup_eval,
+        "vocab_stats": q_vocab_stats,
+        "dataset_split": q_dataset_split,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4047,6 +4154,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
+        "vocab_stats": ORACLE_VOCAB_STATS,
+        "dataset_split": ORACLE_DATASET_SPLIT,
         "dedup_eval": ORACLE_DEDUP_EVAL.format(
             mh=ORACLE_DEDUP_MINHASH, jc=ORACLE_DEDUP_JACCARD
         ),
