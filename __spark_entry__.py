@@ -82,7 +82,12 @@ from uncharted_ta1_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
 )
-from uncharted_ta1_spark.functions.portable import md5_i64, md5_i64_duck, words_col
+from uncharted_ta1_spark.functions.portable import (
+    md5_i64,
+    md5_i64_duck,
+    shingles_duck,
+    words_col,
+)
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg, salted_join
 from uncharted_ta1_spark.operators.sampling import (
@@ -310,7 +315,10 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rolling_median(
         _sequences(spark, sf_dir),
         keys=["doc_id", "source"],
-        order=["event_epoch"],
+        # seq_no tie-break: event_epoch is unique per key today, but a ROWS
+        # frame over an ambiguous order would make the median engine-
+        # order-dependent (explicit tie-breaks on every window — CLAUDE.md)
+        order=["event_epoch", "seq_no"],
         col="n_tok",
         window=5,
     )
@@ -325,7 +333,7 @@ ORACLE_ROLLING_MEDIAN = (
 SELECT doc_id, source, seq_no, event_epoch, n_tok,
        median(CAST(n_tok AS DOUBLE)) OVER w AS roll_med_n_tok_w5
 FROM sequences
-WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 )
@@ -393,6 +401,33 @@ GROUP BY user_id, session_id
 )
 
 
+def _drain_stream(stream, *, prefix: str, output_mode: str, cleanup_dirs) -> str:
+    """availableNow drain to a uniquely-named memory sink; the staged source
+    and checkpoint dirs are removed afterwards (the sink holds the results
+    in memory, so the files are dead weight — on the tmpfs this sandbox
+    uses they would otherwise eat the RAM headroom across bench rounds)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from uncharted_ta1_spark.streaming.sessions import run_available_now
+
+    name = prefix + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    try:
+        run_available_now(
+            stream,
+            checkpoint_dir=ckpt,
+            query_name=name,
+            output_mode=output_mode,
+            state_partitions=8,
+        )
+    finally:
+        for d in (ckpt, *cleanup_dirs):
+            shutil.rmtree(d, ignore_errors=True)
+    return name
+
+
 def _stage_stream_dir(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> str:
     """Stage the events table into a temp dir as ``copies`` parquet files —
     the file-arrival stand-in for a queue source (each copy lands in its own
@@ -414,25 +449,16 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     and batch sessionization must agree row-for-row on a bounded replay
     (reference: the queue-driven pipeline re-run path, request_client.py
     at-least-once + CDR replay)."""
-    import uuid
-
     from uncharted_ta1_spark.streaming.sessions import (
         events_stream,
-        run_available_now,
         sessionized_stream,
     )
 
     datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
     src = _stage_stream_dir(spark, sf_dir)
-    name = "strm_sess_" + uuid.uuid4().hex[:8]
-    import tempfile
-
     stream = sessionized_stream(events_stream(spark, src), gap="30 minutes")
-    run_available_now(
-        stream,
-        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
-        query_name=name,
-        state_partitions=8,
+    name = _drain_stream(
+        stream, prefix="strm_sess_", output_mode="complete", cleanup_dirs=[src]
     )
     return spark.table(name).select(
         "user_id",
@@ -475,27 +501,18 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy per micro-batch) through ``dropDuplicatesWithinWatermark`` — the
     drained result must be the events table EXACTLY ONCE, which is what the
     oracle asserts."""
-    import tempfile
-    import uuid
-
     from uncharted_ta1_spark.streaming.sessions import (
         deduped_stream,
         events_stream,
-        run_available_now,
     )
 
     datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
     src = _stage_stream_dir(spark, sf_dir, copies=2)
-    name = "strm_dedup_" + uuid.uuid4().hex[:8]
     stream = deduped_stream(
         events_stream(spark, src, max_files_per_trigger=1), watermark="1 hour"
     )
-    run_available_now(
-        stream,
-        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
-        query_name=name,
-        output_mode="append",
-        state_partitions=8,
+    name = _drain_stream(
+        stream, prefix="strm_dedup_", output_mode="append", cleanup_dirs=[src]
     )
     return spark.table(name).select(
         "event_id",
@@ -560,14 +577,8 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     every view matched to same-user clicks within 30 minutes, both sides
     watermarked so join state is bounded; drained result must equal the
     batch interval join SQL exactly."""
-    import tempfile
-    import uuid
-
     from uncharted_ta1_spark.streaming.joins import interval_join_streams
-    from uncharted_ta1_spark.streaming.sessions import (
-        events_stream,
-        run_available_now,
-    )
+    from uncharted_ta1_spark.streaming.sessions import events_stream
 
     datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
     src = _stage_stream_dir(spark, sf_dir)
@@ -576,13 +587,8 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_streams(
         views, clicks, key="user_id", window="30 minutes", watermark="1 hour"
     )
-    name = "strm_attr_" + uuid.uuid4().hex[:8]
-    run_available_now(
-        joined,
-        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
-        query_name=name,
-        output_mode="append",
-        state_partitions=8,
+    name = _drain_stream(
+        joined, prefix="strm_attr_", output_mode="append", cleanup_dirs=[src]
     )
     return spark.table(name).select(
         F.col("left_id").alias("view_id"),
@@ -620,25 +626,14 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregate, which is what the oracle asserts.  value_sum rounds at
     the contract surface (Arrow-batch accumulation order differs from the
     oracle's)."""
-    import tempfile
-    import uuid
-
-    from uncharted_ta1_spark.streaming.sessions import (
-        events_stream,
-        run_available_now,
-    )
+    from uncharted_ta1_spark.streaming.sessions import events_stream
     from uncharted_ta1_spark.streaming.stateful import stateful_user_counters
 
     datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
     src = _stage_stream_dir(spark, sf_dir)
-    name = "strm_cnt_" + uuid.uuid4().hex[:8]
     stream = stateful_user_counters(events_stream(spark, src))
-    run_available_now(
-        stream,
-        checkpoint_dir=tempfile.mkdtemp(prefix="sparkgraft_ckpt_"),
-        query_name=name,
-        output_mode="update",
-        state_partitions=8,
+    name = _drain_stream(
+        stream, prefix="strm_cnt_", output_mode="update", cleanup_dirs=[src]
     )
     return spark.table(name).select(
         "user_id",
@@ -938,14 +933,15 @@ WHERE round(n_common / (ca.n_sh + cb.n_sh - n_common), 9) >= 0.5
 )
 
 
-DOC_SHINGLES_ALL_DUCK = """
+# shingle expression generated by the SAME helper the Spark side mirrors
+# (functions/portable.py) — never a hand-kept fork of the tokenization
+DOC_SHINGLES_ALL_DUCK = f"""
 doc_shingles_all AS (
   SELECT doc_id,
-         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS sh_hash
+         {md5_i64_duck("shingle")} AS sh_hash
   FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
-                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+           unnest({shingles_duck("words", 3)}) AS shingle
     FROM doc_words
   )
 )
@@ -1115,11 +1111,20 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(_web_docs(spark, sf_dir))
 
 
-# SQL-literal forms of the textscrub patterns (single quotes; DuckDB
-# standard strings keep backslashes literal, so these reach RE2 verbatim)
-_EMAIL_SQL = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
-_PHONE_SQL = "'\\b555-[0-9]{4}\\b'"
-_IPV4_SQL = "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'"
+# SQL-literal forms of the textscrub patterns, DERIVED from the operator's
+# own constants (dual-dialect invariant: one source of truth).  The patterns
+# contain no single quotes, and DuckDB standard strings keep backslashes
+# literal, so plain quoting reaches RE2 verbatim.
+from uncharted_ta1_spark.operators.textscrub import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    URL_DOMAIN_RE,
+)
+
+_EMAIL_SQL = "'" + EMAIL_RE + "'"
+_PHONE_SQL = "'" + PHONE_RE + "'"
+_IPV4_SQL = "'" + IPV4_RE + "'"
 _REDACTED_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(text, "
     + _EMAIL_SQL + ", '<EMAIL>', 'g'), "
@@ -1150,7 +1155,8 @@ ORACLE_URL_DOMAINS = (
     + """
 , ud AS (
   SELECT doc_id,
-         lower(regexp_replace(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)),
+         lower(regexp_replace(unnest(regexp_extract_all(text, """
+    + "'" + URL_DOMAIN_RE + "'" + """, 1)),
                               '^www\\.', '')) AS domain
   FROM web_docs
 )
@@ -1214,24 +1220,15 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "quality_score")
 
 
-ORACLE_IMPORTANCE_SAMPLE = (
-    duck_with(DOC_WORDS_DUCK)
-    + """
-, iq AS (
-  SELECT doc_id,
-         round(least(CAST(len(words) AS BIGINT) / 100.0, 1.0) * 0.5::DOUBLE
-               + least(CAST(len(list_filter(words,
-                     w -> list_contains(['the','and','of','to','a'], w))) AS BIGINT)
-                 / CAST(len(words) AS BIGINT) * 5.0, 1.0) * 0.5::DOUBLE, 9)
-           AS quality_score
-  FROM doc_words
-)
+# template: {tq} is ORACLE_TEXT_QUALITY nested verbatim (never fork the
+# quality_score derivation) — formatted in oracle_sql()
+ORACLE_IMPORTANCE_SAMPLE = """
+WITH iq AS ({tq})
 SELECT doc_id, quality_score
 FROM iq
 WHERE (('0x' || substr(md5('imp' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000
       < CAST(floor(least(greatest(quality_score, 0.1::DOUBLE), 1.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
 """
-)
 
 
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,10 +1359,17 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "n_true",
         "n_hits",
-        (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"))
-        .alias("precision"),
-        (F.col("n_hits").cast("double") / F.col("n_true").cast("double"))
-        .alias("recall"),
+        # guarded: a corpus with zero candidates/true pairs must yield NULL
+        # (matching the oracle's CASE), not divide-by-zero under an
+        # ANSI-enabled driver session
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_hits").cast("double") / F.col("n_true").cast("double"),
+        ).alias("recall"),
     )
 
 
@@ -1383,8 +1387,10 @@ agg AS (
   FROM de
 )
 SELECT n_candidates, n_true, n_hits,
-       CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
-       CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) END AS precision,
+       CASE WHEN n_true > 0
+            THEN CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
 FROM agg
 """
 
@@ -1725,8 +1731,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ann_lsh_planes(n_planes: int) -> str:
     """ORACLE_ANN_LSH with a different plane count (single substitution
-    point; n_planes=8 reproduces the original text exactly)."""
-    return ORACLE_ANN_LSH.replace("range(8) t1(j)", f"range({n_planes}) t1(j)")
+    point; n_planes=8 reproduces the original text exactly).  The assert
+    fails fast if a reformat of ORACLE_ANN_LSH would make the substitution
+    a silent no-op (a stale-plane-count oracle would only surface as a
+    confusing gate mismatch)."""
+    anchor = "range(8) t1(j)"
+    assert anchor in ORACLE_ANN_LSH, "ORACLE_ANN_LSH reformatted: update anchor"
+    return ORACLE_ANN_LSH.replace(anchor, f"range({n_planes}) t1(j)")
 
 
 # exact/LSH CTE bodies are the ANN queries' own oracles, nested verbatim
@@ -4207,7 +4218,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": ORACLE_SPAN_DEDUP,
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
-        "importance_sample": ORACLE_IMPORTANCE_SAMPLE,
+        "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "corpus_curation": ORACLE_CORPUS_CURATION.format(
             tq=ORACLE_TEXT_QUALITY,
             we=ORACLE_WORD_ENTROPY,

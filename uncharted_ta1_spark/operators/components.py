@@ -137,8 +137,7 @@ def connected_components(
     # locally" step production CC implementations take.  All |E|-sized
     # work above stays distributed; larger contracted graphs fall back to
     # the iterative loop below.
-    n_e2 = e2.count()
-    if driver_finish_limit and n_e2 <= driver_finish_limit:
+    if driver_finish_limit and e2.count() <= driver_finish_limit:
         mapping = _local_union_find(e2.select("a", "b").collect())
         labels = e2.sparkSession.createDataFrame(
             [(k, v) for k, v in mapping.items()],

@@ -8,9 +8,10 @@ aggregations shuffle on the same key, so AQE coalesces them into
 co-partitioned joins with no extra repartition.
 
 Reference analog: the chained gate predicates of the pipeline driver
-(``pipelines/metadata_extraction/metadata_extraction_pipeline.py`` filter
-chain + the ``_should_run`` guards), generalized from per-map gating to
-corpus curation.
+(``pipelines/metadata_extraction/metadata_extraction_pipeline.py:56-110``
+— text_filter stage then filtered-text metadata extraction — plus the
+``_should_run`` guards), generalized from per-map gating to corpus
+curation.
 """
 
 from __future__ import annotations

@@ -8,8 +8,9 @@ is evicted — this is what makes the join runnable on an unbounded stream
 instead of accumulating both sides forever.
 
 Reference analog: the queue-driven request/result correlation of the
-pipeline servers (``tasks/common/request_client.py`` request ↔ result
-matching), generalized to event-time attribution.
+pipeline servers (``tasks/common/request_client.py:86-127`` — the
+request-queue/result-queue pairing the RequestClient maintains),
+generalized to event-time attribution.
 """
 
 from __future__ import annotations
