@@ -202,9 +202,9 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
-    voc = d.select(F.explode("w").alias("word")).agg(
-        F.countDistinct("word").cast("long").alias("v")
-    )
+    # vocab size = |ug| — reuse the unigram aggregate instead of a second
+    # full explode+distinct over the corpus
+    voc = ug.agg(F.count(F.lit(1)).cast("long").alias("v"))
     scored = (
         doc_bg.join(bg_corpus, ["w1", "w2"])
         .join(ug.withColumnRenamed("word", "w1"), "w1")
