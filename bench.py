@@ -1,14 +1,20 @@
 #!/usr/bin/env python
 """Per-round benchmark harness.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "backfill": {... scaling evidence: N vs 4N cores ...}}
+Prints ONE COMPACT JSON line as its LAST line of stdout:
+  {"metric": ..., "value": <rows/sec>, "unit": "rows/sec",
+   "queries": {<headline queries only>: sec}, "sf": ...,
+   "total_query_sec": ..., "backfill": {... scaling evidence ...}}
+
+The line is deliberately small (<2 KB): rounds 2 and 3 were recorded
+`parsed: null` because the 97-query timing dict pushed the line past the
+driver's stdout tail capture.  The FULL result — every per-query timing plus
+all paired scaling rounds — is written to bench_out.json; the stdout line
+carries only the grade-bearing numbers.
 
 Two parts:
   1. Scaling evidence (north rule): the end-to-end feature backfill runs in
-     two fresh JVMs at N and 4N cores (default local[2] vs local[8]) on the
+     two fresh JVMs at N and 4N cores (default local[1] vs local[4]) on the
      SAME amplified input with the SAME static plan; throughput at both and
      the scaling efficiency are reported.  See scripts/bench_worker.py for
      the measurement methodology.
@@ -77,19 +83,15 @@ def main() -> int:
     def median_round():
         return sorted(rounds, key=lambda r: r[2])[len(rounds) // 2]
 
-    for _ in range(3):
+    # Fixed-round protocol: ALWAYS the same number of paired rounds, median
+    # reported.  (Earlier rounds ran 3 and extended to 5 only when the median
+    # was low — a one-sided re-measurement rule that could only raise the
+    # reported number.  Hypervisor interference here is one-sided — bandwidth
+    # starvation lowers the 4N leg — so the median over a FIXED 5 rounds is
+    # robust to two bad epochs without conditioning sampling on the result.)
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+    for _ in range(n_rounds):
         paired_round()
-    # Adaptive extension: hypervisor interference is one-sided (bandwidth
-    # starvation only LOWERS the measured ratio — the 4N leg is the
-    # bandwidth-hungry one), so a sub-target median after 3 rounds is more
-    # likely a bad epoch than the engine.  Two extra paired rounds make the
-    # median robust to two bad epochs; a genuinely non-scaling engine stays
-    # sub-target through all five.  Trigger at 0.85 (not the 0.8 target):
-    # a marginal median is itself evidence one round's epoch flipped —
-    # round-3 observed paired medians {0.956, 0.805, 0.507} in one run.
-    if median_round()[2] < 0.85:
-        for _ in range(2):
-            paired_round()
     low, high, efficiency = median_round()
     speedup = efficiency * core_ratio
 
@@ -125,45 +127,59 @@ def main() -> int:
 
     total = round(sum(qtimes.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    result = {
-        # headline value IS the throughput the metric name promises
-        # (north rule: sequences/sec end-to-end feature backfill); the 4N-core
-        # leg is the representative multi-executor figure.  Per-query wall
-        # seconds live under "queries", suite total under "total_query_sec".
+    backfill = {
+        "amp": AMP,
+        "rows": low["n_sequences"] + low["n_probes"],
+        f"local[{SCALING_N}]_sec": low["elapsed_sec"],
+        f"local[{SCALING_4N}]_sec": high["elapsed_sec"],
+        f"local[{SCALING_N}]_rows_per_sec": low["rows_per_sec"],
+        f"local[{SCALING_4N}]_rows_per_sec": high["rows_per_sec"],
+        "speedup": round(speedup, 3),
+        "core_ratio": core_ratio,
+        "scaling_efficiency": round(efficiency, 3),
+        "paired_rounds": len(rounds),
+        "efficiency_rounds": [round(eff, 3) for _, _, eff in rounds],
+    }
+    # headline value IS the throughput the metric name promises (north rule:
+    # sequences/sec end-to-end feature backfill); the 4N-core leg is the
+    # representative multi-executor figure.  The stdout "queries" dict holds
+    # only a handful of headline queries so the line stays small enough for
+    # the driver's tail capture; the full 97-query dict goes to
+    # bench_out.json.
+    headline_qs = [
+        "feature_backfill", "asof_per_source", "sessionize_events",
+        "lag_lead_context", "dedup_minhash_lsh", "ann_cosine_topk",
+        "corpus_curation", "streaming_sessions",
+    ]
+    summary = {
         "metric": "sequences_per_sec_feature_backfill",
         "value": high["rows_per_sec"],
         "unit": "rows/sec",
-        "total_query_sec": total,
-        "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "backfill": {
-            "amp": AMP,
-            "rows": low["n_sequences"] + low["n_probes"],
-            f"local[{SCALING_N}]_sec": low["elapsed_sec"],
-            f"local[{SCALING_4N}]_sec": high["elapsed_sec"],
-            f"local[{SCALING_N}]_rows_per_sec": low["rows_per_sec"],
-            f"local[{SCALING_4N}]_rows_per_sec": high["rows_per_sec"],
-            "speedup": round(speedup, 3),
-            "core_ratio": core_ratio,
-            "scaling_efficiency": round(efficiency, 3),
-            # best paired round: the least interference-biased observation
-            # of the engine's scaling capability (interference is one-sided)
-            "scaling_efficiency_best": round(max(r[2] for r in rounds), 3),
-            "paired_rounds": [
-                {
-                    f"local[{SCALING_N}]_sec": lo["elapsed_sec"],
-                    f"local[{SCALING_4N}]_sec": hi["elapsed_sec"],
-                    "efficiency": round(eff, 3),
-                }
-                for lo, hi, eff in rounds
-            ],
-        },
+        "n_queries": len(qtimes),
+        "total_query_sec": total,
+        "queries": {k: qtimes[k] for k in headline_qs if k in qtimes},
+        "backfill": backfill,
+        "queries_file": "bench_out.json",
     }
-    line = json.dumps(result)
-    print(line, flush=True)
-    # fallback artifact in case the caller's stdout capture truncates
+    full = dict(summary)
+    full["queries"] = qtimes
+    full["backfill"] = {
+        **backfill,
+        "paired_rounds": [
+            {
+                f"local[{SCALING_N}]_sec": lo["elapsed_sec"],
+                f"local[{SCALING_4N}]_sec": hi["elapsed_sec"],
+                "efficiency": round(eff, 3),
+            }
+            for lo, hi, eff in rounds
+        ],
+    }
     with open(os.path.join(HERE, "bench_out.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
+    # compact summary is the LAST stdout line — the only thing the driver
+    # needs to parse
+    print(json.dumps(summary), flush=True)
     return 0
 
 
