@@ -203,21 +203,30 @@ def merge_upsert(
         "rows_inserted": n_inserted,
         "buckets": entries,
     }
-    # compare-and-swap commit: the manifest for version v is created with
-    # O_CREAT|O_EXCL, so two writers that both read version v-1 cannot both
-    # commit v — the loser fails loudly here instead of silently discarding
-    # the winner's rows (Iceberg's optimistic-concurrency commit analog;
-    # the caller may re-read and retry the whole merge).
+    # compare-and-swap commit with crash atomicity: the manifest is written
+    # COMPLETELY to a private tmp file, then published under its versioned
+    # name via os.link — which, like O_EXCL, fails if the name exists (two
+    # writers that both read version v-1 cannot both commit v; the loser
+    # fails loudly instead of silently discarding the winner's rows —
+    # Iceberg's optimistic-concurrency commit analog), but unlike a direct
+    # O_EXCL write can never leave a PARTIAL manifest-v file behind on a
+    # crash: the versioned name either does not exist or points at a fully
+    # written manifest, so a crashed commit never wedges later merges.
     mpath = _manifest_path(target_dir, next_v)
+    tmp_m = os.path.join(target_dir, f".manifest-{next_v}.{os.getpid()}.tmp")
+    with open(tmp_m, "w") as f:
+        json.dump(new_manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        os.link(tmp_m, mpath)  # atomic AND exclusive publish
     except FileExistsError as e:
+        os.unlink(tmp_m)
         raise RuntimeError(
             f"concurrent merge detected: manifest version {next_v} already "
             "committed by another writer; re-read the table and retry"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(new_manifest, f, indent=1, sort_keys=True)
+    os.unlink(tmp_m)
 
     tmp_ptr = os.path.join(target_dir, "._CURRENT.tmp")
     with open(tmp_ptr, "w") as f:
