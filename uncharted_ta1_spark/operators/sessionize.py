@@ -71,7 +71,14 @@ def session_aggs(
     ]
     for c, how in agg_cols.items():
         if how == "sum":
-            aggs.append(F.round(F.sum(F.col(c)), 6).alias(f"session_sum_{c}"))
+            # Exact fixed-point sum at 6 dp: quantize each value to integer
+            # micro-units with floor (floor is exact IEEE, identical in every
+            # engine — round() has cross-engine tie hazards), sum as BIGINT
+            # (order-free), divide once.  The int64 sum holds ~9e12 rows of
+            # |value|<=1000 per group — ample for per-session/per-key groups
+            # at any scale.
+            micro = F.sum(F.floor(F.col(c) * F.lit(1e6)))
+            aggs.append((micro / F.lit(1e6)).alias(f"session_sum_{c}"))
         elif how == "mean":
             aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"session_mean_{c}"))
         else:

@@ -57,7 +57,12 @@ def sessionized_stream(
         .groupBy(F.col("user_id"), F.session_window("event_time", gap))
         .agg(
             F.count(F.lit(1)).cast("long").alias("session_len"),
-            F.round(F.sum("value"), 6).alias("session_sum_value"),
+            # exact fixed-point micro-unit sum (order-free; matches the batch
+            # session_aggs rule) — a rounded double sum is order-dependent
+            # across the state store's accumulation order
+            (F.sum(F.floor(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias(
+                "session_sum_value"
+            ),
             F.min(F.col("event_time")).alias("first_event_time"),
             F.max(F.col("event_time")).alias("last_event_time"),
         )

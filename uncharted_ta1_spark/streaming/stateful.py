@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -22,7 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, value_sum double, last_ts timestamp_ntz"
 )
-STATE_SCHEMA = "n long, s double, last_us long"
+STATE_SCHEMA = "n long, s_micro long, last_us long"
 
 
 def _update_user_state(
@@ -30,17 +31,23 @@ def _update_user_state(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+    # value_sum accumulates as integer micro-units (floor(value*1e6), exact
+    # IEEE, identical in every engine) so the running sum is order-free —
+    # a double accumulator's result depends on Arrow-batch order and can
+    # diverge from any fixed oracle after rounding.  The final double is one
+    # int->double division, bit-identical to the oracle's.
+    n, s_micro, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        s_micro += int(np.floor(v * 1e6).astype(np.int64).sum())
         last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
-    state.update((n, s, last_us))
+    state.update((n, s_micro, last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "value_sum": [s],
+            "value_sum": [s_micro / 1e6],
             "last_ts": [pd.Timestamp(last_us * 1000)],
         }
     )
