@@ -131,33 +131,48 @@ def _pixel_lut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """Vectorized per-blob kernel: whiten background bytes, apply the gamma
     LUT, reduce to per-doc stats + a 4-bin histogram.  All integer
     arithmetic; per-doc reductions via np.add.reduceat over the
-    concatenated byte stream — per-row Python never runs."""
+    concatenated byte stream — per-row Python never runs.
+
+    Zero-length payloads are handled explicitly (all-zero stats): reduceat
+    misbehaves on empty segments — an offset equal to len(flat) raises, and a
+    zero-length segment returns the NEXT element — so empty rows are masked
+    out of the segmented reduction and filled with zeros.  The kernel
+    operates on raw BYTES (the blob contract); callers whose oracle models
+    text codepoints must restrict to ASCII payloads where the two coincide
+    (see q_pixel_lut_stats)."""
     import numpy as np
 
     lut = np.asarray(GAMMA_LUT, dtype="int64")
+    stat_cols = ("n_foreground", "lut_sum", "lut_min", "lut_max",
+                 "h0", "h1", "h2", "h3")
     for pdf in batches:
         if not len(pdf):
             continue
         raw = [np.frombuffer(bytes(p), dtype="uint8") for p in pdf["payload"]]
         n = np.array([len(r) for r in raw], dtype="int64")
-        flat = np.concatenate(raw).astype("int64")
-        offs = np.concatenate(([0], np.cumsum(n)[:-1]))
-        fg = (flat >= FG_LO) & (flat <= FG_HI)
-        whitened = np.where(fg, flat, np.minimum(flat + WHITE_SHIFT, 255))
-        vals = lut[whitened]
-        bins = vals >> 6  # 4 histogram buckets of 64 intensity levels
         out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].to_numpy("int64"),
-                "n_px": n,
-                "n_foreground": np.add.reduceat(fg.astype("int64"), offs),
-                "lut_sum": np.add.reduceat(vals, offs),
-                "lut_min": np.minimum.reduceat(vals, offs),
-                "lut_max": np.maximum.reduceat(vals, offs),
-            }
+            {"doc_id": pdf["doc_id"].to_numpy("int64"), "n_px": n}
         )
-        for b in range(4):
-            out[f"h{b}"] = np.add.reduceat((bins == b).astype("int64"), offs)
+        cols = {k: np.zeros(len(pdf), dtype="int64") for k in stat_cols}
+        nz = n > 0
+        if nz.any():
+            flat = np.concatenate([r for r in raw if len(r)]).astype("int64")
+            nzn = n[nz]
+            offs = np.concatenate(([0], np.cumsum(nzn)[:-1]))
+            fg = (flat >= FG_LO) & (flat <= FG_HI)
+            whitened = np.where(fg, flat, np.minimum(flat + WHITE_SHIFT, 255))
+            vals = lut[whitened]
+            bins = vals >> 6  # 4 histogram buckets of 64 intensity levels
+            cols["n_foreground"][nz] = np.add.reduceat(fg.astype("int64"), offs)
+            cols["lut_sum"][nz] = np.add.reduceat(vals, offs)
+            cols["lut_min"][nz] = np.minimum.reduceat(vals, offs)
+            cols["lut_max"][nz] = np.maximum.reduceat(vals, offs)
+            for b in range(4):
+                cols[f"h{b}"][nz] = np.add.reduceat(
+                    (bins == b).astype("int64"), offs
+                )
+        for k in stat_cols:
+            out[k] = cols[k]
         yield out
 
 
