@@ -6,7 +6,9 @@ Runs, like the driver does:
   2. every queries()[name] at the given sf vs oracle_sql()[name] in DuckDB
      (row count + sorted-column value comparison)
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+  With query names given, only those queries run (entry smoke is skipped) —
+  the fast loop while iterating on one operator.
 """
 
 from __future__ import annotations
@@ -21,27 +23,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) +
 import duckdb
 
 import __spark_entry__ as entrymod
-from tests.oracle_check import compare_frames
+from tests.oracle_check import assert_no_nan, compare_frames
 from uncharted_ta1_spark.datagen import BASE_TABLES
 from uncharted_ta1_spark.session import get_spark
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark(master="local[8]", app_name="driver-sim")
 
-    t0 = time.time()
-    df = entrymod.entry(spark)
-    n = df.count()
-    print(f"[entry] rows={n} schema={[f.name for f in df.schema.fields]} "
-          f"({time.time() - t0:.1f}s)")
-    assert n > 0
+    if not only:
+        t0 = time.time()
+        df = entrymod.entry(spark)
+        n = df.count()
+        print(f"[entry] rows={n} schema={[f.name for f in df.schema.fields]} "
+              f"({time.time() - t0:.1f}s)")
+        assert n > 0
 
     con = duckdb.connect()
     for name in BASE_TABLES:
         con.sql(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
 
     queries = entrymod.queries()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in sorted(queries.items()):
@@ -49,6 +58,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
+            assert_no_nan(sdf, name)
             if name in oracles:
                 duck_pdf = con.sql(oracles[name]).df()
                 compare_frames(spark_pdf, duck_pdf, name)

@@ -57,10 +57,31 @@ def canonical_rows(df: pd.DataFrame, *, strict: bool = True) -> list[tuple]:
     return out
 
 
+def assert_no_negative_zero(pdf: pd.DataFrame, side: str, name: str = "") -> None:
+    """Structural signed-zero gate: the driver's value-hash distinguishes
+    -0.0 from +0.0 (round-2 red row), so NO query output or oracle result may
+    carry a negative zero — sign-straddling rounded columns must apply the
+    `+ 0.0` collapse on BOTH dialects.  Enforced on every compare so the
+    hazard cannot hide in queries the driver hasn't sampled yet."""
+    for col in pdf.columns:
+        vals = pdf[col]
+        if not np.issubdtype(vals.dtype, np.floating):
+            continue
+        arr = vals.to_numpy()
+        neg_zero = (arr == 0.0) & np.signbit(arr)
+        assert not neg_zero.any(), (
+            f"{name}: {side} column {col!r} contains -0.0 "
+            f"({int(neg_zero.sum())} cells) — apply `+ 0.0` after round() on "
+            "both dialects"
+        )
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
+    assert_no_negative_zero(spark_pdf, "spark", name)
+    assert_no_negative_zero(duck_pdf, "duckdb", name)
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
@@ -73,9 +94,35 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = 
         )
 
 
+def assert_no_nan(sdf, name: str = "") -> None:
+    """Structural NaN gate, checked on the Spark DataFrame where NULL and NaN
+    are still distinguishable (pandas collapses both to NaN): a true NaN in a
+    query output means an unguarded 0/0 or log(0) — the oracle's NULL would
+    hash-differ at the driver even though the local pandas compare can't see
+    it.  NULLs are legitimate; NaNs never are."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    float_cols = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    ]
+    if not float_cols:
+        return
+    counts = sdf.select(
+        [F.sum(F.isnan(c).cast("long")).alias(c) for c in float_cols]
+    ).collect()[0]
+    bad = {c: counts[c] for c in float_cols if (counts[c] or 0) > 0}
+    assert not bad, (
+        f"{name}: NaN cells in query output {bad} — guard the division/log; "
+        "the oracle's NULL twin would hash-differ at the driver"
+    )
+
+
 def run_compare(spark, con, query_fn, sql: str, sf_dir: str, name: str = "") -> int:
     sdf = query_fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
+    assert_no_nan(sdf, name)
     duck_pdf = con.sql(sql).df()
     compare_frames(spark_pdf, duck_pdf, name)
     return len(spark_pdf)

@@ -53,6 +53,37 @@ def test_query_output_has_no_nested_columns(spark, name):
     assert not bad, f"{name}: nested output columns would crash the driver: {bad}"
 
 
+def test_compare_frames_rejects_negative_zero():
+    """The structural signed-zero gate: a -0.0 in EITHER frame must fail the
+    compare even when the values are numerically equal — the driver's
+    value-hash distinguishes repr(-0.0) from repr(0.0) (round-2 red row)."""
+    import pandas as pd
+
+    from tests.oracle_check import compare_frames
+
+    good = pd.DataFrame({"x": [0.0, 1.5]})
+    bad = pd.DataFrame({"x": [-0.0, 1.5]})
+    with pytest.raises(AssertionError, match="-0.0"):
+        compare_frames(bad, good, "negzero")
+    with pytest.raises(AssertionError, match="-0.0"):
+        compare_frames(good, bad, "negzero")
+    compare_frames(good, good.copy(), "negzero-ok")
+
+
+def test_assert_no_nan_distinguishes_null_from_nan(spark):
+    """NaN gate: real NaN in a double column fails; NULL passes (pandas
+    collapses both to NaN, so this must be checked Spark-side)."""
+    from tests.oracle_check import assert_no_nan
+
+    ok = spark.sql("SELECT * FROM VALUES (1.0), (CAST(NULL AS DOUBLE)) t(x)")
+    assert_no_nan(ok, "nulls-ok")
+    bad = spark.sql(
+        "SELECT * FROM VALUES (1.0), (CAST('NaN' AS DOUBLE)) t(x)"
+    )
+    with pytest.raises(AssertionError, match="NaN"):
+        assert_no_nan(bad, "nan-bad")
+
+
 def test_canonical_rows_rejects_list_cells():
     """oracle_check must be exactly as strict as the driver: a frame with a
     list-typed cell must fail canonicalization, not be silently tuple-ized."""
