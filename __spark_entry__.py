@@ -3650,6 +3650,132 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with a TRAINED coarse quantizer: one deterministic Lloyd
+    iteration refines the seed centroids (broadcast assign -> per-component
+    integer mean -> reassign; similarity.py:_centroid_set) — the knob a
+    100 TB ANN deployment actually tunes, here engine-exact so the trained
+    cells are oracle-checkable.  Reference analog: the fit-then-lookup
+    pattern of tasks/geo_referencing/georeference.py:130-144."""
+    return ann_ivf_topk(
+        _embeddings(spark, sf_dir),
+        query_pred=F.col("vec_id") % 50 == 0,
+        k=3,
+        n_iters=1,
+    )
+
+
+ORACLE_ANN_IVF_TRAINED = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb, nrm AS cnrm
+  FROM base WHERE vec_id < 16
+),
+assign0 AS (
+  SELECT b.vec_id AS vid, c.cid AS cell,
+         list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
+  FROM base b CROSS JOIN cents0 c
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) = 1
+),
+ei AS (
+  SELECT vec_id, i, CAST(floor(e * 1e6 + 0.5e0) AS BIGINT) AS e_int
+  FROM (SELECT vec_id, unnest(range(len(emb))) AS i, unnest(emb) AS e FROM base)
+),
+upd AS (
+  SELECT a.cell AS cid, ei.i,
+         floor(CAST(CAST(sum(ei.e_int) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) AS c
+  FROM ei JOIN assign0 a ON a.vid = ei.vec_id
+  GROUP BY a.cell, ei.i
+),
+cents AS (
+  SELECT cid, list(c ORDER BY i) AS cemb,
+         sqrt(list_dot_product(list(c ORDER BY i), list(c ORDER BY i))) AS cnrm
+  FROM upd GROUP BY cid
+),
+assign AS (
+  SELECT b.vec_id AS vid, c.cid AS cell,
+         list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
+  FROM base b CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) = 1
+),
+withc AS (
+  SELECT b.vec_id, b.emb, b.nrm, a.cell
+  FROM base b JOIN assign a ON a.vid = b.vec_id
+),
+q AS (SELECT vec_id AS qid, emb AS qe, nrm AS qn, cell AS qcell
+      FROM withc WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT qid, vec_id AS vid, withc.cell,
+         list_dot_product(qe, emb) / (qn * nrm) AS sim
+  FROM q JOIN withc ON qcell = withc.cell AND qid != vec_id
+)
+SELECT qid, vid, cell, round(sim, 9) + 0.0 AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= 3
+"""
+
+
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of the IVF path at iter 0 (seed centroids) vs
+    iter 1 (one Lloyd training pass), per query, against the exact
+    brute-force top-3 — the go/no-go evidence that TRAINING the coarse
+    quantizer buys recall before deploying it at scale (companion to the
+    LSH-granularity harness ``ann_recall``)."""
+    emb = _embeddings(spark, sf_dir)
+    pred = F.col("vec_id") % 50 == 0
+    exact = (
+        cosine_topk(emb, query_pred=pred, k=5)
+        .where(F.col("rank") <= 3)
+        .select("qid", "vid")
+    )
+
+    def recall_for(n_iters: int, tag: str) -> DataFrame:
+        ivf = ann_ivf_topk(
+            emb, query_pred=pred, k=3, n_iters=n_iters
+        ).select("qid", "vid", F.lit(1).alias("hit"))
+        return (
+            exact.join(ivf, ["qid", "vid"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count("hit").cast("long").alias(f"n_hits_{tag}"),
+                (F.count("hit").cast("double") / F.lit(3.0)).alias(f"recall_{tag}"),
+            )
+        )
+
+    return recall_for(0, "seed").join(recall_for(1, "trained"), "qid")
+
+
+# exact/IVF CTE bodies are the ANN queries' own oracles, nested verbatim
+ORACLE_ANN_RECALL_IVF = """
+WITH ex_full AS ({ex}),
+seed_full AS ({seed}),
+tr_full AS ({tr}),
+ex3 AS (SELECT qid, vid FROM ex_full WHERE rank <= 3),
+rs AS (
+  SELECT ex3.qid,
+         CAST(count(l.hit) AS BIGINT) AS n_hits_seed,
+         CAST(count(l.hit) AS DOUBLE) / 3.0::DOUBLE AS recall_seed
+  FROM ex3 LEFT JOIN (SELECT qid, vid, 1 AS hit FROM seed_full) l USING (qid, vid)
+  GROUP BY ex3.qid
+),
+rt AS (
+  SELECT ex3.qid,
+         CAST(count(l.hit) AS BIGINT) AS n_hits_trained,
+         CAST(count(l.hit) AS DOUBLE) / 3.0::DOUBLE AS recall_trained
+  FROM ex3 LEFT JOIN (SELECT qid, vid, 1 AS hit FROM tr_full) l USING (qid, vid)
+  GROUP BY ex3.qid
+)
+SELECT rs.qid, rs.n_hits_seed, rs.recall_seed, rt.n_hits_trained, rt.recall_trained
+FROM rs JOIN rt USING (qid)
+"""
+
+
 def q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with multi-probe (nprobe=2): queries search their TWO nearest
     centroid cells — the standard recall knob of IVF indexes; candidate
@@ -4124,6 +4250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datum_shift": q_datum_shift,
         "greedy_match_f1": q_greedy_match_f1,
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_recall_ivf": q_ann_recall_ivf,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
@@ -4232,6 +4360,12 @@ def oracle_sql() -> dict[str, str]:
         "datum_shift": ORACLE_DATUM_SHIFT,
         "greedy_match_f1": ORACLE_GREEDY_MATCH,
         "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
+        "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
+        "ann_recall_ivf": ORACLE_ANN_RECALL_IVF.format(
+            ex=ORACLE_ANN_COSINE,
+            seed=ORACLE_ANN_IVF,
+            tr=ORACLE_ANN_IVF_TRAINED,
+        ),
         "doc_repetition": ORACLE_DOC_REPETITION,
         "decontaminate": ORACLE_DECONTAMINATE,
         "span_dedup": ORACLE_SPAN_DEDUP,

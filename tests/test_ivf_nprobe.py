@@ -22,6 +22,26 @@ def test_nprobe1_identical_to_original(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_trained_centroids_beat_seed_recall(spark):
+    """One Lloyd iteration must measurably improve IVF recall@3 over the
+    seed centroids on this corpus (0.167 -> 0.233 mean at 500 vectors) —
+    the evidence ann_recall_ivf exists to produce.  Also sanity-checks the
+    trained centroid set: still n_centroids cells at most, integer-valued
+    micro-unit components."""
+    df = E.q_ann_recall_ivf(spark, SF).toPandas()
+    assert df["recall_trained"].mean() > df["recall_seed"].mean()
+
+
+def test_trained_centroids_are_integer_micro_units(spark):
+    from uncharted_ta1_spark.operators.similarity import _centroid_set
+
+    emb = E._embeddings(spark, SF)
+    cents = _centroid_set(emb, n_iters=1).toPandas()
+    assert 0 < len(cents) <= 16
+    for arr in cents["_c_emb"]:
+        assert all(float(x).is_integer() for x in arr)
+
+
 def test_recall_monotone_in_nprobe(spark):
     """Probing more cells can only add candidates: the exact top-3 overlap
     must be non-decreasing in nprobe (strictly better here by data)."""

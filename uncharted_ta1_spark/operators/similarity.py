@@ -208,36 +208,130 @@ def ann_lsh_topk(
 N_CENTROIDS = 16
 
 
-def ivf_cells(
-    emb: DataFrame, *, id_col: str = "vec_id", n_centroids: int = N_CENTROIDS
-) -> DataFrame:
-    """(vid, cell) — IVF coarse quantization: every vector assigned to its
-    nearest (max-cosine) centroid.
+def _centroid_sims(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(vid, cid, _csim) — every vector's cosine against every centroid: one
+    narrow corpus pass over a broadcast of the tiny centroid set."""
+    return base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vid"),
+        "cid",
+        (
+            _dot(F.col("_emb_d"), F.col("_c_emb"))
+            / (F.col("_norm") * F.col("_c_norm"))
+        ).alias("_csim"),
+    )
 
-    Centroids are the embeddings of ``vec_id < n_centroids`` — deterministic
-    seed vectors instead of k-means (no RNG in data paths; a production
-    deployment swaps in trained centroids, the assignment/search plan is
-    identical).  Assignment is a broadcast of the tiny centroid set against
-    the corpus (one narrow pass, |C| x n_centroids dot products) with a
-    deterministic argmax (sim desc, cid asc).
-    """
+
+def _nearest_cells(
+    base: DataFrame, cents: DataFrame, *, id_col: str = "vec_id", nprobe: int = 1
+) -> DataFrame:
+    """(vid, cell) of each vector's ``nprobe`` max-cosine centroids, with a
+    deterministic tie-break (sim desc, cid asc).
+
+    nprobe=1 is a map-side-combinable ``max(struct)`` argmax — partial
+    aggregation collapses the |C| x n_centroids sims to |C| rows before the
+    shuffle, where a row_number window would sort the full sims set.
+    nprobe>1 needs the rank window."""
+    sims = _centroid_sims(base, cents, id_col)
+    if nprobe == 1:
+        best = F.max(F.struct(F.col("_csim"), (-F.col("cid")).alias("_ncid")))
+        return (
+            sims.groupBy("vid")
+            .agg(best.alias("_b"))
+            .select("vid", (-F.col("_b._ncid")).cast("int").alias("cell"))
+        )
+    w = Window.partitionBy("vid").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("vid", F.col("cid").alias("cell"))
+    )
+
+
+def _centroid_set(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = 0,
+) -> DataFrame:
+    """(cid, _c_emb, _c_norm) — seed centroids (the embeddings of ``vec_id <
+    n_centroids``; no RNG in data paths), refined by ``n_iters``
+    deterministic Lloyd iterations.
+
+    Each iteration is (a) a broadcast assignment pass (one narrow scan of
+    the corpus) and (b) a centroid update: per-component INTEGER mean of the
+    members' fixed-point vectors — BIGINT sums are order-free and the floor
+    double division is exact (quotient granularity 1/n dwarfs double ulp at
+    these magnitudes), so trained centroids are bit-identical in any engine.
+    Cosine is scale-invariant, so micro-unit centroids need no rescaling.
+    At 10^12 rows each iteration costs one narrow pass plus one map-side-
+    combinable shuffle whose reduced size is n_centroids x dims rows.
+
+    Reference analog: the fit-then-lookup pattern of
+    tasks/geo_referencing/georeference.py:130-144 (train a tiny model on the
+    data, broadcast it back over the data)."""
     base = with_norm(emb)
     cents = base.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("int").alias("cid"),
         F.col("_emb_d").alias("_c_emb"),
         F.col("_norm").alias("_c_norm"),
     )
-    sims = base.crossJoin(F.broadcast(cents)).select(
+    if n_iters <= 0:
+        return cents
+    flat = emb.select(
         F.col(id_col).alias("vid"),
-        "cid",
-        (_dot(F.col("_emb_d"), F.col("_c_emb")) / (F.col("_norm") * F.col("_c_norm"))).alias("_csim"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "e"),
+    ).select(
+        "vid",
+        "i",
+        F.floor(F.col("e") * FIXED_POINT + F.lit(0.5)).cast("long").alias("e_int"),
     )
-    w = Window.partitionBy("vid").orderBy(F.col("_csim").desc(), F.col("cid").asc())
-    return (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vid", F.col("cid").alias("cell"))
+    for _ in range(n_iters):
+        assign = _nearest_cells(base, cents, id_col=id_col, nprobe=1)
+        cents = (
+            flat.join(assign, "vid")
+            .groupBy("cell", "i")
+            .agg(
+                F.floor(F.sum("e_int") / F.count(F.lit(1)))
+                .cast("double")
+                .alias("c")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_ic"))
+            .select(
+                F.col("cell").cast("int").alias("cid"),
+                F.transform("_ic", lambda s: s["c"]).alias("_c_emb"),
+            )
+            .withColumn("_c_norm", F.sqrt(_dot(F.col("_c_emb"), F.col("_c_emb"))))
+        )
+        # n_centroids rows: materialize so every downstream broadcast of the
+        # trained set doesn't replay a full corpus pass per reference
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def ivf_cells(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = 0,
+) -> DataFrame:
+    """(vid, cell) — IVF coarse quantization: every vector assigned to its
+    nearest (max-cosine) centroid.
+
+    ``n_iters=0`` uses the deterministic seed vectors; ``n_iters>0`` trains
+    the coarse quantizer with that many Lloyd iterations (see
+    :func:`_centroid_set`) — the knob a 100 TB ANN deployment tunes, with
+    ``ann_recall_ivf`` as the measurement harness.  Assignment is a
+    broadcast of the tiny centroid set against the corpus (one narrow pass,
+    |C| x n_centroids dot products) with a deterministic argmax.
+    """
+    base = with_norm(emb)
+    cents = _centroid_set(
+        emb, id_col=id_col, n_centroids=n_centroids, n_iters=n_iters
     )
+    return _nearest_cells(base, cents, id_col=id_col, nprobe=1)
 
 
 def ivf_query_cells(
@@ -246,27 +340,16 @@ def ivf_query_cells(
     id_col: str = "vec_id",
     n_centroids: int = N_CENTROIDS,
     nprobe: int = 1,
+    n_iters: int = 0,
 ) -> DataFrame:
     """(vid, cell) for the ``nprobe`` nearest centroids of each vector —
     the multi-probe side of IVF search (same assignment math as
     :func:`ivf_cells`, keeping ranks 1..nprobe instead of only 1)."""
     base = with_norm(emb)
-    cents = base.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).cast("int").alias("cid"),
-        F.col("_emb_d").alias("_c_emb"),
-        F.col("_norm").alias("_c_norm"),
+    cents = _centroid_set(
+        emb, id_col=id_col, n_centroids=n_centroids, n_iters=n_iters
     )
-    sims = base.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("vid"),
-        "cid",
-        (_dot(F.col("_emb_d"), F.col("_c_emb")) / (F.col("_norm") * F.col("_c_norm"))).alias("_csim"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("_csim").desc(), F.col("cid").asc())
-    return (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= nprobe)
-        .select("vid", F.col("cid").alias("cell"))
-    )
+    return _nearest_cells(base, cents, id_col=id_col, nprobe=nprobe)
 
 
 def ann_ivf_topk(
@@ -277,6 +360,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     n_centroids: int = N_CENTROIDS,
     nprobe: int = 1,
+    n_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine ranking restricted to the
     query's ``nprobe`` nearest centroid cells.
@@ -287,12 +371,15 @@ def ann_ivf_topk(
     and the candidate join is a plain hash shuffle — never a cartesian.
     Candidates live in exactly one cell while queries probe ``nprobe``
     distinct cells, so (qid, vid) pairs are unique without dedup.
+    ``n_iters`` Lloyd iterations train the coarse quantizer (shared between
+    the data and query assignment — trained once).
     """
-    cells = ivf_cells(emb, id_col=id_col, n_centroids=n_centroids)
-    base = with_norm(emb).join(cells, F.col(id_col) == F.col("vid")).drop("vid")
-    qcells = ivf_query_cells(
-        emb, id_col=id_col, n_centroids=n_centroids, nprobe=nprobe
+    cents = _centroid_set(
+        emb, id_col=id_col, n_centroids=n_centroids, n_iters=n_iters
     )
+    cells = _nearest_cells(with_norm(emb), cents, id_col=id_col, nprobe=1)
+    base = with_norm(emb).join(cells, F.col(id_col) == F.col("vid")).drop("vid")
+    qcells = _nearest_cells(with_norm(emb), cents, id_col=id_col, nprobe=nprobe)
     q = (
         with_norm(emb)
         .where(query_pred)
