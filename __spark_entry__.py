@@ -75,6 +75,7 @@ from uncharted_ta1_spark.operators.filters import (
     mad_outlier_flag,
 )
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
+from uncharted_ta1_spark.operators.intervals import interval_union
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import (
     ann_ivf_topk,
@@ -699,6 +700,63 @@ SELECT user_id, session_id, session_len,
             ORDER BY session_len DESC, session_id ASC) AS INT) AS session_rank
 FROM per
 QUALIFY session_rank <= 2
+"""
+)
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 completed: per-class confidence filter THEN union of overlapping
+    regions (denoise_segments.py:18-110 recast to 1-D) — events above the
+    confidence threshold span an interval [ts, ts + 5..35 min]; overlapping
+    intervals of the same (user, class) merge to one covering region via
+    sort + running-max gap-cumsum (one shuffle, no self-join)."""
+    datagen.register_base_tables(spark, sf_dir)
+    ev = datagen.events_epoch_df(spark, sf_dir).where(F.col("value") >= 10.0)
+    iv = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts_us").alias("lo"),
+        (
+            F.col("ts_us") + (F.col("event_id") % 7 + 1) * F.lit(300000000)
+        ).alias("hi"),
+    )
+    return interval_union(
+        iv,
+        keys=["user_id", "event_type"],
+        lo="lo",
+        hi="hi",
+        order_tiebreak=["event_id"],
+    )
+
+
+ORACLE_INTERVAL_UNION = (
+    duck_with(EVENTS_DUCK)
+    + """
+, iv AS (
+  SELECT user_id, event_type, event_id, ts_us AS lo,
+         ts_us + (event_id % 7 + 1) * 300000000 AS hi
+  FROM events_epoch WHERE value >= 10.0
+), marked AS (
+  SELECT *, max(hi) OVER (PARTITION BY user_id, event_type
+             ORDER BY lo, hi, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+  FROM iv
+), flagged AS (
+  SELECT *, CASE WHEN prev_hi IS NULL THEN 0
+                 WHEN lo > prev_hi THEN 1 ELSE 0 END AS new_r
+  FROM marked
+), reg AS (
+  SELECT *, CAST(sum(new_r) OVER (PARTITION BY user_id, event_type
+            ORDER BY lo, hi, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS region_id
+  FROM flagged
+)
+SELECT user_id, event_type, region_id,
+       CAST(min(lo) AS BIGINT) AS region_lo,
+       CAST(max(hi) AS BIGINT) AS region_hi,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM reg GROUP BY user_id, event_type, region_id
 """
 )
 
@@ -4192,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counters": q_streaming_counters,
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
+        "interval_union": q_interval_union,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
         "adaptive_topup": q_adaptive_topup,
@@ -4296,6 +4355,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_counters": ORACLE_STREAMING_COUNTERS,
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
+        "interval_union": ORACLE_INTERVAL_UNION,
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
         "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,
