@@ -75,6 +75,7 @@ from uncharted_ta1_spark.operators.filters import (
     mad_outlier_flag,
 )
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
+from uncharted_ta1_spark.operators.affinefit import affine_fit, cramer_sql
 from uncharted_ta1_spark.operators.intervals import interval_union
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import (
@@ -4226,6 +4227,89 @@ FROM clusters
 
 
 # ---------------------------------------------------------------------------
+# Affine-from-GCPs fit (util.py:242-335): 6-param least squares per doc
+# ---------------------------------------------------------------------------
+
+# Dual-dialect GCP derivation (identical text runs in Spark SQL and DuckDB):
+# synthetic ground-control points — pixel coords from event ids, world coords
+# from a per-doc integer affine plus deterministic integer noise.  Thinned by
+# event_id % 37 so small scale factors also produce n<3 (degenerate) groups.
+GCP_AFFINE_SQL = """
+SELECT doc, px, py,
+       (doc % 5 + 1) * px + (doc % 3 - 1) * py + (doc * 17) % 100
+         + (event_id % 11 - 5) AS wx,
+       (doc % 4 - 2) * px + (doc % 6 + 2) * py + (doc * 23) % 80
+         + ((event_id * 3) % 13 - 6) AS wy
+FROM (
+  SELECT event_id, user_id % 30 AS doc, event_id % 97 AS px,
+         (event_id * 7 + 13) % 89 AS py
+  FROM events WHERE event_id % 37 = 0
+) raw_gcps
+"""
+
+
+def q_affine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 6-parameter affine fit from GCPs (the georeferencing model,
+    util.py:242-335): exact-integer sufficient statistics in ONE groupBy,
+    parameters via shared-text Cramer trees (operators/affinefit.py) —
+    bit-identical to the oracle, degenerate groups flagged with NULL
+    params."""
+    datagen.register_base_tables(spark, sf_dir)
+    gcps = spark.sql(GCP_AFFINE_SQL)
+    return affine_fit(gcps, keys=["doc"], min_gcps=3)
+
+
+def _affine_oracle() -> str:
+    cx = cramer_sql("wx", min_gcps=3)
+    cy = cramer_sql("wy", min_gcps=3)
+    return f"""
+WITH gcps AS ({GCP_AFFINE_SQL}),
+s AS (
+  SELECT doc,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(px) AS BIGINT) AS i_sx,
+         CAST(sum(py) AS BIGINT) AS i_sy,
+         CAST(sum(px*px) AS BIGINT) AS i_sxx,
+         CAST(sum(px*py) AS BIGINT) AS i_sxy,
+         CAST(sum(py*py) AS BIGINT) AS i_syy,
+         CAST(sum(px*wx) AS BIGINT) AS i_sxwx,
+         CAST(sum(py*wx) AS BIGINT) AS i_sywx,
+         CAST(sum(wx) AS BIGINT) AS i_swx,
+         CAST(sum(wx*wx) AS BIGINT) AS i_swxwx,
+         CAST(sum(px*wy) AS BIGINT) AS i_sxwy,
+         CAST(sum(py*wy) AS BIGINT) AS i_sywy,
+         CAST(sum(wy) AS BIGINT) AS i_swy,
+         CAST(sum(wy*wy) AS BIGINT) AS i_swywy
+  FROM gcps GROUP BY doc
+),
+sd AS (
+  SELECT doc, n, CAST(n AS DOUBLE) AS nf,
+         CAST(i_sx AS DOUBLE) AS sx, CAST(i_sy AS DOUBLE) AS sy,
+         CAST(i_sxx AS DOUBLE) AS sxx, CAST(i_sxy AS DOUBLE) AS sxy,
+         CAST(i_syy AS DOUBLE) AS syy,
+         CAST(i_sxwx AS DOUBLE) AS sxwx, CAST(i_sywx AS DOUBLE) AS sywx,
+         CAST(i_swx AS DOUBLE) AS swx, CAST(i_swxwx AS DOUBLE) AS swxwx,
+         CAST(i_sxwy AS DOUBLE) AS sxwy, CAST(i_sywy AS DOUBLE) AS sywy,
+         CAST(i_swy AS DOUBLE) AS swy, CAST(i_swywy AS DOUBLE) AS swywy
+  FROM s
+),
+p AS (
+  SELECT *, {cx["a"]} AS a_wx, {cx["b"]} AS b_wx, {cx["c"]} AS c_wx,
+            {cy["a"]} AS a_wy, {cy["b"]} AS b_wy, {cy["c"]} AS c_wy
+  FROM sd
+),
+p2 AS (
+  SELECT *, {cx["rmse"]} AS rmse_x, {cy["rmse"]} AS rmse_y,
+            {cx["degenerate"]} AS degenerate
+  FROM p
+)
+SELECT doc, n AS n_gcps, a_wx AS a, b_wx AS b, c_wx AS c,
+       a_wy AS d, b_wy AS e, c_wy AS f, rmse_x, rmse_y, degenerate
+FROM p2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -4251,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "interval_union": q_interval_union,
+        "affine_fit": q_affine_fit,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
         "adaptive_topup": q_adaptive_topup,
@@ -4356,6 +4441,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "interval_union": ORACLE_INTERVAL_UNION,
+        "affine_fit": _affine_oracle(),
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
         "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,
