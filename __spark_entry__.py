@@ -53,6 +53,7 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash16,
     shingle_repetition,
     simhash_pairs,
+    sliding_span_duplication,
     span_duplication,
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
@@ -1098,6 +1099,44 @@ SELECT i.doc_id,
        CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS dup_span_frac
 FROM sp_inst i JOIN sp_df d ON d.span_hash = i.span_hash
+GROUP BY i.doc_id
+"""
+)
+
+
+def q_span_dedup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window span dedup (stride 5 < span 10): catches duplicated
+    passages that straddle the aligned tier's span boundaries — the
+    substring-dedup gap the aligned path cannot see (dedup.py
+    sliding_span_duplication)."""
+    return sliding_span_duplication(
+        _documents(spark, sf_dir), span_words=10, stride=5
+    )
+
+
+ORACLE_SPAN_DEDUP_SLIDING = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, sl_inst AS (
+  SELECT doc_id,
+         {md5_i64_duck("array_to_string(list_slice(words, (k-1)*5 + 1, (k-1)*5 + 10), ' ')")}
+           AS span_hash
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, greatest(CAST(floor((len(words) - 10) / 5.0) AS BIGINT) + 1, 1) + 1)) AS k
+    FROM doc_words
+  )
+),
+sl_df AS (
+  SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS span_df
+  FROM sl_inst GROUP BY 1
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_span_frac
+FROM sl_inst i JOIN sl_df d ON d.span_hash = i.span_hash
 GROUP BY i.doc_id
 """
 )
@@ -4399,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
+        "span_dedup_sliding": q_span_dedup_sliding,
         "word_entropy": q_word_entropy,
         "corpus_curation": q_corpus_curation,
         "bigram_logprob": q_bigram_logprob,
@@ -4515,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": ORACLE_DOC_REPETITION,
         "decontaminate": ORACLE_DECONTAMINATE,
         "span_dedup": ORACLE_SPAN_DEDUP,
+        "span_dedup_sliding": ORACLE_SPAN_DEDUP_SLIDING,
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),

@@ -67,6 +67,46 @@ def test_span_duplication_flags_cross_doc_spans_only(spark):
     assert out[1]["dup_span_frac"] == 0.5
 
 
+def test_sliding_spans_catch_boundary_straddling_duplicates(spark):
+    """A duplicated passage shifted by 5 words (half the aligned span) never
+    lines up with the aligned 10-word span grid — aligned span dedup misses
+    it entirely; the stride-5 sliding tier places a window at every 5-word
+    offset, so both copies emit the identical p0..p9 window.  (Stride-s
+    windows catch duplicates at offsets congruent mod s — the aligned tier
+    is the degenerate s = span case.)"""
+    from uncharted_ta1_spark.operators.dedup import sliding_span_duplication
+
+    passage = " ".join(f"p{i}" for i in range(14))
+    pre = " ".join(f"x{i}" for i in range(5))  # shift by 5: off-grid for 10
+    pad_a = " ".join(f"a{i}" for i in range(6))
+    pad_b = " ".join(f"b{i}" for i in range(6))
+    rows = [
+        (1, passage + " " + pad_a),  # passage at offset 0
+        (2, pre + " " + passage + " " + pad_b),  # passage at offset 5
+    ]
+    aligned = {
+        r["doc_id"]: r for r in span_duplication(_docs(spark, rows)).collect()
+    }
+    sliding = {
+        r["doc_id"]: r
+        for r in sliding_span_duplication(_docs(spark, rows)).collect()
+    }
+    assert aligned[1]["n_dup_spans"] == 0 and aligned[2]["n_dup_spans"] == 0
+    assert sliding[1]["n_dup_spans"] > 0 and sliding[2]["n_dup_spans"] > 0
+
+
+def test_sliding_spans_short_doc_single_window(spark):
+    from uncharted_ta1_spark.operators.dedup import sliding_span_duplication
+
+    rows = [(1, "only four words here"), (2, "only four words here")]
+    out = {
+        r["doc_id"]: r
+        for r in sliding_span_duplication(_docs(spark, rows)).collect()
+    }
+    assert out[1]["n_spans"] == 1 and out[1]["n_dup_spans"] == 1
+    assert out[2]["dup_span_frac"] == 1.0
+
+
 def test_word_entropy_bounds(spark):
     rows = [
         (1, "x x x x"),  # single distinct word -> exactly 0.0

@@ -111,6 +111,63 @@ def span_duplication(docs: DataFrame, *, span_words: int = 10) -> DataFrame:
     )
 
 
+def sliding_span_duplication(
+    docs: DataFrame, *, span_words: int = 10, stride: int = 5
+) -> DataFrame:
+    """Sliding-window variant of :func:`span_duplication`: windows of
+    ``span_words`` words start every ``stride`` words (stride < span), so a
+    duplicated passage of >= span_words + stride - 1 words is caught at ANY
+    alignment — aligned non-overlapping spans miss passages that straddle a
+    span boundary (Lee et al.-style substring dedup without the
+    suffix-array build; the aligned path stays as the cheap tier).
+
+    Documents shorter than one window contribute a single whole-doc window.
+    Cost grows by span/stride explode fan-out (2x at 10/5) — same linear
+    equi-join plan as the aligned tier, still no all-pairs path.
+    """
+    words = words_col(F.col("text"))
+    w, s = span_words, stride
+    n_starts = F.greatest(
+        (F.floor((F.size(words) - F.lit(w)) / F.lit(s)) + F.lit(1)),
+        F.lit(1),
+    ).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), n_starts),
+        lambda k: F.array_join(
+            F.slice(words, (k - F.lit(1)) * s + F.lit(1), w), " "
+        ),
+    )
+    par = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    inst = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", md5_i64(F.col("span")).alias("span_hash"))
+    )
+    doc_freq = (
+        inst.select("doc_id", "span_hash")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("span_df"))
+    )
+    return (
+        inst.join(doc_freq, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("span_df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
 def shingle_repetition(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """Intra-document repetition quality signal: the fraction of a doc's
     n-word shingles that are repeats (1 - distinct/total) — the
