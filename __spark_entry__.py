@@ -1400,6 +1400,48 @@ FROM vs_agg
 )
 
 
+# BPE pair-merge stats: dialect-specific token explode; everything after
+# stream0 is ONE shared text (operators/bpe.py) — the dialects cannot fork.
+BPE_STREAM_SPARK = """
+stream0 AS (
+  SELECT doc_id, source, seq_no, pos, tok
+  FROM sequences LATERAL VIEW posexplode(tokens) t AS pos, tok
+)"""
+
+BPE_STREAM_DUCK = """
+stream0 AS (
+  SELECT doc_id, source, seq_no,
+         unnest(range(len(tokens))) AS pos, unnest(tokens) AS tok
+  FROM sequences
+)"""
+
+BPE_ROUNDS = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table statistics (vocabulary-engineering companion to
+    vocab_stats): 3 rounds of top-adjacent-pair counting over the corpus
+    token stream, each round collapsing the winning pair to a fresh symbol
+    before recounting — one map-side-combinable pair count plus a 1-row
+    broadcast per round, merges expressed relationally (run-parity windows,
+    operators/bpe.py), no iterative per-row fold."""
+    from uncharted_ta1_spark.operators.bpe import bpe_merges_sql
+
+    datagen.register_base_tables(spark, sf_dir)
+    return spark.sql(
+        datagen.spark_with(datagen.SEQUENCES_SPARK, BPE_STREAM_SPARK)
+        + bpe_merges_sql(BPE_ROUNDS, merge_base=datagen.TOKEN_MOD)
+    )
+
+
+def _bpe_oracle() -> str:
+    from uncharted_ta1_spark.operators.bpe import bpe_merges_sql
+
+    return duck_with(SEQUENCES_DUCK, BPE_STREAM_DUCK) + bpe_merges_sql(
+        BPE_ROUNDS, merge_base=datagen.TOKEN_MOD
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split from ONE stable hash bucket partitioned into
     disjoint ranges (80/10/10) — re-hashing per split would correlate
@@ -4395,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "vocab_stats": q_vocab_stats,
         "dataset_split": q_dataset_split,
+        "bpe_merges": q_bpe_merges,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4500,6 +4543,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "vocab_stats": ORACLE_VOCAB_STATS,
         "dataset_split": ORACLE_DATASET_SPLIT,
+        "bpe_merges": _bpe_oracle(),
         "dedup_eval": ORACLE_DEDUP_EVAL.format(
             mh=ORACLE_DEDUP_MINHASH, jc=ORACLE_DEDUP_JACCARD
         ),

@@ -1,0 +1,52 @@
+"""BPE merge-statistics semantics: left-to-right run merging + recounting."""
+
+from __future__ import annotations
+
+from uncharted_ta1_spark import datagen
+from uncharted_ta1_spark.operators.bpe import bpe_merges_sql
+
+BPE_STREAM_SPARK = """
+stream0 AS (
+  SELECT doc_id, source, seq_no, pos, tok
+  FROM sequences LATERAL VIEW posexplode(tokens) t AS pos, tok
+)"""
+
+
+def _merges(spark, token_rows, k, base=1000):
+    spark.createDataFrame(
+        [(str(i), "s", 0, toks) for i, toks in enumerate(token_rows)],
+        "doc_id string, source string, seq_no int, tokens array<int>",
+    ).createOrReplaceTempView("sequences")
+    sql = datagen.spark_with(BPE_STREAM_SPARK) + bpe_merges_sql(
+        k, merge_base=base
+    )
+    return {
+        r.merge_round: (r.tok_a, r.tok_b, r.pair_count, r.merged_id)
+        for r in spark.sql(sql).collect()
+    }
+
+
+def test_repeated_run_merges_left_to_right(spark):
+    """[7,7,7,7,5,7,7]: round 0 counts (7,7) 4 times and the left-to-right
+    merge collapses the run to [m,m,5,m]; round 1 recounts over MERGED
+    symbols and tie-breaks (cnt desc, a asc, b asc)."""
+    out = _merges(spark, [[7, 7, 7, 7, 5, 7, 7]], k=2)
+    assert out[0] == (7, 7, 4, 1000)
+    assert out[1] == (5, 1000, 1, 1001)
+
+
+def test_merged_symbol_participates_in_later_rounds(spark):
+    # (1,2) dominates round 0; round 1's top pair is (m, 3) — a pair that
+    # only exists AFTER the merge rewrites the stream
+    out = _merges(spark, [[1, 2, 3], [1, 2, 3], [1, 2, 4]], k=2)
+    assert out[0] == (1, 2, 3, 1000)
+    assert out[1] == (1000, 3, 2, 1001)
+
+
+def test_nonoverlapping_distinct_pair_merges_everywhere(spark):
+    # a != b: every occurrence merges in one round, even back-to-back "ababab"
+    out = _merges(spark, [[8, 9, 8, 9, 8, 9]], k=2)
+    assert out[0] == (8, 9, 3, 1000)
+    # after merging: [m, m, m] -> (m, m) twice, but left-to-right run rule
+    # merges only floor(3/2) = 1 pair; the count is still the raw pair count
+    assert out[1] == (1000, 1000, 2, 1001)
