@@ -76,7 +76,7 @@ from uncharted_ta1_spark.operators.filters import (
     mad_outlier_flag,
 )
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
-from uncharted_ta1_spark.operators.affinefit import affine_fit, cramer_sql
+from uncharted_ta1_spark.operators.affinefit import affine_fit, affine_residuals, cramer_sql
 from uncharted_ta1_spark.operators.intervals import interval_union
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import (
@@ -4344,7 +4344,7 @@ FROM clusters
 # from a per-doc integer affine plus deterministic integer noise.  Thinned by
 # event_id % 37 so small scale factors also produce n<3 (degenerate) groups.
 GCP_AFFINE_SQL = """
-SELECT doc, px, py,
+SELECT doc, px, py, event_id,
        (doc % 5 + 1) * px + (doc % 3 - 1) * py + (doc * 17) % 100
          + (event_id % 11 - 5) AS wx,
        (doc % 4 - 2) * px + (doc % 6 + 2) * py + (doc * 23) % 80
@@ -4368,7 +4368,17 @@ def q_affine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return affine_fit(gcps, keys=["doc"], min_gcps=3)
 
 
-def _affine_oracle() -> str:
+def q_affine_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GCP residuals + outlier flags against the fitted affine (the
+    per-point rejection half of the georeferencing fit,
+    outlier_filter.py:34-293 on the 2-D model) — flag-don't-delete,
+    degenerate groups emit NULL residuals."""
+    datagen.register_base_tables(spark, sf_dir)
+    gcps = spark.sql(GCP_AFFINE_SQL)
+    return affine_residuals(gcps, keys=["doc"])
+
+
+def _affine_cte() -> str:
     cx = cramer_sql("wx", min_gcps=3)
     cy = cramer_sql("wy", min_gcps=3)
     return f"""
@@ -4412,10 +4422,37 @@ p2 AS (
             {cx["degenerate"]} AS degenerate
   FROM p
 )
+"""
+
+
+def _affine_oracle() -> str:
+    return (
+        _affine_cte()
+        + """
 SELECT doc, n AS n_gcps, a_wx AS a, b_wx AS b, c_wx AS c,
        a_wy AS d, b_wy AS e, c_wy AS f, rmse_x, rmse_y, degenerate
 FROM p2
 """
+    )
+
+
+def _affine_resid_oracle() -> str:
+    from uncharted_ta1_spark.operators.affinefit import OUTLIER_SQL, residual_sql
+
+    return (
+        _affine_cte()
+        + f""", r AS (
+  SELECT g.doc, g.px, g.py, g.event_id, g.wx, g.wy,
+         a_wx, rmse_x, rmse_y,
+         {residual_sql("wx")} AS resid_x,
+         {residual_sql("wy")} AS resid_y
+  FROM gcps g JOIN p2 ON p2.doc = g.doc
+)
+SELECT doc, px, py, event_id, wx, wy, resid_x, resid_y,
+       {OUTLIER_SQL} AS is_outlier
+FROM r
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4445,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_top2": q_session_top2,
         "interval_union": q_interval_union,
         "affine_fit": q_affine_fit,
+        "affine_residuals": q_affine_residuals,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
         "adaptive_topup": q_adaptive_topup,
@@ -4553,6 +4591,7 @@ def oracle_sql() -> dict[str, str]:
         "session_top2": ORACLE_SESSION_TOP2,
         "interval_union": ORACLE_INTERVAL_UNION,
         "affine_fit": _affine_oracle(),
+        "affine_residuals": _affine_resid_oracle(),
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
         "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,

@@ -113,7 +113,7 @@ def affine_sums(
     return sums.select(*doubled, F.col("n").cast("double").alias("nf"))
 
 
-def affine_fit(
+def affine_params(
     gcps: DataFrame,
     *,
     keys: Sequence[str] = ("doc_id",),
@@ -123,12 +123,13 @@ def affine_fit(
     wy: str = "wy",
     min_gcps: int = 3,
 ) -> DataFrame:
-    """One row per group: n_gcps, the 6 affine parameters (a,b,c,d,e,f),
-    per-axis fit rmse, and the degenerate flag."""
+    """Keyed parameter table under the canonical tree names (a_wx..c_wy,
+    rmse_x/rmse_y, degenerate) — shared by :func:`affine_fit` (renamed
+    contract output) and :func:`affine_residuals` (joined back per GCP)."""
     sums = affine_sums(gcps, keys=keys, px=px, py=py, wx=wx, wy=wy)
     cx = cramer_sql("wx", min_gcps=min_gcps)
     cy = cramer_sql("wy", min_gcps=min_gcps)
-    params = sums.withColumns(
+    return sums.withColumns(
         {
             "a_wx": F.expr(cx["a"]),
             "b_wx": F.expr(cx["b"]),
@@ -143,6 +144,72 @@ def affine_fit(
             "rmse_y": F.expr(cy["rmse"]),
             "degenerate": F.expr(cx["degenerate"]),
         }
+    )
+
+
+def residual_sql(t: str) -> str:
+    """Per-GCP residual of target ``t`` against the fitted plane — NULL for
+    degenerate groups.  Same shared-text convention as the parameter trees."""
+    return (
+        f"CASE WHEN a_{t} IS NULL THEN NULL ELSE "
+        f"CAST({t} AS DOUBLE) - (a_{t}*CAST(px AS DOUBLE)"
+        f" + b_{t}*CAST(py AS DOUBLE) + c_{t}) END"
+    )
+
+
+OUTLIER_SQL = (
+    "CASE WHEN a_wx IS NULL THEN false ELSE "
+    "(abs(resid_x) > 2.0e0*rmse_x OR abs(resid_y) > 2.0e0*rmse_y) END"
+)
+
+
+def affine_residuals(
+    gcps: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id",),
+    min_gcps: int = 3,
+) -> DataFrame:
+    """Per-GCP residuals against the group's fitted affine + an outlier flag
+    (|resid| > 2*rmse on either axis — the reference's per-GCP rejection,
+    outlier_filter.py:34-293, on the 2-D model).  Degenerate groups emit
+    NULL residuals and false flags (flag-don't-delete).  Plan: the tiny
+    per-group params table joins back to the GCPs on the group key — an
+    equi shuffle co-partitioned with the aggregation that produced it."""
+    keys = list(keys)
+    params = affine_params(gcps, keys=keys, min_gcps=min_gcps)
+    joined = gcps.join(
+        params.select(
+            *keys, "a_wx", "b_wx", "c_wx", "a_wy", "b_wy", "c_wy",
+            "rmse_x", "rmse_y", "degenerate",
+        ),
+        keys,
+    )
+    return (
+        joined.withColumns(
+            {
+                "resid_x": F.expr(residual_sql("wx")),
+                "resid_y": F.expr(residual_sql("wy")),
+            }
+        )
+        .withColumn("is_outlier", F.expr(OUTLIER_SQL))
+        .select(*gcps.columns, "resid_x", "resid_y", "is_outlier")
+    )
+
+
+def affine_fit(
+    gcps: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id",),
+    px: str = "px",
+    py: str = "py",
+    wx: str = "wx",
+    wy: str = "wy",
+    min_gcps: int = 3,
+) -> DataFrame:
+    """One row per group: n_gcps, the 6 affine parameters (a,b,c,d,e,f),
+    per-axis fit rmse, and the degenerate flag."""
+    params = affine_params(
+        gcps, keys=keys, px=px, py=py, wx=wx, wy=wy, min_gcps=min_gcps
     )
     return params.select(
         *keys,
