@@ -77,7 +77,7 @@ from uncharted_ta1_spark.operators.filters import (
 )
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.affinefit import affine_fit, affine_residuals, cramer_sql
-from uncharted_ta1_spark.operators.intervals import interval_union
+from uncharted_ta1_spark.operators.intervals import interval_union, rect_union
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import (
     ann_ivf_topk,
@@ -4335,6 +4335,55 @@ FROM clusters
 )
 
 
+# Dual-dialect rectangle derivation for the 2-D region union (shared text).
+RECTS_UNION_SQL = """
+SELECT user_id % 10 AS class_id, event_id AS rect_id,
+       event_id % 50 AS x0, (event_id * 3) % 40 AS y0,
+       event_id % 50 + event_id % 7 + 1 AS x1,
+       (event_id * 3) % 40 + event_id % 5 + 1 AS y1
+FROM events WHERE event_id % 23 = 0
+"""
+
+
+def q_rect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D half of F6 (denoise_segments.py:18-110): transitive union of
+    overlapping same-class rectangles via grid-bucketed candidate pairs
+    (owner-cell dedup, never all-pairs) + star-contraction connected
+    components; emits each region's covering bbox + member count."""
+    datagen.register_base_tables(spark, sf_dir)
+    rects = spark.sql(RECTS_UNION_SQL)
+    return rect_union(rects, keys=["class_id"], cell=8)
+
+
+ORACLE_RECT_UNION = f"""
+WITH RECURSIVE rects AS ({RECTS_UNION_SQL}),
+pairs AS (
+  SELECT a.rect_id AS r1, b.rect_id AS r2
+  FROM rects a JOIN rects b
+    ON a.class_id = b.class_id AND a.rect_id < b.rect_id
+   AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+),
+sym AS (SELECT r1 AS a, r2 AS b FROM pairs UNION SELECT r2, r1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clusters AS (SELECT a AS rect_id, min(b) AS region_of FROM reach GROUP BY a),
+labeled AS (
+  SELECT r.*, COALESCE(c.region_of, r.rect_id) AS region_id
+  FROM rects r LEFT JOIN clusters c ON c.rect_id = r.rect_id
+)
+SELECT class_id, CAST(region_id AS BIGINT) AS region_id,
+       CAST(min(x0) AS BIGINT) AS region_x0,
+       CAST(min(y0) AS BIGINT) AS region_y0,
+       CAST(max(x1) AS BIGINT) AS region_x1,
+       CAST(max(y1) AS BIGINT) AS region_y1,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM labeled GROUP BY class_id, region_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Affine-from-GCPs fit (util.py:242-335): 6-param least squares per doc
 # ---------------------------------------------------------------------------
@@ -4481,6 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "interval_union": q_interval_union,
+        "rect_union": q_rect_union,
         "affine_fit": q_affine_fit,
         "affine_residuals": q_affine_residuals,
         "dedup_latest_state": q_dedup_latest_state,
@@ -4590,6 +4640,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "interval_union": ORACLE_INTERVAL_UNION,
+        "rect_union": ORACLE_RECT_UNION,
         "affine_fit": _affine_oracle(),
         "affine_residuals": _affine_resid_oracle(),
         "dedup_latest_state": ORACLE_DEDUP_LATEST,

@@ -51,6 +51,47 @@ def test_containment_and_chains(spark):
     assert _run(spark, rows) == {"a": [(0, 100, 2), (150, 300, 3)]}
 
 
+def _run_rects(spark, rows, cell=8):
+    from uncharted_ta1_spark.operators.intervals import rect_union
+
+    df = spark.createDataFrame(
+        rows, "class_id long, rect_id long, x0 long, y0 long, x1 long, y1 long"
+    )
+    got = rect_union(df, keys=["class_id"], cell=cell)
+    out: dict[tuple, tuple] = {}
+    for r in got.collect():
+        out[(r.class_id, r.region_id)] = (
+            r.region_x0, r.region_y0, r.region_x1, r.region_y1, r.n_merged
+        )
+    return out
+
+
+def test_rect_union_transitive_chain_and_singletons(spark):
+    rows = [
+        # chain: A-B overlap, B-C overlap, A-C do NOT -> one 3-rect region
+        (1, 10, 0, 0, 10, 10),
+        (1, 11, 8, 8, 20, 20),
+        (1, 12, 18, 18, 30, 30),
+        # far-away singleton
+        (1, 13, 100, 100, 105, 105),
+        # same coords as the chain but another class: isolated
+        (2, 14, 0, 0, 10, 10),
+    ]
+    out = _run_rects(spark, rows)
+    assert out[(1, 10)] == (0, 0, 30, 30, 3)
+    assert out[(1, 13)] == (100, 100, 105, 105, 1)
+    assert out[(2, 14)] == (0, 0, 10, 10, 1)
+    assert len(out) == 3
+
+
+def test_rect_union_touching_edges_merge_across_cells(spark):
+    # share only the x=16 edge, and straddle several 8-px grid cells — the
+    # owner-cell rule must emit the pair exactly once
+    rows = [(1, 1, 0, 0, 16, 40), (1, 2, 16, 0, 33, 40)]
+    out = _run_rects(spark, rows)
+    assert out == {(1, 1): (0, 0, 33, 40, 2)}
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(
