@@ -1452,13 +1452,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream, each round collapsing the winning pair to a fresh symbol
     before recounting — one map-side-combinable pair count plus a 1-row
     broadcast per round, merges expressed relationally (run-parity windows,
-    operators/bpe.py), no iterative per-row fold."""
-    from uncharted_ta1_spark.operators.bpe import bpe_merges_sql
+    operators/bpe.py), no iterative per-row fold.  Spark executes the
+    shared stage texts round-by-round with materialization (CTE inlining
+    would re-evaluate earlier rounds exponentially — see operators/bpe.py);
+    the oracle runs the same texts as one chain."""
+    from uncharted_ta1_spark.operators.bpe import run_bpe_merges
 
     datagen.register_base_tables(spark, sf_dir)
-    return spark.sql(
+    stream0 = spark.sql(
         datagen.spark_with(datagen.SEQUENCES_SPARK, BPE_STREAM_SPARK)
-        + bpe_merges_sql(BPE_ROUNDS, merge_base=datagen.TOKEN_MOD)
+        + " SELECT * FROM stream0"
+    )
+    return run_bpe_merges(
+        spark, stream0, BPE_ROUNDS, merge_base=datagen.TOKEN_MOD
     )
 
 
