@@ -191,3 +191,34 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_affine_fit_is_single_exchange_no_python(spark):
+    """The affine fit must stay pure column algebra: one hash-aggregate
+    Exchange for the sufficient statistics, no Arrow/Python stage at all
+    (unlike the iterative fits in groupfit.py, Cramer's rule needs none)."""
+    plan = _plan(E.q_affine_fit(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_interval_union_is_one_shuffle_no_join(spark):
+    """Region merge = sort + gap-cumsum: exactly one key Exchange, and no
+    join operator anywhere (a self-join interval merge would be the scale
+    bug this operator exists to avoid)."""
+    plan = _plan(E.q_interval_union(spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_rect_union_pair_join_is_equi(spark):
+    """Grid-bucketed candidate pairs must plan as an equi join on
+    (key, cell) — never a cartesian/BNL over the rect corpus."""
+    from uncharted_ta1_spark.operators.intervals import rect_union
+
+    datagen.register_base_tables(spark, SF)
+    rects = spark.sql(E.RECTS_UNION_SQL)
+    plan = _plan(rect_union(rects, keys=["class_id"], cell=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
