@@ -118,11 +118,15 @@ def run_bpe_merges(
     spark: SparkSession, stream0: DataFrame, k: int, *, merge_base: int
 ) -> DataFrame:
     """Execute the same per-stage texts round-by-round, materializing each
-    round's e{r}/top{r}/stream{r+1} so every stage is computed exactly once
-    (see module docstring)."""
+    round's stream{r} (and the 1-row top{r}) so no round is ever computed
+    twice (see module docstring).  e{r} stays a LAZY view: its two readers
+    (pair count, merge pass) each re-run one window over the already-
+    materialized stream — cheaper than a third checkpoint per round, and
+    the blowup this runner exists to avoid was in re-evaluating the
+    *chain*, not one cached scan."""
     stream0.localCheckpoint().createOrReplaceTempView("stream0")
     for r in range(k):
-        spark.sql(lead_sql(r)).localCheckpoint().createOrReplaceTempView(f"e{r}")
+        spark.sql(lead_sql(r)).createOrReplaceTempView(f"e{r}")
         spark.sql(top_sql(r)).localCheckpoint().createOrReplaceTempView(f"top{r}")
         if r + 1 < k:
             spark.sql(
