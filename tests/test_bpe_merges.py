@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from uncharted_ta1_spark import datagen
 from uncharted_ta1_spark.operators.bpe import bpe_merges_sql
 
@@ -41,6 +44,55 @@ def test_merged_symbol_participates_in_later_rounds(spark):
     out = _merges(spark, [[1, 2, 3], [1, 2, 3], [1, 2, 4]], k=2)
     assert out[0] == (1, 2, 3, 1000)
     assert out[1] == (1000, 3, 2, 1001)
+
+
+def _ref_bpe(seqs, k, base):
+    """Direct Python reference: count adjacent pairs, pick (cnt desc, a asc,
+    b asc), left-to-right merge in every sequence, repeat."""
+    seqs = [list(s) for s in seqs]
+    out = []
+    for r in range(k):
+        counts: dict[tuple, int] = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        m = base + r
+        out.append((r, a, b, cnt, m))
+        nxt = []
+        for s in seqs:
+            t, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    t.append(m)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            nxt.append(t)
+        seqs = nxt
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_property_matches_direct_reference(spark, seqs):
+    """The relational run-parity merge must equal a direct left-to-right
+    scan for arbitrary corpora — tiny alphabet (0..3) maximizes repeated-
+    token runs and pair ties, the two subtle paths."""
+    ref = _ref_bpe(seqs, 2, 1000)
+    got = sorted(_merges(spark, seqs, k=2).items())
+    got = [(r, *vals) for r, vals in got]
+    assert got == ref
 
 
 def test_nonoverlapping_distinct_pair_merges_everywhere(spark):

@@ -92,6 +92,52 @@ def test_rect_union_touching_edges_merge_across_cells(spark):
     assert out == {(1, 1): (0, 0, 33, 40, 2)}
 
 
+def _ref_rect_union(rects):
+    """Brute-force union-find over the closed-overlap graph; returns the
+    multiset of (x0, y0, x1, y1, n) covering regions."""
+    parent = list(range(len(rects)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(rects)):
+        for j in range(i + 1, len(rects)):
+            a, b = rects[i], rects[j]
+            if a[0] <= b[2] and b[0] <= a[2] and a[1] <= b[3] and b[1] <= a[3]:
+                parent[find(i)] = find(j)
+    groups: dict[int, list] = {}
+    for i, r in enumerate(rects):
+        groups.setdefault(find(i), []).append(r)
+    out = []
+    for g in groups.values():
+        out.append((
+            min(r[0] for r in g), min(r[1] for r in g),
+            max(r[2] for r in g), max(r[3] for r in g), len(g),
+        ))
+    return sorted(out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40), st.integers(0, 40),
+            st.integers(0, 12), st.integers(0, 12),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_rect_union_property_matches_union_find(spark, raw):
+    rects = [(x, y, x + w, y + h) for x, y, w, h in raw]
+    rows = [(1, i, *r) for i, r in enumerate(rects)]
+    got = sorted(v for v in _run_rects(spark, rows, cell=8).values())
+    assert got == _ref_rect_union(rects)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(
