@@ -58,11 +58,17 @@ def canonical_rows(df: pd.DataFrame, *, strict: bool = True) -> list[tuple]:
 
 
 def assert_no_negative_zero(pdf: pd.DataFrame, side: str, name: str = "") -> None:
-    """Structural signed-zero gate: the driver's value-hash distinguishes
-    -0.0 from +0.0 (round-2 red row), so NO query output or oracle result may
-    carry a negative zero — sign-straddling rounded columns must apply the
-    `+ 0.0` collapse on BOTH dialects.  Enforced on every compare so the
-    hazard cannot hide in queries the driver hasn't sampled yet."""
+    """Structural float-hazard gate on materialized frames, enforced on
+    every compare so a hazard cannot hide in queries the driver hasn't
+    sampled yet:
+
+      * -0.0 — the driver's value-hash distinguishes it from +0.0 (round-2
+        red row); sign-straddling rounded columns must apply the `+ 0.0`
+        collapse on BOTH dialects.
+      * +/-Infinity — Spark double division by zero yields NULL while
+        DuckDB yields inf, so an Infinity on either side means an unguarded
+        division whose twin will hash-differ.
+    """
     for col in pdf.columns:
         vals = pdf[col]
         if not np.issubdtype(vals.dtype, np.floating):
@@ -73,6 +79,12 @@ def assert_no_negative_zero(pdf: pd.DataFrame, side: str, name: str = "") -> Non
             f"{name}: {side} column {col!r} contains -0.0 "
             f"({int(neg_zero.sum())} cells) — apply `+ 0.0` after round() on "
             "both dialects"
+        )
+        infs = np.isinf(arr)
+        assert not infs.any(), (
+            f"{name}: {side} column {col!r} contains +/-Infinity "
+            f"({int(infs.sum())} cells) — guard the division (Spark x/0 is "
+            "NULL, DuckDB x/0.0 is inf: the twins cannot hash-match)"
         )
 
 

@@ -68,6 +68,11 @@ def test_compare_frames_rejects_negative_zero():
     with pytest.raises(AssertionError, match="-0.0"):
         compare_frames(good, bad, "negzero")
     compare_frames(good, good.copy(), "negzero-ok")
+    inf = pd.DataFrame({"x": [float("inf"), 1.5]})
+    with pytest.raises(AssertionError, match="Infinity"):
+        compare_frames(inf, good, "inf")
+    with pytest.raises(AssertionError, match="Infinity"):
+        compare_frames(good, inf, "inf")
 
 
 def test_assert_no_nan_distinguishes_null_from_nan(spark):
