@@ -248,6 +248,91 @@ QUALIFY row_number() OVER (
 )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (J7 knob-complete): the NEXT sequence version at or
+    after each probe — pandas merge_asof's forward direction, for
+    next-arrival lookups.  Same single-shuffle union + running-last plan,
+    traversed in descending time order; asof_age_sec <= 0 on matches."""
+    out = asof_join(
+        _sequences(spark, sf_dir),
+        _probes(spark, sf_dir),
+        keys=["doc_id", "source"],
+        payload_cols=["tokens", "n_tok"],
+        defaults={"tokens": _empty_tokens(), "n_tok": F.lit(-1)},
+        direction="forward",
+    )
+    return out.select(
+        "probe_id", "doc_id", "source", "ts_epoch",
+        "asof_event_epoch",
+        _csv("asof_tokens").alias("asof_tokens_csv"),
+        "asof_n_tok", "asof_age_sec",
+        "fallback_used",
+    )
+
+
+ORACLE_ASOF_FORWARD = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + """
+SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+       s.event_epoch AS asof_event_epoch,
+       coalesce(array_to_string(s.tokens, ','), '') AS asof_tokens_csv,
+       coalesce(s.n_tok, -1) AS asof_n_tok,
+       p.ts_epoch - s.event_epoch AS asof_age_sec,
+       s.event_epoch IS NULL AS fallback_used
+FROM probes p
+LEFT JOIN sequences s
+  ON p.doc_id = s.doc_id AND p.source = s.source
+ AND s.event_epoch >= p.ts_epoch
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id ORDER BY s.event_epoch ASC NULLS LAST) = 1
+"""
+)
+
+
+ASOF_TOL_SEC = 21600  # 6 h: splits the corpus's age distribution mid-stream
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of: a match older than the tolerance is treated
+    as no-match (defaults + fallback) — merge_asof's tolerance semantics,
+    applied after the fill at zero extra shuffle cost."""
+    out = asof_join(
+        _sequences(spark, sf_dir),
+        _probes(spark, sf_dir),
+        keys=["doc_id", "source"],
+        payload_cols=["tokens", "n_tok"],
+        defaults={"tokens": _empty_tokens(), "n_tok": F.lit(-1)},
+        tolerance_sec=ASOF_TOL_SEC,
+    )
+    return out.select(
+        "probe_id", "doc_id", "source", "ts_epoch",
+        "asof_event_epoch",
+        _csv("asof_tokens").alias("asof_tokens_csv"),
+        "asof_n_tok", "asof_age_sec",
+        "fallback_used",
+    )
+
+
+ORACLE_ASOF_TOLERANCE = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + f"""
+SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+       s.event_epoch AS asof_event_epoch,
+       coalesce(array_to_string(s.tokens, ','), '') AS asof_tokens_csv,
+       coalesce(s.n_tok, -1) AS asof_n_tok,
+       p.ts_epoch - s.event_epoch AS asof_age_sec,
+       s.event_epoch IS NULL AS fallback_used
+FROM probes p
+LEFT JOIN sequences s
+  ON p.doc_id = s.doc_id AND p.source = s.source
+ AND s.event_epoch <= p.ts_epoch
+ AND s.event_epoch >= p.ts_epoch - {ASOF_TOL_SEC}
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id ORDER BY s.event_epoch DESC NULLS LAST) = 1
+"""
+)
+
+
 def q_lag_lead_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """±1 token-context window per (doc_id, source) ordered by event time."""
     out = lag_lead_context(
@@ -4524,6 +4609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_per_source": q_asof_per_source,
         "asof_any_source": q_asof_any_source,
+        "asof_forward": q_asof_forward,
+        "asof_tolerance": q_asof_tolerance,
         "lag_lead_context": q_lag_lead_context,
         "rolling_ntok": q_rolling_ntok,
         "rolling_median": q_rolling_median,
@@ -4634,6 +4721,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "asof_per_source": ORACLE_ASOF_PER_SOURCE,
         "asof_any_source": ORACLE_ASOF_ANY_SOURCE,
+        "asof_forward": ORACLE_ASOF_FORWARD,
+        "asof_tolerance": ORACLE_ASOF_TOLERANCE,
         "lag_lead_context": ORACLE_LAG_LEAD,
         "rolling_ntok": ORACLE_ROLLING,
         "rolling_median": ORACLE_ROLLING_MEDIAN,

@@ -42,6 +42,65 @@ def brute_force(state_rows, probe_rows):
     return sorted(out, key=lambda t: tuple(-1 if x is None else x for x in t))
 
 
+def brute_force_directional(state_rows, probe_rows, direction, tol):
+    out = []
+    for pk, pts in probe_rows:
+        if direction == "forward":
+            cands = [r for r in state_rows if r[0] == pk and r[1] >= pts
+                     and (tol is None or r[1] - pts <= tol)]
+            best = min(cands, key=lambda r: (r[1], -r[2])) if cands else None
+        else:
+            cands = [r for r in state_rows if r[0] == pk and r[1] <= pts
+                     and (tol is None or pts - r[1] <= tol)]
+            best = max(cands, key=lambda r: (r[1], r[2])) if cands else None
+        if best is None:
+            out.append((pk, pts, None, None))
+        else:
+            out.append((pk, pts, best[1], best[3]))
+    return sorted(out, key=lambda t: tuple(-1 if x is None else x for x in t))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(state_key, min_size=0, max_size=12, unique=True),
+    st.lists(probe_row, min_size=1, max_size=8),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 0, 2, 5]),
+)
+def test_asof_direction_tolerance_matches_brute_force(
+    spark, state_keys, probe_rows, direction, tol
+):
+    """Forward traversal and the staleness tolerance must equal the
+    per-probe brute force under both physical strategies.  Forward's
+    equal-ts winner is the smallest ts with the GREATEST tiebreak."""
+    state_rows = _with_payload(state_keys)
+    state = spark.createDataFrame(
+        state_rows or [(99, 0, 0, 0)], "k long, event_epoch long, tb long, pay long"
+    )
+    if not state_rows:
+        state = state.where("k < 0")
+    probes = spark.createDataFrame(probe_rows, "k long, ts_epoch long")
+    want = brute_force_directional(state_rows, probe_rows, direction, tol)
+
+    for via_join in (False, True):
+        got = asof_join(
+            state,
+            probes,
+            keys=KEYS,
+            payload_cols=["pay"],
+            tiebreak_cols=["tb"],
+            fetch_payload_via_join=via_join,
+            direction=direction,
+            tolerance_sec=tol,
+        ).collect()
+        rows = sorted(
+            ((r["k"], r["ts_epoch"], r["asof_event_epoch"], r["asof_pay"])
+             for r in got),
+            key=lambda t: tuple(-1 if x is None else x for x in t),
+        )
+        assert rows == want, f"direction={direction} tol={tol} via_join={via_join}"
+
+
 @settings(max_examples=12, deadline=None)
 @given(
     st.lists(state_key, min_size=0, max_size=12, unique=True),

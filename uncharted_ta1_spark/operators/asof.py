@@ -65,13 +65,27 @@ def asof_join(
     prefix: str = "asof_",
     defaults: dict[str, Column] | None = None,
     fetch_payload_via_join: bool | None = None,
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """As-of join `probes` against `state` on `keys`, inclusive at equal ts.
 
     Returns one row per probe row: all probe columns, plus for each payload
     column ``c`` a ``{prefix}{c}`` column (default-filled on fallback), plus
     ``{prefix}event_epoch`` (ts of the matched state row, NULL on fallback),
-    ``{prefix}age_sec`` and ``fallback_used``.
+    ``{prefix}age_sec`` (probe ts minus match ts: >= 0 backward, <= 0
+    forward) and ``fallback_used``.
+
+    ``direction``: "backward" (default — the greatest state ts <= probe ts,
+    zero temporal leakage, the training-feature semantics) or "forward"
+    (the smallest state ts >= probe ts — next-arrival lookups, pandas
+    merge_asof's forward mode).  Same single-shuffle union + running-last
+    plan; forward just traverses the window in descending time order.
+
+    ``tolerance_sec``: maximum |probe ts - state ts| for a match to count;
+    a staler/farther state row is treated as no-match (defaults +
+    ``fallback_used``) — merge_asof's tolerance semantics, applied AFTER
+    the fill so it costs no extra shuffle.
 
     ``tiebreak_cols`` define a deterministic winner when several state rows
     share one timestamp within a key group (the greatest tuple wins) — the
@@ -98,6 +112,8 @@ def asof_join(
         fetch_payload_via_join = any(
             _is_wide(state.schema[c].dataType) for c in payload_cols
         )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if fetch_payload_via_join:
         return _asof_join_thin(
             state,
@@ -109,6 +125,8 @@ def asof_join(
             tiebreak_cols=tiebreak_cols,
             prefix=prefix,
             defaults=defaults or {},
+            direction=direction,
+            tolerance_sec=tolerance_sec,
         )
 
     state_side = state.select(
@@ -134,7 +152,8 @@ def asof_join(
 
     unioned = state_side.unionByName(probe_side)
 
-    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+    ts_order = F.col("_ts").desc() if direction == "forward" else F.col("_ts").asc()
+    order = [ts_order, F.col("_side").asc()] + [
         F.col(f"_tb_{c}").asc_nulls_first() for c in tiebreak_cols
     ]
     w = (
@@ -147,6 +166,16 @@ def asof_join(
         unioned.withColumn("_fill", F.last(F.col("_st"), ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
+    if tolerance_sec is not None:
+        # distance is non-negative by construction in either direction
+        dist = (
+            F.col("_fill.anchor") - F.col("_ts")
+            if direction == "forward"
+            else F.col("_ts") - F.col("_fill.anchor")
+        )
+        filled = filled.withColumn(
+            "_fill", F.when(dist <= F.lit(tolerance_sec), F.col("_fill"))
+        )
 
     defaults = defaults or {}
     out_cols: list[Column] = [F.col(f"_p_{c}").alias(c) for c in probe_cols]
@@ -172,6 +201,8 @@ def _asof_join_thin(
     tiebreak_cols: list[str],
     prefix: str,
     defaults: dict[str, Column],
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Thin-anchor window + wide payload join-back (see asof_join docstring)."""
     anchor = f"{prefix}event_epoch"
@@ -197,7 +228,8 @@ def _asof_join_thin(
     )
     unioned = state_thin.unionByName(probe_side)
 
-    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+    ts_order = F.col("_ts").desc() if direction == "forward" else F.col("_ts").asc()
+    order = [ts_order, F.col("_side").asc()] + [
         F.col(f"_st.tb_{c}").asc_nulls_first() for c in tiebreak_cols
     ]
     w = (
@@ -207,9 +239,20 @@ def _asof_join_thin(
     )
     # probe rows carry their own key values in _p_*, so the plain key columns
     # can be dropped here (keys must be a subset of the probe columns)
+    filled = unioned.withColumn(
+        "_fill", F.last(F.col("_st"), ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        dist = (
+            F.col("_fill.anchor") - F.col("_ts")
+            if direction == "forward"
+            else F.col("_ts") - F.col("_fill.anchor")
+        )
+        filled = filled.withColumn(
+            "_fill", F.when(dist <= F.lit(tolerance_sec), F.col("_fill"))
+        )
     matched = (
-        unioned.withColumn("_fill", F.last(F.col("_st"), ignorenulls=True).over(w))
-        .where(F.col("_side") == 1)
+        filled
         .select(
             F.col("_ts"),
             F.col("_fill.anchor").alias(anchor),
