@@ -55,6 +55,7 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash_pairs,
     sliding_span_duplication,
     span_duplication,
+    span_scrub,
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
@@ -1212,6 +1213,44 @@ SELECT i.doc_id,
        CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS dup_span_frac
 FROM sp_inst i JOIN sp_df d ON d.span_hash = i.span_hash
+GROUP BY i.doc_id
+"""
+)
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (C4-style span dedup as a cleaning transform):
+    spans seen in >=2 documents are dropped and the text rebuilt from kept
+    spans in order; fully-boilerplate docs emit empty text
+    (dedup.py::span_scrub)."""
+    return span_scrub(_documents(spark, sf_dir), span_words=10, df_threshold=2)
+
+
+ORACLE_SPAN_SCRUB = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, sc_inst AS (
+  SELECT doc_id, k,
+         array_to_string(list_slice(words, (k-1)*10 + 1, (k-1)*10 + 10), ' ') AS span
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, greatest(CAST(ceil(len(words) / 10.0) AS BIGINT), 1) + 1)) AS k
+    FROM doc_words
+  )
+),
+sc_hash AS (
+  SELECT doc_id, k, span, {md5_i64_duck("span")} AS span_hash FROM sc_inst
+),
+sc_df AS (
+  SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS span_df
+  FROM sc_hash GROUP BY 1
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_removed,
+       coalesce(string_agg(CASE WHEN d.span_df < 2 THEN i.span END, ' ' ORDER BY i.k), '')
+         AS clean_text
+FROM sc_hash i JOIN sc_df d USING (span_hash)
 GROUP BY i.doc_id
 """
 )
@@ -4691,6 +4730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
         "span_dedup_sliding": q_span_dedup_sliding,
+        "span_scrub": q_span_scrub,
         "word_entropy": q_word_entropy,
         "corpus_curation": q_corpus_curation,
         "bigram_logprob": q_bigram_logprob,
@@ -4813,6 +4853,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "span_dedup": ORACLE_SPAN_DEDUP,
         "span_dedup_sliding": ORACLE_SPAN_DEDUP_SLIDING,
+        "span_scrub": ORACLE_SPAN_SCRUB,
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),

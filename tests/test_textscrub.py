@@ -107,6 +107,25 @@ def test_sliding_spans_short_doc_single_window(spark):
     assert out[2]["dup_span_frac"] == 1.0
 
 
+def test_span_scrub_removes_shared_spans_preserving_order(spark):
+    from uncharted_ta1_spark.operators.dedup import span_scrub
+
+    boiler = " ".join(f"w{i}" for i in range(10))  # shared 10-word span
+    head = " ".join(f"a{i}" for i in range(10))
+    tail = " ".join(f"b{i}" for i in range(4))  # short unique tail span
+    rows = [
+        (1, head + " " + boiler + " " + tail),  # keep head + tail, drop mid
+        (2, boiler),  # fully boilerplate -> empty text
+        (3, "just unique words here"),
+    ]
+    out = {r["doc_id"]: r for r in span_scrub(_docs(spark, rows)).collect()}
+    assert out[1]["clean_text"] == head + " " + tail
+    assert out[1]["n_spans"] == 3 and out[1]["n_spans_removed"] == 1
+    assert out[2]["clean_text"] == "" and out[2]["n_spans_removed"] == 1
+    assert out[3]["clean_text"] == "just unique words here"
+    assert out[3]["n_spans_removed"] == 0
+
+
 def test_word_entropy_bounds(spark):
     rows = [
         (1, "x x x x"),  # single distinct word -> exactly 0.0

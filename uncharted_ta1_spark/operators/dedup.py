@@ -111,6 +111,63 @@ def span_duplication(docs: DataFrame, *, span_words: int = 10) -> DataFrame:
     )
 
 
+def span_scrub(
+    docs: DataFrame, *, span_words: int = 10, df_threshold: int = 2
+) -> DataFrame:
+    """Boilerplate REMOVAL (the transform the span-dedup signal exists to
+    drive): aligned ``span_words``-word spans appearing in >=
+    ``df_threshold`` distinct documents (license blocks, navigation chrome)
+    are dropped and each document's text is rebuilt from its kept spans in
+    order — C4-style line/span dedup as an actual cleaning stage, not just
+    a score.
+
+    Plan: the same linear span-hash machinery as :func:`span_duplication`
+    (explode, span document-frequency, equi join back) plus one per-doc
+    rebuild groupBy (collect kept (position, span) pairs, sort, join) —
+    positions make the rebuild order-exact regardless of shuffle order.
+    Fully-boilerplate documents emit empty text, never NULL.
+    """
+    words = words_col(F.col("text"))
+    n_spans_arr = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_spans_arr, F.lit(1))),
+        lambda k: F.array_join(
+            F.slice(words, (k - F.lit(1)) * span_words + F.lit(1), span_words), " "
+        ),
+    )
+    par = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    inst = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.posexplode(spans).alias("k", "span"))
+        .withColumn("span_hash", md5_i64(F.col("span")))
+    )
+    doc_freq = (
+        inst.select("doc_id", "span_hash")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("span_df"))
+    )
+    marked = inst.join(doc_freq, "span_hash")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("span_df") < df_threshold, F.struct("k", "span"))
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(
+                F.when(F.col("span_df") >= df_threshold, 1).otherwise(0)
+            ).cast("long").alias("n_spans_removed"),
+            F.array_join(
+                F.transform(kept, lambda s: s["span"]), " "
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_spans", "n_spans_removed", "clean_text")
+    )
+
+
 def sliding_span_duplication(
     docs: DataFrame, *, span_words: int = 10, stride: int = 5
 ) -> DataFrame:
