@@ -95,6 +95,7 @@ from uncharted_ta1_spark.functions.portable import (
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.salting import salted_agg, salted_join
 from uncharted_ta1_spark.operators.sampling import (
+    fixed_k_hash_sample,
     hash_sample,
     importance_sample,
     sample_bucket_expr,
@@ -117,6 +118,8 @@ from uncharted_ta1_spark.operators.textstats import (
 from uncharted_ta1_spark.operators.windows import (
     dedup_latest,
     ewma,
+    expanding_leakfree_mean,
+    group_zscore,
     lag_lead_context,
     rolling_agg,
     rolling_median,
@@ -779,6 +782,98 @@ SELECT user_id,
        CAST(max(ts_us) AS BIGINT) AS last_ts_us
 FROM events_epoch
 GROUP BY user_id
+"""
+)
+
+
+def q_expanding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free expanding mean (target-encoding feature): each event
+    sees the mean of STRICTLY EARLIER same-user values only — the zero-
+    temporal-leakage contract in aggregate form (windows.py::
+    expanding_leakfree_mean).  Exact micro-unit running sums; raw doubles
+    from one shared division tree."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    out = expanding_leakfree_mean(
+        ev, keys=["user_id"], ts="ts_us", value="value",
+        order_tiebreak=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts_us", "n_prior", "prior_mean")
+
+
+ORACLE_EXPANDING_MEAN = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_id, user_id, ts_us,
+  CAST(count(*) OVER w_p AS BIGINT) AS n_prior,
+  CASE WHEN count(*) OVER w_p > 0 THEN
+    (CAST(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w_p AS BIGINT) AS DOUBLE) / 1e6)
+    / CAST(count(*) OVER w_p AS DOUBLE) END AS prior_mean
+FROM events_epoch
+WINDOW w_p AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+)
+
+
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, class) z-score normalization from engine-exact integer
+    sufficient statistics (windows.py::group_zscore): one map-side
+    combinable groupBy + a join back, population variance via a fixed IEEE
+    tree — bit-identical unrounded doubles."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    out = group_zscore(ev, keys=["user_id", "event_type"], value="value")
+    return out.select(
+        "event_id", "user_id", "event_type", "key_mean", "zscore"
+    )
+
+
+ORACLE_GROUP_ZSCORE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, zs AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 1e3) AS BIGINT)
+                  * CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS ss
+  FROM events_epoch GROUP BY user_id, event_type
+), zp AS (
+  SELECT user_id, event_type,
+         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e3 AS key_mean,
+         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6 AS v
+  FROM zs
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       p.key_mean,
+       CASE WHEN p.v > 0
+            THEN (CAST(e.value AS DOUBLE) - p.key_mean) / sqrt(p.v) END AS zscore
+FROM events_epoch e JOIN zp p USING (user_id, event_type)
+"""
+)
+
+
+def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-class deterministic sample (the <=250-matches-per-
+    symbol cap, template_match_point_extractor.py:49, as a reproducible
+    sampler): rank by stable content hash inside each class, keep the 50
+    smallest (sampling.py::fixed_k_hash_sample)."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    out = fixed_k_hash_sample(
+        ev, strata=["event_type"], key_cols=["event_id"], k=50
+    )
+    return out.select("event_id", "user_id", "event_type", "ts_us", "value")
+
+
+ORACLE_FIXED_K_SAMPLE = (
+    duck_with(EVENTS_DUCK)
+    + f"""
+SELECT event_id, user_id, event_type, ts_us, value
+FROM events_epoch
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY {md5_i64_duck("concat_ws(chr(31), CAST(event_id AS VARCHAR))", salt="fixedk")} % 1000000 ASC,
+           event_id ASC) <= 50
 """
 )
 
@@ -4661,6 +4756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counters": q_streaming_counters,
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
+        "expanding_mean": q_expanding_mean,
+        "group_zscore": q_group_zscore,
+        "fixed_k_sample": q_fixed_k_sample,
         "interval_union": q_interval_union,
         "rect_union": q_rect_union,
         "affine_fit": q_affine_fit,
@@ -4774,6 +4872,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_counters": ORACLE_STREAMING_COUNTERS,
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
+        "expanding_mean": ORACLE_EXPANDING_MEAN,
+        "group_zscore": ORACLE_GROUP_ZSCORE,
+        "fixed_k_sample": ORACLE_FIXED_K_SAMPLE,
         "interval_union": ORACLE_INTERVAL_UNION,
         "rect_union": ORACLE_RECT_UNION,
         "affine_fit": _affine_oracle(),

@@ -100,6 +100,37 @@ def importance_sample(
     return df.where(sample_bucket_expr(key_cols, salt=salt) < thr)
 
 
+def fixed_k_hash_sample(
+    df: DataFrame,
+    *,
+    strata: Sequence[str],
+    key_cols: Sequence[str],
+    k: int,
+    salt: str = "fixedk",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically: rank
+    rows inside each stratum by their stable content hash (the same
+    rerun-stable md5 bucket as every other sampler here — no RNG, no
+    shuffle-order dependence) and keep the k smallest.  The per-class
+    "cap the sample at k" pattern (reference analog: the <=250-matches-per-
+    symbol cap, template_match_point_extractor.py:49) as a reproducible
+    sampler rather than an arbitrary head.
+
+    One window rank per stratum partition — rows beyond k are dropped
+    before any downstream shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    h = sample_bucket_expr(key_cols, salt=salt)
+    order = [h.asc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def sample_bucket_expr(key_cols: Sequence[str], salt: str = "") -> F.Column:
     """The underlying [0, 1e6) bucket — exposed so train/val/test splits can
     partition ONE hash into disjoint ranges instead of re-hashing per split."""

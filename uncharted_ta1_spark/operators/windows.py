@@ -107,6 +107,92 @@ def rolling_median(
     return df.withColumn(f"roll_med_{col}_w{window}", med)
 
 
+def expanding_leakfree_mean(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    ts: str = "ts_us",
+    value: str = "value",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Leakage-free expanding mean of ``value`` per key — the target-encoding
+    feature: each row sees the mean of STRICTLY EARLIER rows only
+    (``rowsBetween(unboundedPreceding, -1)``), so the row's own value (and
+    any future) can never leak into its feature — the same zero-temporal-
+    leakage contract as the as-of join, in aggregate form.
+
+    Engine-exact: the running sum is integer micro-units (floor(v*1e6),
+    order-free) and the mean is one fixed division tree over exact ints, so
+    the feature is bit-identical across engines with no rounding.  First
+    row per key has no history: NULL mean, n_prior = 0.
+
+    One shuffle on the keys; shares its sort with any other window feature
+    on the same (keys, ts) — the bucketed layout (plans/layout.py) plans it
+    with zero Exchanges.
+    """
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in order_tiebreak]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vm = F.floor(F.col(value) * F.lit(1e6))
+    n_prior = F.count(F.lit(1)).over(w)
+    s_prior = F.sum(vm).over(w)
+    mean = F.when(
+        n_prior > 0,
+        (s_prior.cast("double") / F.lit(1e6)) / n_prior.cast("double"),
+    )
+    return df.withColumn("n_prior", n_prior.cast("long")).withColumn(
+        "prior_mean", mean
+    )
+
+
+def group_zscore(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    value: str = "value",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key z-score of ``value`` from engine-exact sufficient statistics:
+    the per-key sums run over integer ``scale``-units (milli by default —
+    the squared sums must stay below 2^53: |v|*scale squared times the group
+    size; at scale=1e3 and |v|<=1e3 that holds to ~9e6 rows per key), and
+    mean/std/z come from one fixed IEEE tree, so results are bit-identical
+    across engines unrounded.  Zero-variance keys yield NULL z.
+
+    Plan: one map-side-combinable groupBy + a broadcast-or-hash join back —
+    never a second window sort over the corpus.
+    """
+    keys = list(keys)
+    vi = F.floor(F.col(value) * F.lit(float(scale)))
+    stats = (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(vi).alias("_s"),
+            F.sum(vi * vi).alias("_ss"),
+        )
+    )
+    nf = F.col("_n").cast("double")
+    sf = F.col("_s").cast("double")
+    ssf = F.col("_ss").cast("double")
+    stats = stats.withColumn(
+        "_mean", (sf / nf) / F.lit(float(scale))
+    ).withColumn(
+        "_var", (nf * ssf - sf * sf) / (nf * nf) / F.lit(float(scale * scale))
+    )
+    joined = df.join(stats, keys)
+    z = F.when(
+        F.col("_var") > 0,
+        (F.col(value).cast("double") - F.col("_mean")) / F.sqrt(F.col("_var")),
+    )
+    return joined.withColumn("zscore", z).drop("_n", "_s", "_ss", "_var").withColumnRenamed(
+        "_mean", "key_mean"
+    )
+
+
 def dedup_latest(
     df: DataFrame,
     *,
