@@ -4609,6 +4609,98 @@ FROM labeled GROUP BY class_id, region_id
 """
 
 
+def q_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL applied (the transform the cluster signal drives):
+    keep every embedding-corpus item except non-canonical members of an
+    embedding-near-dup cluster (canonical = smallest member, the components
+    convention); kept canonicals are flagged had_dups.  Signal -> transform
+    loop closed, same as span_scrub for boilerplate.  (The embedding graph,
+    not the 16-bit simhash one: at this corpus size hamming<=3 links almost
+    everything — the cosine>=0.2 LSH-pruned graph is the realistic sparse
+    case.)"""
+    emb = _embeddings(spark, sf_dir)
+    pairs = q_embedding_near_dup(spark, sf_dir)
+    clusters = connected_components(pairs, src="id1", dst="id2")
+    drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    canon = clusters.where(F.col("doc_id") == F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(True).alias("_had")
+    )
+    return (
+        emb.select("vec_id")
+        .join(drops, "vec_id", "left_anti")
+        .join(canon, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce(F.col("_had"), F.lit(False)).alias("had_dups")
+        )
+    )
+
+
+# nests the embedding-near-dup oracle verbatim (never fork a copy)
+ORACLE_CORPUS_DEDUPED_TPL = """
+WITH RECURSIVE nd_pairs AS ({nd}),
+nd_sym AS (
+  SELECT id1 AS a, id2 AS b FROM nd_pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM nd_pairs
+),
+nd_reach(a, b) AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM nd_sym)
+  UNION
+  SELECT r.a, s.b FROM nd_reach r JOIN nd_sym s ON r.b = s.a
+),
+nd_clusters AS (
+  SELECT a AS vec_id, min(b) AS cluster_id FROM nd_reach GROUP BY a
+)
+SELECT e.vec_id,
+       (e.vec_id IN (SELECT vec_id FROM nd_clusters WHERE vec_id = cluster_id))
+         AS had_dups
+FROM embeddings e
+WHERE e.vec_id NOT IN
+      (SELECT vec_id FROM nd_clusters WHERE vec_id != cluster_id)
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hourly) rollup per class — the hypertable
+    continuous-aggregate pattern: integer floor-div time bucketing (exact,
+    portable on non-negative epochs), exact micro-unit value sums, distinct
+    users; one map-side-combinable groupBy."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.expr("ts_us DIV 3600000000").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(1e6))) / F.lit(1e6)
+            ).alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("ts_us").cast("long").alias("first_ts"),
+            F.max("ts_us").cast("long").alias("last_ts"),
+        )
+    )
+
+
+ORACLE_HOURLY_ROLLUP = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT ts_us // 3600000000 AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(ts_us) AS BIGINT) AS first_ts,
+       CAST(max(ts_us) AS BIGINT) AS last_ts
+FROM events_epoch
+GROUP BY 1, 2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Affine-from-GCPs fit (util.py:242-335): 6-param least squares per doc
 # ---------------------------------------------------------------------------
@@ -4852,6 +4944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_deduped": q_corpus_deduped,
+        "hourly_rollup": q_hourly_rollup,
     }
 
 
@@ -4983,4 +5077,6 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "ewma_ntok": ORACLE_EWMA,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "corpus_deduped": ORACLE_CORPUS_DEDUPED_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
+        "hourly_rollup": ORACLE_HOURLY_ROLLUP,
     }
