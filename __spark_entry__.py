@@ -4662,6 +4662,36 @@ WHERE e.vec_id NOT IN
 """
 
 
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (feature quantization): each event's decile
+    of ``value`` within its class via ntile(10) over a fully-deterministic
+    order (value, event_id) — the classic numeric-feature bucketizer, one
+    window sort per class partition."""
+    from pyspark.sql.window import Window as _W
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    w = _W.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+ORACLE_VALUE_DECILES = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_id, event_type, value,
+       CAST(ntile(10) OVER (PARTITION BY event_type
+            ORDER BY value ASC, event_id ASC) AS INT) AS decile
+FROM events_epoch
+"""
+)
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window (hourly) rollup per class — the hypertable
     continuous-aggregate pattern: integer floor-div time bucketing (exact,
@@ -4946,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_deduped": q_corpus_deduped,
         "hourly_rollup": q_hourly_rollup,
+        "value_deciles": q_value_deciles,
     }
 
 
@@ -5079,4 +5110,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "corpus_deduped": ORACLE_CORPUS_DEDUPED_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "hourly_rollup": ORACLE_HOURLY_ROLLUP,
+        "value_deciles": ORACLE_VALUE_DECILES,
     }
