@@ -87,9 +87,13 @@ def main() -> int:
     # reported.  (Earlier rounds ran 3 and extended to 5 only when the median
     # was low — a one-sided re-measurement rule that could only raise the
     # reported number.  Hypervisor interference here is one-sided — bandwidth
-    # starvation lowers the 4N leg — so the median over a FIXED 5 rounds is
-    # robust to two bad epochs without conditioning sampling on the result.)
-    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+    # starvation lowers the 4N leg — so the median over a FIXED round count is
+    # robust to bad epochs without conditioning sampling on the result.
+    # 7 rounds, not 5: two same-protocol 5-round runs measured medians 0.847
+    # and 0.775 in one afternoon — a multi-minute starvation epoch can swallow
+    # 2 of 5 rounds; 7 fixed rounds tolerate 3 bad ones, and the count is
+    # chosen up front, never in response to a result.)
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "7"))
     for _ in range(n_rounds):
         paired_round()
     low, high, efficiency = median_round()
