@@ -547,14 +547,22 @@ def _stage_stream_dir(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> s
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    d = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    # stage into a private subdir and os.rename it to the published name only
+    # after every copy is fully written: a crash or disk-full mid-stage can
+    # never leave a truncated dir at the path the cache would later reuse
+    # (the published name either does not exist or is complete)
+    root = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    stage = os.path.join(root, "stage")
+    d = os.path.join(root, "ready")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     for _ in range(copies):
-        df.coalesce(1).write.mode("append").parquet(d)
+        df.coalesce(1).write.mode("append").parquet(stage)
+    os.rename(stage, d)
     if not _STREAM_STAGE_CACHE:
         atexit.register(
             lambda: [
-                shutil.rmtree(p, ignore_errors=True)
+                # cached paths are <root>/ready — reclaim the whole root
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
                 for p in _STREAM_STAGE_CACHE.values()
             ]
         )

@@ -127,9 +127,15 @@ def main() -> int:
     # use, and the staged source dirs are populated here so the timed pass
     # measures steady-state drain latency, not tmpfs staging (measured:
     # 4-query streaming subtotal 16s cold -> ~8s warm at sf0.1)
-    for warm_q in ("streaming_sessions", "streaming_dedup",
-                   "streaming_attribution", "streaming_counters"):
+    # The warmup pass is itself timed: streaming_cold_sec is the first-run
+    # (cold driver) subtotal, recorded alongside the warm steady-state
+    # timings so the amortization claim stays falsifiable (ADVICE r04).
+    stream_qs = ("streaming_sessions", "streaming_dedup",
+                 "streaming_attribution", "streaming_counters")
+    t_cold = time.time()
+    for warm_q in stream_qs:
         entrymod.queries()[warm_q](spark, SF_DIR).count()
+    streaming_cold_sec = round(time.time() - t_cold, 3)
 
     qtimes: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
@@ -178,6 +184,10 @@ def main() -> int:
     }
     full = dict(summary)
     full["queries"] = qtimes
+    full["streaming_cold_sec"] = streaming_cold_sec
+    full["streaming_warm_sec"] = round(
+        sum(qtimes[q] for q in stream_qs if q in qtimes), 3
+    )
     full["backfill"] = {
         **backfill,
         "paired_rounds": [

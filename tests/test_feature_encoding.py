@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from uncharted_ta1_spark.operators.sampling import fixed_k_hash_sample
 from uncharted_ta1_spark.operators.windows import (
@@ -83,7 +84,7 @@ def test_fixed_k_sample_exact_counts_and_stability(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string")
     out1 = fixed_k_hash_sample(df, strata=["event_type"], key_cols=["event_id"], k=10)
     counts = {r.event_type: r.n for r in
-              out1.groupBy("event_type").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+              out1.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     assert counts == {"t0": 10, "t1": 10, "t2": 10}
     # rerun-stable: same rows both times, and a stratum smaller than k
     # returns whole stratum

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,6 +120,20 @@ def merge_upsert(
     Returns {"version", "rows_total", "rows_updated", "rows_inserted"}.
     """
     os.makedirs(target_dir, exist_ok=True)
+
+    # sweep stale scratch manifests from crashed committers (the versioned
+    # manifest names themselves are never partial — see the commit note
+    # below).  Age-gated so a concurrent committer mid-write is never robbed
+    # of its tmp file; an hour-old .tmp is a crash artifact.
+    now = time.time()
+    for fn in os.listdir(target_dir):
+        if fn.startswith(".manifest-") and fn.endswith(".tmp"):
+            p = os.path.join(target_dir, fn)
+            try:
+                if now - os.path.getmtime(p) > 3600:
+                    os.unlink(p)
+            except OSError:
+                pass
 
     # --- collapse updates to one row per key (ADVICE round 1: duplicate keys
     # in one batch must not survive the anti-join+union) -------------------
@@ -221,12 +236,18 @@ def merge_upsert(
     try:
         os.link(tmp_m, mpath)  # atomic AND exclusive publish
     except FileExistsError as e:
-        os.unlink(tmp_m)
         raise RuntimeError(
             f"concurrent merge detected: manifest version {next_v} already "
             "committed by another writer; re-read the table and retry"
         ) from e
-    os.unlink(tmp_m)
+    finally:
+        # best-effort scratch cleanup on EVERY exit path (success, lost
+        # race, or an os.link failure such as a no-hardlink filesystem) —
+        # a leaked .tmp never wedges anything, but it shouldn't accumulate
+        try:
+            os.unlink(tmp_m)
+        except OSError:
+            pass
 
     tmp_ptr = os.path.join(target_dir, "._CURRENT.tmp")
     with open(tmp_ptr, "w") as f:
