@@ -78,6 +78,7 @@ from uncharted_ta1_spark.operators.filters import (
 )
 from uncharted_ta1_spark.features import SESSION_GAP_SEC, feature_backfill
 from uncharted_ta1_spark.operators.affinefit import affine_fit, affine_residuals, cramer_sql
+from uncharted_ta1_spark.operators import georef
 from uncharted_ta1_spark.operators.intervals import interval_union, rect_union
 from uncharted_ta1_spark.operators.sessionize import session_aggs, sessionize, top_sessions
 from uncharted_ta1_spark.operators.similarity import (
@@ -4782,7 +4783,12 @@ def q_affine_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return affine_residuals(gcps, keys=["doc"])
 
 
-def _affine_cte() -> str:
+def _affine_cte(extra_s: str = "", extra_sd: str = "") -> str:
+    """The shared fit CTE chain.  ``extra_s``/``extra_sd``: extra aggregate
+    / pass-through column lines (leading comma included) appended to the
+    sums and cast stages — the georeference composite extends the SAME
+    single groupBy with its clue-window and confidence stats instead of
+    forking a second copy of the sums text (CLAUDE.md nesting rule)."""
     cx = cramer_sql("wx", min_gcps=3)
     cy = cramer_sql("wy", min_gcps=3)
     return f"""
@@ -4802,7 +4808,7 @@ s AS (
          CAST(sum(px*wy) AS BIGINT) AS i_sxwy,
          CAST(sum(py*wy) AS BIGINT) AS i_sywy,
          CAST(sum(wy) AS BIGINT) AS i_swy,
-         CAST(sum(wy*wy) AS BIGINT) AS i_swywy
+         CAST(sum(wy*wy) AS BIGINT) AS i_swywy{extra_s}
   FROM gcps GROUP BY doc
 ),
 sd AS (
@@ -4813,7 +4819,7 @@ sd AS (
          CAST(i_sxwx AS DOUBLE) AS sxwx, CAST(i_sywx AS DOUBLE) AS sywx,
          CAST(i_swx AS DOUBLE) AS swx, CAST(i_swxwx AS DOUBLE) AS swxwx,
          CAST(i_sxwy AS DOUBLE) AS sxwy, CAST(i_sywy AS DOUBLE) AS sywy,
-         CAST(i_swy AS DOUBLE) AS swy, CAST(i_swywy AS DOUBLE) AS swywy
+         CAST(i_swy AS DOUBLE) AS swy, CAST(i_swywy AS DOUBLE) AS swywy{extra_sd}
   FROM s
 ),
 p AS (
@@ -4860,6 +4866,113 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# Georeference composite: fit -> project -> fallback -> score
+# (georeference.py:80-275, 391-475; operators/georef.py)
+# ---------------------------------------------------------------------------
+
+# Dual-dialect probe derivation (identical text in Spark SQL and DuckDB):
+# query points per doc with pixel coords from event ids and NOISELESS
+# planted-affine ground truth.  doc = user_id % 37 (vs the GCPs' % 30) so
+# docs 30-36 have probes but NO model — the missing-doc fallback path —
+# while the % 37 GCP thinning supplies degenerate (n<3) docs; truth is
+# withheld for probe_id % 3 = 0 to exercise truth-free scoring.
+GEOREF_PROBES_SQL = """
+SELECT probe_id, doc, qpx, qpy,
+       CASE WHEN probe_id % 3 = 0 THEN NULL ELSE
+         (doc % 5 + 1) * qpx + (doc % 3 - 1) * qpy + (doc * 17) % 100 END AS gt_wx,
+       CASE WHEN probe_id % 3 = 0 THEN NULL ELSE
+         (doc % 4 - 2) * qpx + (doc % 6 + 2) * qpy + (doc * 23) % 80 END AS gt_wy
+FROM (
+  SELECT event_id AS probe_id, user_id % 37 AS doc,
+         event_id % 101 AS qpx, (event_id * 11 + 7) % 97 AS qpy
+  FROM events WHERE event_id % 29 = 0
+) raw_probes
+"""
+
+_GEOREF_EXTRA_S = (
+    ",\n         CAST(min(wx) AS BIGINT) AS d_min_wx,"
+    " CAST(max(wx) AS BIGINT) AS d_max_wx,"
+    "\n         CAST(min(wy) AS BIGINT) AS d_min_wy,"
+    " CAST(max(wy) AS BIGINT) AS d_max_wy,"
+    f"\n         sum({georef.GCP_LN_CONF_SQL}) AS ln_conf_sum"
+)
+_GEOREF_EXTRA_SD = (
+    ",\n         d_min_wx, d_max_wx, d_min_wy, d_max_wy, ln_conf_sum"
+)
+
+
+def q_georef_probe_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship end-to-end flow (georeference.py:80-275):
+    per-doc affine fit from GCPs, probe projection with ±1-px finite
+    differences, clue-midpoint fallback at confidence 0 for degenerate or
+    modelless docs (:391-429), geodesic error vs ground truth (:443-458).
+    One GCP shuffle + broadcast joins; the probe side never shuffles."""
+    datagen.register_base_tables(spark, sf_dir)
+    gcps = spark.sql(GCP_AFFINE_SQL)
+    probes = spark.sql(GEOREF_PROBES_SQL)
+    return georef.georef_answers(gcps, probes, key="doc")
+
+
+def q_georef_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc scoring rollup of the georeference answers
+    (georeference.py:431-475): RMSE of geodesic error km with the -1
+    no-truth sentinel, fallback and 5-km buffered-match counts."""
+    datagen.register_base_tables(spark, sf_dir)
+    gcps = spark.sql(GCP_AFFINE_SQL)
+    probes = spark.sql(GEOREF_PROBES_SQL)
+    return georef.georef_doc_scores(gcps, probes, key="doc")
+
+
+def _georef_answers_oracle() -> str:
+    ans_cols = ",\n         ".join(
+        f"{sql} AS {name}" for name, sql in georef.answer_cols_sql().items()
+    )
+    fin_cols = ",\n       ".join(
+        f"{sql} AS {name}" for name, sql in georef.final_cols_sql().items()
+    )
+    return (
+        _affine_cte(_GEOREF_EXTRA_S, _GEOREF_EXTRA_SD)
+        + f""", gl AS (
+  SELECT CAST(min(wx) AS BIGINT) AS g_min_wx, CAST(max(wx) AS BIGINT) AS g_max_wx,
+         CAST(min(wy) AS BIGINT) AS g_min_wy, CAST(max(wy) AS BIGINT) AS g_max_wy
+  FROM gcps
+),
+probes AS ({GEOREF_PROBES_SQL}),
+j AS (
+  SELECT pr.probe_id, pr.doc, pr.qpx, pr.qpy, pr.gt_wx, pr.gt_wy,
+         p2.nf, p2.a_wx, p2.b_wx, p2.c_wx, p2.a_wy, p2.b_wy, p2.c_wy,
+         p2.ln_conf_sum, p2.d_min_wx, p2.d_max_wx, p2.d_min_wy, p2.d_max_wy,
+         gl.g_min_wx, gl.g_max_wx, gl.g_min_wy, gl.g_max_wy
+  FROM probes pr LEFT JOIN p2 ON p2.doc = pr.doc CROSS JOIN gl
+),
+ans AS (
+  SELECT doc, probe_id, qpx, qpy,
+         {ans_cols}
+  FROM j
+)
+SELECT doc, probe_id, qpx, qpy, lon_pred, lat_pred, confidence, used_fallback,
+       {fin_cols}
+FROM ans
+"""
+    )
+
+
+def _georef_rmse_oracle() -> str:
+    agg_cols = ",\n       ".join(
+        f"{sql} AS {name}" for name, sql in georef.rmse_agg_sql().items()
+    )
+    # nests the probe-answers oracle verbatim (the composite-oracle rule):
+    # editing any projection/scoring tree propagates automatically
+    return f"""
+WITH pa AS ({_georef_answers_oracle()})
+SELECT doc,
+       {agg_cols}
+FROM pa
+GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -4893,6 +5006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_union": q_rect_union,
         "affine_fit": q_affine_fit,
         "affine_residuals": q_affine_residuals,
+        "georef_probe_answers": q_georef_probe_answers,
+        "georef_rmse": q_georef_rmse,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
         "adaptive_topup": q_adaptive_topup,
@@ -5012,6 +5127,8 @@ def oracle_sql() -> dict[str, str]:
         "rect_union": ORACLE_RECT_UNION,
         "affine_fit": _affine_oracle(),
         "affine_residuals": _affine_resid_oracle(),
+        "georef_probe_answers": _georef_answers_oracle(),
+        "georef_rmse": _georef_rmse_oracle(),
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
         "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,

@@ -81,11 +81,17 @@ def affine_sums(
     py: str = "py",
     wx: str = "wx",
     wy: str = "wy",
+    extras: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """Exact-integer sufficient statistics per group, cast to DOUBLE under
     the canonical names the shared expression trees expect.  Inputs must be
     integer-valued and sized so every sum stays below 2^53 (pixel coords and
-    world coords of real GCP sets are far below that)."""
+    world coords of real GCP sets are far below that).
+
+    ``extras``: additional aggregate columns (name -> aggregate Column)
+    computed in the SAME groupBy — callers that need companion per-group
+    stats (e.g. the georeference clue window, operators/georef.py) extend
+    this pass instead of re-shuffling the GCPs a second time."""
     x = F.col(px).cast("long")
     y = F.col(py).cast("long")
     tx = F.col(wx).cast("long")
@@ -105,11 +111,13 @@ def affine_sums(
         F.sum(y * ty).alias("_sywy"),
         F.sum(ty).alias("_swy"),
         F.sum(ty * ty).alias("_swywy"),
+        *[col.alias(name) for name, col in (extras or {}).items()],
     )
     doubled = [F.col(k) for k in keys] + [F.col("n")]
     for c in ("sx", "sy", "sxx", "sxy", "syy", "sxwx", "sywx", "swx",
               "swxwx", "sxwy", "sywy", "swy", "swywy"):
         doubled.append(F.col(f"_{c}").cast("double").alias(c))
+    doubled.extend(F.col(name) for name in (extras or {}))
     return sums.select(*doubled, F.col("n").cast("double").alias("nf"))
 
 
@@ -122,11 +130,13 @@ def affine_params(
     wx: str = "wx",
     wy: str = "wy",
     min_gcps: int = 3,
+    extras: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """Keyed parameter table under the canonical tree names (a_wx..c_wy,
     rmse_x/rmse_y, degenerate) — shared by :func:`affine_fit` (renamed
     contract output) and :func:`affine_residuals` (joined back per GCP)."""
-    sums = affine_sums(gcps, keys=keys, px=px, py=py, wx=wx, wy=wy)
+    sums = affine_sums(gcps, keys=keys, px=px, py=py, wx=wx, wy=wy,
+                       extras=extras)
     cx = cramer_sql("wx", min_gcps=min_gcps)
     cy = cramer_sql("wy", min_gcps=min_gcps)
     return sums.withColumns(
