@@ -4974,6 +4974,87 @@ GROUP BY doc
 
 
 # ---------------------------------------------------------------------------
+# Convex-polygon predicates (denoise_segments.py:18-110, filter.py:143-287;
+# operators/polygon.py)
+# ---------------------------------------------------------------------------
+
+# Dual-dialect convex quads: a CCW diamond around a deterministic center —
+# (cx+a,cy) -> (cx,cy+b) -> (cx-c,cy) -> (cx,cy-d) is convex for any
+# positive a,b,c,d, with varied asymmetric shapes.
+POLY_QUADS_SQL = """
+SELECT event_id AS quad_id, user_id % 7 AS class_id,
+       cx + a AS x1, cy AS y1,
+       cx AS x2, cy + b AS y2,
+       cx - c AS x3, cy AS y3,
+       cx AS x4, cy - d AS y4
+FROM (
+  SELECT event_id, user_id,
+         event_id % 400 AS cx, (event_id * 13) % 400 AS cy,
+         1 + event_id % 9 AS a, 1 + (event_id * 3) % 9 AS b,
+         1 + (event_id * 5) % 9 AS c, 1 + (event_id * 7) % 9 AS d
+  FROM events WHERE event_id % 11 = 0
+) raw_quads
+"""
+
+POLY_POINTS_SQL = """
+SELECT event_id AS pt_id, event_id % 400 AS px, (event_id * 29) % 400 AS py
+FROM events WHERE event_id % 13 = 0
+"""
+
+
+def q_polygon_contain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-convex-polygon join (the ring-polygon ROI filter,
+    filter.py:143-287, as exact integer cross-product signs): grid-bucketed
+    equi join, sign predicate post-join — no BNL, no shapely, no floats."""
+    from uncharted_ta1_spark.operators.polygon import quad_contain_join
+
+    datagen.register_base_tables(spark, sf_dir)
+    quads = spark.sql(POLY_QUADS_SQL)
+    pts = spark.sql(POLY_POINTS_SQL)
+    out = quad_contain_join(pts, quads, cell=32)
+    return out.select("pt_id", "px", "py", "quad_id", "class_id")
+
+
+def q_polygon_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-polygon overlap pairs via the separating-axis test (the
+    polygon-intersection half of the segment-denoise merge,
+    denoise_segments.py:18-110): bbox grid-cell candidates + owner-cell
+    dedup + 8-edge SAT as pure integer column math; touching included."""
+    from uncharted_ta1_spark.operators.polygon import quad_overlap_join
+
+    datagen.register_base_tables(spark, sf_dir)
+    quads = spark.sql(POLY_QUADS_SQL)
+    return quad_overlap_join(quads, keys=["class_id"], cell=32)
+
+
+def _poly_contain_oracle() -> str:
+    from uncharted_ta1_spark.operators.polygon import point_in_quad_sql
+
+    return f"""
+WITH pq_quads AS ({POLY_QUADS_SQL}),
+pq_pts AS ({POLY_POINTS_SQL})
+SELECT p.pt_id, p.px, p.py, q.quad_id, q.class_id
+FROM pq_pts p JOIN pq_quads q ON {point_in_quad_sql()}
+"""
+
+
+def _poly_overlap_oracle() -> str:
+    from uncharted_ta1_spark.operators.polygon import quad_overlap_sql
+
+    a_cols = ", ".join(f"{ax}{i} AS a{ax}{i}" for i in (1, 2, 3, 4) for ax in ("x", "y"))
+    b_cols = ", ".join(f"{ax}{i} AS b{ax}{i}" for i in (1, 2, 3, 4) for ax in ("x", "y"))
+    return f"""
+WITH pq AS ({POLY_QUADS_SQL}),
+pa AS (SELECT class_id AS a_class, quad_id AS a_quad_id, {a_cols} FROM pq),
+pb AS (SELECT class_id AS b_class, quad_id AS b_quad_id, {b_cols} FROM pq)
+SELECT a_class AS class_id, a_quad_id, b_quad_id
+FROM pa JOIN pb
+  ON a_class = b_class AND a_quad_id < b_quad_id
+ AND {quad_overlap_sql("a", "b")}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -5009,6 +5090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine_residuals": q_affine_residuals,
         "georef_probe_answers": q_georef_probe_answers,
         "georef_rmse": q_georef_rmse,
+        "polygon_contain_join": q_polygon_contain_join,
+        "polygon_overlap_pairs": q_polygon_overlap_pairs,
         "dedup_latest_state": q_dedup_latest_state,
         "group_count_filter": q_group_count_filter,
         "adaptive_topup": q_adaptive_topup,
@@ -5130,6 +5213,8 @@ def oracle_sql() -> dict[str, str]:
         "affine_residuals": _affine_resid_oracle(),
         "georef_probe_answers": _georef_answers_oracle(),
         "georef_rmse": _georef_rmse_oracle(),
+        "polygon_contain_join": _poly_contain_oracle(),
+        "polygon_overlap_pairs": _poly_overlap_oracle(),
         "dedup_latest_state": ORACLE_DEDUP_LATEST,
         "group_count_filter": ORACLE_GROUP_COUNT_FILTER,
         "adaptive_topup": ORACLE_ADAPTIVE_TOPUP,
