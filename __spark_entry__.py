@@ -2435,6 +2435,53 @@ FROM documents
 """
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (the CV-Task decode stage,
+    detectron_segmenter.py:54-120 / point_extractor.py:151-235, with an
+    actual body — no PIL): each doc becomes a genuine BMP (even doc_id;
+    24bpp, bottom-up rows, 4-byte row padding) or P6 PPM blob, then a
+    second Arrow stage sniffs the magic, parses header + pixel plane with
+    numpy, and reduces to stats + a gamma-LUT sum.  The oracle recomputes
+    the stats from the closed-form pixel plane, so any encoder/parser
+    disagreement (padding, row order, header offsets) fails the hash."""
+    from uncharted_ta1_spark.functions.arrow_udfs import (
+        decode_image_features,
+        synth_image_blobs,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return decode_image_features(synth_image_blobs(docs))
+
+
+def _image_decode_oracle() -> str:
+    from uncharted_ta1_spark.functions.arrow_udfs import GAMMA_LUT
+
+    lut_list = "[" + ", ".join(str(v) for v in GAMMA_LUT) + "]"
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         8 + doc_id % 9 AS width, 4 + doc_id % 5 AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, fmt, width, height,
+         (doc_id * 31 + unnest(range(width * height)) * 7) % 256 AS v
+  FROM dims
+)
+SELECT doc_id, fmt,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS pix_sum,
+       CAST(min(v) AS BIGINT) AS pix_min,
+       CAST(max(v) AS BIGINT) AS pix_max,
+       CAST(sum(list_extract({lut_list}, CAST(v AS INT) + 1)) AS BIGINT) AS lut_sum
+FROM px
+GROUP BY doc_id, fmt, width, height
+"""
+
+
 def q_token_sum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row token sum through the pandas-UDF path (Arrow batches)."""
     out = token_stats_pandas(_sequences(spark, sf_dir))
@@ -5123,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_trend": q_first_last_trend,
         "rank_users_by_type": q_rank_users_by_type,
         "multimodal_decode": q_multimodal_decode,
+        "image_decode": q_image_decode,
         "token_sum_pandas": q_token_sum_pandas,
         "feature_backfill": q_feature_backfill,
         "tile_fanout_merge": q_tile_fanout_merge,
@@ -5252,6 +5300,7 @@ def oracle_sql() -> dict[str, str]:
         "first_last_trend": ORACLE_FIRST_LAST_TREND,
         "rank_users_by_type": ORACLE_RANK_USERS,
         "multimodal_decode": ORACLE_MULTIMODAL,
+        "image_decode": _image_decode_oracle(),
         "token_sum_pandas": ORACLE_TOKEN_SUM,
         "feature_backfill": ORACLE_FEATURE_BACKFILL,
         "tile_fanout_merge": ORACLE_TILE_FANOUT,

@@ -6,7 +6,9 @@ individual rows.  Reference analog: every heavyweight Task (YOLO batch-20
 inference ``tasks/point_extraction/point_extractor.py:151-235``, Detectron
 ``tasks/segmentation/detectron_segmenter.py:54-120``, OCR resize
 ``text_extractor.py:153-250``) is a batched model UDF with lazy per-worker
-init — here modeled by ``multimodal_features``' deterministic fake decoder.
+init.  The image decode stage is REAL here: a pure-numpy BMP/PPM codec
+(``decode_image_features``) parses genuine container bytes; only the
+learned-model inference itself stays out of scope in this sandbox.
 
 The SQL-expressible ops also have pandas twins (``token_stats_pandas``) so
 tests can assert UDF == builtin results — the contract that lets an operator
@@ -75,9 +77,9 @@ MULTIMODAL_SCHEMA = StructType(
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake decoder (image/audio libs aren't in this container;
-    a real deployment swaps the body for PIL/librosa — the Spark-side
-    plumbing, schema, and Arrow batch shape are identical)."""
+    """Byte-metadata pass over opaque blobs: length, content hash, derived
+    dims — the cheap first stage of a multimodal pipeline (the REAL pixel
+    decode lives in :func:`decode_image_features` below)."""
     for pdf in batches:
         payload = pdf["payload"]
         byte_len = payload.map(len).astype("int64")
@@ -251,3 +253,166 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").cast(BinaryType()).alias("payload")
     )
     return with_payload.mapInPandas(_decode_batches, MULTIMODAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec: BMP (24bpp, bottom-up, row-padded) + PPM (P6) in pure
+# numpy/struct — no PIL.  Reference analog: every CV Task decodes raster
+# images before inference (tasks/segmentation/detectron_segmenter.py:54-120,
+# tasks/point_extraction/point_extractor.py:151-235 load PIL images); this
+# is the decode stage made real for the two classic uncompressed containers.
+# The parser handles the details that make decode nontrivial — BMP stores
+# rows bottom-up and pads each row to a 4-byte boundary; PPM has an ASCII
+# token header — so an encoder/parser disagreement (off-by-one padding,
+# row-order flip) breaks the closed-form oracle instead of hiding.
+# ---------------------------------------------------------------------------
+
+import struct
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_px", LongType()),
+        StructField("pix_sum", LongType()),
+        StructField("pix_min", LongType()),
+        StructField("pix_max", LongType()),
+        StructField("lut_sum", LongType()),
+    ]
+)
+
+
+def _synth_gray(doc_id: int, n: int):
+    """Deterministic grayscale plane in raster (top-down) order — the
+    closed form the DuckDB oracle recomputes independently."""
+    import numpy as np
+
+    return ((doc_id * 31 + np.arange(n, dtype="int64") * 7) % 256).astype("uint8")
+
+
+def _encode_bmp(vals, w: int, h: int) -> bytes:
+    """24bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, gray triplets,
+    rows bottom-up, each row padded to a 4-byte boundary."""
+    import numpy as np
+
+    stride = ((w * 3 + 3) // 4) * 4
+    img = np.zeros((h, stride), dtype="uint8")
+    plane = vals.reshape(h, w)
+    for ch in range(3):  # B, G, R all = gray value
+        img[:, ch : w * 3 : 3] = plane
+    img = img[::-1]  # bottom-up storage
+    data = img.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + info + data
+
+
+def _encode_ppm(vals, w: int, h: int) -> bytes:
+    """P6 PPM: ASCII header + top-down RGB triplets (no padding)."""
+    import numpy as np
+
+    rgb = np.repeat(vals, 3)
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def _parse_bmp(data: bytes):
+    import numpy as np
+
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = ((w * 3 + 3) // 4) * 4
+    raw = np.frombuffer(data, dtype="uint8", count=h * stride, offset=offset)
+    rows = raw.reshape(h, stride)[::-1]  # back to top-down
+    return w, h, rows[:, 0 : w * 3 : 3].reshape(-1).astype("int64")
+
+
+def _parse_ppm(data: bytes):
+    import numpy as np
+
+    # ASCII header: magic, width, height, maxval, then ONE whitespace byte
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, _maxval = tokens
+    raw = np.frombuffer(data, dtype="uint8", count=w * h * 3, offset=pos)
+    return w, h, raw[0::3].astype("int64")
+
+
+def _image_blob_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encoder stage: deterministic gray plane per doc, containerized as a
+    real BMP (even doc_id) or PPM (odd) blob."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 4 + d % 5
+            vals = _synth_gray(d, w * h)
+            payloads.append(
+                _encode_bmp(vals, w, h) if d % 2 == 0 else _encode_ppm(vals, w, h)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def _image_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The REAL decoder: sniff the container magic, parse header + pixel
+    plane with numpy, reduce to stats + a gamma-LUT sum (the
+    pixel_lut_stats machinery applied to decoded pixels, not raw bytes)."""
+    import numpy as np
+
+    lut = np.asarray(GAMMA_LUT, dtype="int64")
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "fmt", "width", "height", "n_px",
+                                "pix_sum", "pix_min", "pix_max", "lut_sum")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            if data[:2] == b"BM":
+                fmt = "bmp"
+                w, h, vals = _parse_bmp(data)
+            else:
+                fmt = "ppm"
+                w, h, vals = _parse_ppm(data)
+            rows["doc_id"].append(int(doc_id))
+            rows["fmt"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_px"].append(len(vals))
+            rows["pix_sum"].append(int(vals.sum()))
+            rows["pix_min"].append(int(vals.min()))
+            rows["pix_max"].append(int(vals.max()))
+            rows["lut_sum"].append(int(lut[vals].sum()))
+        out = pd.DataFrame(rows)
+        for k in ("doc_id", "width", "height", "n_px",
+                  "pix_sum", "pix_min", "pix_max", "lut_sum"):
+            out[k] = out[k].astype("int64")
+        yield out
+
+
+def synth_image_blobs(docs: DataFrame) -> DataFrame:
+    """doc_id -> real BMP/PPM binary blob (the binary-column ingest side)."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(_image_blob_batches, schema)
+
+
+def decode_image_features(blobs: DataFrame) -> DataFrame:
+    """Real container decode + pixel stats over a BinaryType column, Arrow
+    batched, shuffle-free — the CV-Task decode stage with an actual body."""
+    return blobs.mapInPandas(_image_decode_batches, IMAGE_SCHEMA)
