@@ -3033,6 +3033,120 @@ ASOF LEFT JOIN feat s
 )
 
 
+# columns whose string form is engine-identical (ints/strings/bools; the
+# one rounded double is excluded — float->string formatting differs)
+_BFRES_HASH_COLS = [
+    "probe_id", "doc_id", "source", "ts_epoch", "asof_event_epoch",
+    "asof_tokens_csv", "asof_n_tok", "asof_lag_n_tok_1", "asof_lead_n_tok_1",
+    "asof_lag_tokens_1_csv", "asof_lead_tokens_1_csv",
+    "asof_roll_sum_n_tok_w5", "asof_session_id", "asof_session_len",
+    "asof_session_sum_n_tok", "asof_age_sec", "fallback_used",
+]
+_BFRES_LOST = (1, 3, 5, 7)  # buckets whose progress the simulated crash loses
+_BFRES_DATA_GONE = (5, 7)  # of those, buckets whose data dir is also lost
+
+
+def q_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J1/ST6 resume invariant on the oracle surface (request_client.py:
+    355-475 memoized resume + task.py:188-212 cache check): run the full
+    bucketed feature backfill, simulate a crash that loses half the
+    checkpoint commits — covering BOTH crash states: commit lost with the
+    bucket's data dir still present (orphan-replace path) AND commit+data
+    both lost (full recompute) — resume, and emit the per-bucket row count
+    + an order-free content hash of the final on-disk state.  The DuckDB
+    twin computes the same final state directly from the clean derivation,
+    so a resume that duplicates, drops, or corrupts any bucket hash-fails.
+    The query itself asserts the resume plan (8 computed, then exactly 4)
+    and raises loudly on violation."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from uncharted_ta1_spark.plans.backfill import (
+        read_backfill_output,
+        run_backfill,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="sparkgraft_bfres_")
+    try:
+        r1 = run_backfill(spark, sf_dir, out_dir, n_buckets=8)
+        if r1["buckets_computed"] != 8:
+            raise AssertionError(f"clean run computed {r1['buckets_computed']}/8")
+        ckpt = os.path.join(out_dir, "_checkpoint")
+        for fname in os.listdir(ckpt):
+            if not fname.endswith(".parquet"):
+                continue
+            fp = os.path.join(ckpt, fname)
+            if any(
+                row["bucket"] in _BFRES_LOST
+                for row in _pq.read_table(fp).to_pylist()
+            ):
+                os.unlink(fp)
+        for b in _BFRES_DATA_GONE:
+            shutil.rmtree(os.path.join(out_dir, "data", f"bucket={b}"))
+        r2 = run_backfill(spark, sf_dir, out_dir, n_buckets=8)
+        if r2["buckets_computed"] != len(_BFRES_LOST) or r2["buckets_done_before"] != 4:
+            raise AssertionError(f"resume plan violated: {r2}")
+        raw = read_backfill_output(spark, out_dir)
+        # same contract projection as q_feature_backfill (csv-serialized
+        # token arrays) so the hash runs over engine-identical strings
+        df = raw.select(
+            "bucket",
+            "probe_id", "doc_id", "source", "ts_epoch", "asof_event_epoch",
+            _csv("asof_tokens").alias("asof_tokens_csv"),
+            "asof_n_tok", "asof_lag_n_tok_1", "asof_lead_n_tok_1",
+            _csv("asof_lag_tokens_1").alias("asof_lag_tokens_1_csv"),
+            _csv("asof_lead_tokens_1").alias("asof_lead_tokens_1_csv"),
+            "asof_roll_sum_n_tok_w5",
+            "asof_session_id", "asof_session_len", "asof_session_sum_n_tok",
+            "asof_age_sec", "fallback_used",
+        )
+        row_str = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in _BFRES_HASH_COLS]
+        )
+        summary = df.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(md5_i64(row_str) % F.lit(1_000_000_007))
+            .cast("long")
+            .alias("content_hash_sum"),
+        ).withColumn(
+            "recomputed", F.col("bucket").isin(list(_BFRES_LOST))
+        )
+        # materialize the 8-row summary so the temp dirs can be reclaimed
+        # before the driver collects (bounded-metadata collect, like the
+        # streaming memory sinks)
+        rows = summary.collect()
+        return spark.createDataFrame(
+            rows, "bucket int, n_rows long, content_hash_sum long, recomputed boolean"
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _backfill_resume_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    cols = ", ".join(f"CAST({c} AS VARCHAR)" for c in _BFRES_HASH_COLS)
+    lost = ", ".join(str(b) for b in _BFRES_LOST)
+    # nests the feature-backfill oracle verbatim (composite-oracle rule);
+    # md5_i64 is non-negative, so plain % 8 matches Spark's pmod
+    return f"""
+WITH fb AS ({ORACLE_FEATURE_BACKFILL}),
+hashed AS (
+  SELECT CAST({md5_i64_duck("doc_id")} % 8 AS INT) AS bucket,
+         {md5_i64_duck(f"concat_ws('|', {cols})")} % 1000000007 AS rh
+  FROM fb
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rh) AS BIGINT) AS content_hash_sum,
+       bucket IN ({lost}) AS recomputed
+FROM hashed
+GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped model fit (J8/UDAF surface): per-(doc_id, source) least squares
 # (reference tasks/geo_referencing/georeference.py:130-144 fit-then-lookup;
@@ -5173,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "token_sum_pandas": q_token_sum_pandas,
         "feature_backfill": q_feature_backfill,
+        "backfill_resume": q_backfill_resume,
         "tile_fanout_merge": q_tile_fanout_merge,
         "halt_gate": q_halt_gate,
         "pos_join": q_pos_join,
@@ -5303,6 +5418,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _image_decode_oracle(),
         "token_sum_pandas": ORACLE_TOKEN_SUM,
         "feature_backfill": ORACLE_FEATURE_BACKFILL,
+        "backfill_resume": _backfill_resume_oracle(),
         "tile_fanout_merge": ORACLE_TILE_FANOUT,
         "halt_gate": ORACLE_HALT_GATE,
         "pos_join": ORACLE_POS_JOIN,
