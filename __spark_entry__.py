@@ -1705,6 +1705,32 @@ def _bpe_oracle() -> str:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE story (signal -> transform, the tokenizer
+    twin of corpus_deduped): learn 3 merges, then RE-TOKENIZE the corpus
+    under them, emitting the per-sequence encoding manifest (token counts
+    before/after + exact positional checksums of the encoded stream).
+    Same materialized round-by-round runner as bpe_merges."""
+    from uncharted_ta1_spark.operators.bpe import run_bpe_encode
+
+    datagen.register_base_tables(spark, sf_dir)
+    stream0 = spark.sql(
+        datagen.spark_with(datagen.SEQUENCES_SPARK, BPE_STREAM_SPARK)
+        + " SELECT * FROM stream0"
+    )
+    return run_bpe_encode(
+        spark, stream0, BPE_ROUNDS, merge_base=datagen.TOKEN_MOD
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    from uncharted_ta1_spark.operators.bpe import bpe_encode_sql
+
+    return duck_with(SEQUENCES_DUCK, BPE_STREAM_DUCK) + bpe_encode_sql(
+        BPE_ROUNDS, merge_base=datagen.TOKEN_MOD
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split from ONE stable hash bucket partitioned into
     disjoint ranges (80/10/10) — re-hashing per split would correlate
@@ -5274,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "dataset_split": q_dataset_split,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -5397,6 +5424,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": ORACLE_VOCAB_STATS,
         "dataset_split": ORACLE_DATASET_SPLIT,
         "bpe_merges": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "dedup_eval": ORACLE_DEDUP_EVAL.format(
             mh=ORACLE_DEDUP_MINHASH, jc=ORACLE_DEDUP_JACCARD
         ),

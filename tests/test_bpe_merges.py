@@ -102,3 +102,46 @@ def test_nonoverlapping_distinct_pair_merges_everywhere(spark):
     # after merging: [m, m, m] -> (m, m) twice, but left-to-right run rule
     # merges only floor(3/2) = 1 pair; the count is still the raw pair count
     assert out[1] == (1000, 1000, 2, 1001)
+
+
+def _encode(spark, token_rows, k, base=1000):
+    from uncharted_ta1_spark.operators.bpe import bpe_encode_sql
+
+    spark.createDataFrame(
+        [(str(i), "s", 0, toks) for i, toks in enumerate(token_rows)],
+        "doc_id string, source string, seq_no int, tokens array<int>",
+    ).createOrReplaceTempView("sequences")
+    sql = datagen.spark_with(BPE_STREAM_SPARK) + bpe_encode_sql(
+        k, merge_base=base
+    )
+    return {r.doc_id: r for r in spark.sql(sql).collect()}
+
+
+def test_encode_manifest_counts_and_checksums(spark):
+    # k=1 on [1,2,3,1,2]: top pair (1,2) x2 -> encoded [m,3,m], and on a
+    # second doc [9] untouched.  Checksums pin the exact encoded stream.
+    out = _encode(spark, [[1, 2, 3, 1, 2], [9]], k=1)
+    d0 = out["0"]
+    assert (d0.n_tok_before, d0.n_tok_after) == (5, 3)
+    enc = [1000, 3, 1000]
+    assert d0.tok_sum == sum(enc)
+    assert d0.pos_tok_sum == sum((i + 1) * t for i, t in enumerate(enc))
+    d1 = out["1"]
+    assert (d1.n_tok_before, d1.n_tok_after, d1.tok_sum) == (1, 1, 9)
+
+
+def test_encode_runner_matches_single_text_chain(spark):
+    # the materialized round-by-round runner must equal the one-text chain
+    from uncharted_ta1_spark.operators.bpe import run_bpe_encode
+
+    rows = [[1, 2, 3, 1, 2, 1, 2], [2, 3, 2, 3], [5, 5, 5]]
+    want = _encode(spark, rows, k=2)
+    stream0 = spark.sql(
+        datagen.spark_with(BPE_STREAM_SPARK) + " SELECT * FROM stream0"
+    )
+    got = {
+        r.doc_id: r
+        for r in run_bpe_encode(spark, stream0, 2, merge_base=1000).collect()
+    }
+    for d in want:
+        assert tuple(want[d]) == tuple(got[d])

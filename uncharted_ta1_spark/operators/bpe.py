@@ -133,3 +133,58 @@ def run_bpe_merges(
                 next_stream_sql(r, merge_base)
             ).localCheckpoint().createOrReplaceTempView(f"stream{r + 1}")
     return spark.sql(merges_select_sql(k, merge_base))
+
+
+# ---------------------------------------------------------------------------
+# The APPLY half: encode the corpus under the learned merge table
+# (the signal->transform closure, like dedup's corpus_deduped: the engine
+# doesn't just SCORE the tokenizer design, it re-tokenizes with it)
+# ---------------------------------------------------------------------------
+
+
+def encode_summary_sql(k: int) -> str:
+    """Per-sequence encoding manifest over the final stream: token count
+    before/after k merges plus exact positional checksums (sum(tok),
+    sum(pos*tok)) that pin the full encoded content without shipping the
+    exploded stream through the compare."""
+    return f"""
+SELECT a.doc_id, a.source, a.seq_no, b.n_tok_before,
+       a.n_tok_after, a.tok_sum, a.pos_tok_sum
+FROM (
+  SELECT {_UID},
+         CAST(count(*) AS BIGINT) AS n_tok_after,
+         CAST(sum(tok) AS BIGINT) AS tok_sum,
+         CAST(sum(pos * tok) AS BIGINT) AS pos_tok_sum
+  FROM stream{k} GROUP BY {_UID}
+) a JOIN (
+  SELECT {_UID}, CAST(count(*) AS BIGINT) AS n_tok_before
+  FROM stream0 GROUP BY {_UID}
+) b ON a.doc_id = b.doc_id AND a.source = b.source AND a.seq_no = b.seq_no"""
+
+
+def bpe_encode_sql(k: int, *, merge_base: int) -> str:
+    """The whole learn+encode chain as ONE SQL text (the DuckDB oracle
+    form) — unlike :func:`bpe_merges_sql` it also materializes the LAST
+    round's merged stream, which is the encoded corpus."""
+    blocks = []
+    for r in range(k):
+        blocks.append(f"e{r} AS ({lead_sql(r)})")
+        blocks.append(f"top{r} AS ({top_sql(r)})")
+        blocks.append(f"stream{r + 1} AS ({next_stream_sql(r, merge_base)})")
+    return ", " + ", ".join(blocks) + " " + encode_summary_sql(k)
+
+
+def run_bpe_encode(
+    spark: SparkSession, stream0: DataFrame, k: int, *, merge_base: int
+) -> DataFrame:
+    """Stage-by-stage execution of the same texts (materialized per round,
+    the anti-CTE-inlining runner of :func:`run_bpe_merges`), returning the
+    per-sequence encoding manifest over the FINAL stream."""
+    stream0.localCheckpoint().createOrReplaceTempView("stream0")
+    for r in range(k):
+        spark.sql(lead_sql(r)).createOrReplaceTempView(f"e{r}")
+        spark.sql(top_sql(r)).localCheckpoint().createOrReplaceTempView(f"top{r}")
+        spark.sql(
+            next_stream_sql(r, merge_base)
+        ).localCheckpoint().createOrReplaceTempView(f"stream{r + 1}")
+    return spark.sql(encode_summary_sql(k))
