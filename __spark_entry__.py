@@ -4874,6 +4874,11 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         col="value",
         order_tiebreak=["event_id"],
         k=10,
+        # bucket count = per-class parallelism; boundaries only steer load
+        # balance (output is exact regardless), so size it to the cluster:
+        # 50 here (measured 3x cheaper sketch than 100 at sf0.1), thousands
+        # on a real corpus
+        n_buckets=50,
     )
     return out.select("event_id", "event_type", "value", "decile")
 
