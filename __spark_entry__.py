@@ -5181,7 +5181,7 @@ SELECT event_id AS quad_id, user_id % 7 AS class_id,
        cx AS x4, cy - d AS y4
 FROM (
   SELECT event_id, user_id,
-         event_id % 400 AS cx, (event_id * 13) % 400 AS cy,
+         event_id % 120 AS cx, (event_id * 13) % 120 AS cy,
          1 + event_id % 9 AS a, 1 + (event_id * 3) % 9 AS b,
          1 + (event_id * 5) % 9 AS c, 1 + (event_id * 7) % 9 AS d
   FROM events WHERE event_id % 11 = 0
@@ -5189,7 +5189,7 @@ FROM (
 """
 
 POLY_POINTS_SQL = """
-SELECT event_id AS pt_id, event_id % 400 AS px, (event_id * 29) % 400 AS py
+SELECT event_id AS pt_id, event_id % 120 AS px, (event_id * 29) % 120 AS py
 FROM events WHERE event_id % 13 = 0
 """
 
