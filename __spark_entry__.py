@@ -70,6 +70,16 @@ from uncharted_ta1_spark.operators.groupfit import (
 from uncharted_ta1_spark.operators.spatial import grid_containment_join
 from uncharted_ta1_spark.operators.anchors import synthesize_anchors
 from uncharted_ta1_spark.operators.packing import pack_chunks
+from uncharted_ta1_spark.operators.ranking import bm25_topk
+from uncharted_ta1_spark.operators.sketches import (
+    bloom_bits,
+    bloom_membership,
+    cms_counters,
+    cms_lookup,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 from uncharted_ta1_spark.operators.sweep import sweep_argmax
 from uncharted_ta1_spark.operators.filters import (
     adaptive_topup_filter,
@@ -4545,6 +4555,304 @@ QUALIFY rank <= 3
 )
 
 
+BM25_TERMS = ["table", "scan", "merge"]  # query terms present in the corpus
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for a fixed 3-term query
+    (operators/ranking.py — fixed-order pivoted sum, TakeOrdered top-k)."""
+    return bm25_topk(_documents(spark, sf_dir), terms=BM25_TERMS, k=10)
+
+
+# per-term contribution: SAME IEEE tree as ranking.bm25_topk (left-assoc
+# products, avgdl inline) — change both together or the hashes fork
+_BM25_CONTRIB = (
+    "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * CAST(tf AS DOUBLE) * 2.2"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)"
+    " / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+)
+
+ORACLE_BM25_SEARCH = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, bm_tc AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(words) AS word FROM doc_words)
+  WHERE word IN ('table', 'scan', 'merge')
+  GROUP BY doc_id, word
+),
+bm_dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM doc_words),
+bm_st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS tot_len
+  FROM doc_words
+),
+bm_df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM bm_tc GROUP BY word),
+bm_base AS (
+  SELECT tc.doc_id, tc.word, tc.tf, dl.dl, dft.df, st.n_docs, st.tot_len
+  FROM bm_tc tc
+  JOIN bm_dl dl USING (doc_id)
+  JOIN bm_df dft USING (word)
+  CROSS JOIN bm_st st
+),
+bm_piv AS (
+  SELECT doc_id,
+         max(CASE WHEN word = 'table' THEN {_BM25_CONTRIB} ELSE 0.0 END) AS c0,
+         max(CASE WHEN word = 'scan'  THEN {_BM25_CONTRIB} ELSE 0.0 END) AS c1,
+         max(CASE WHEN word = 'merge' THEN {_BM25_CONTRIB} ELSE 0.0 END) AS c2
+  FROM bm_base GROUP BY doc_id
+)
+SELECT doc_id, round(0.0 + c0 + c1 + c2, 6) AS score
+FROM bm_piv
+ORDER BY (0.0 + c0 + c1 + c2) DESC, doc_id ASC
+LIMIT 10
+"""
+)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct (user, day) per event_type, plus an
+    'ALL' row built by MERGING the per-type registers (max on buckets) —
+    the constant-size distinct-count sketch for 100-TB aggregation
+    (operators/sketches.py).  Exact distinct and relative error ride
+    along so the sketch is evaluated against truth, not just emitted."""
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.expr("ts_us DIV 86400000000").cast("string"),
+        ).alias("uk"),
+    )
+    regs = hll_registers(ev, ["event_type"], "uk")
+    merged = hll_merge(
+        regs.withColumn("event_type", F.lit("ALL")), ["event_type"]
+    )
+    est = hll_estimate(regs.unionByName(merged), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("uk").cast("long").alias("exact_distinct")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("uk").cast("long").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("event_type"), "exact_distinct")
+    truth = exact.unionByName(exact_all)
+    return est.join(truth, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.round("hll_est", 6).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("hll_est") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+# register derivation: SAME integer pipeline as sketches.hll_registers /
+# hll_estimate — 60-bit md5 hash, 6 bucket bits, rho via length(bin()),
+# harmonic sum as exact BIGINT (sum of 1 << (55 - M)); the only doubles
+# are the final estimator tree
+ORACLE_HLL_DISTINCT = (
+    duck_with(EVENTS_DUCK)
+    + """
+, hll_keys AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || '|' ||
+         CAST(ts_us // 86400000000 AS VARCHAR) AS uk
+  FROM events_epoch
+),
+hll_h AS (
+  SELECT event_type,
+         (('0x' || substr(md5('hll' || uk), 1, 15))::BIGINT) AS h
+  FROM hll_keys
+),
+hll_reg AS (
+  SELECT event_type, CAST(h % 64 AS INTEGER) AS bucket,
+         max(CASE WHEN (h >> 6) > 0
+                  THEN 55 - length(bin(h >> 6)) ELSE 55 END) AS m_reg
+  FROM hll_h GROUP BY event_type, bucket
+),
+hll_all AS (
+  SELECT 'ALL' AS event_type, bucket, max(m_reg) AS m_reg
+  FROM hll_reg GROUP BY bucket
+),
+hll_u AS (SELECT * FROM hll_reg UNION ALL SELECT * FROM hll_all),
+hll_agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(1::BIGINT << (55 - m_reg)) AS BIGINT) AS present_pow
+  FROM hll_u GROUP BY event_type
+),
+hll_est AS (
+  SELECT event_type,
+         (64 - n_present) AS zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 36028797018963968.0
+           / CAST(present_pow + (64 - n_present) * 36028797018963968 AS DOUBLE)
+           AS raw
+  FROM hll_agg
+),
+hll_fin AS (
+  SELECT event_type,
+         CASE WHEN raw <= 160.0 AND zeros > 0
+              THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+              ELSE raw END AS est
+  FROM hll_est
+),
+hll_exact AS (
+  SELECT event_type, CAST(count(DISTINCT uk) AS BIGINT) AS exact_distinct
+  FROM hll_keys GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT uk) AS BIGINT) FROM hll_keys
+)
+SELECT f.event_type, x.exact_distinct,
+       round(f.est, 6) AS hll_estimate,
+       round(abs(f.est - CAST(x.exact_distinct AS DOUBLE))
+             / CAST(x.exact_distinct AS DOUBLE), 6) AS rel_err
+FROM hll_fin f JOIN hll_exact x USING (event_type)
+"""
+)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: the 4x256 counter table (constant
+    size, mergeable by +) estimates the top-20 exact words; integers
+    end-to-end (operators/sketches.py), overcount = estimate - truth."""
+    docs = _documents(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    counters = cms_counters(wc)
+    top20 = wc.orderBy(F.col("c").desc(), F.col("word").asc()).limit(20)
+    est = cms_lookup(top20.select("word"), counters)
+    return top20.join(est, "word").select(
+        F.col("word"),
+        F.col("c").alias("exact_count"),
+        F.col("cms_estimate"),
+        (F.col("cms_estimate") - F.col("c")).cast("long").alias("overcount"),
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, cms_wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS word FROM doc_words) GROUP BY word
+),
+cms_j AS (SELECT unnest(range(4)) AS j),
+cms_tab AS (
+  SELECT j,
+         CAST((('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || word), 1, 15))::BIGINT)
+              % 256 AS INTEGER) AS bucket,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM cms_wc CROSS JOIN cms_j
+  GROUP BY 1, 2
+),
+cms_top AS (SELECT word, c FROM cms_wc ORDER BY c DESC, word ASC LIMIT 20),
+cms_probe AS (
+  SELECT word, j,
+         CAST((('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || word), 1, 15))::BIGINT)
+              % 256 AS INTEGER) AS bucket
+  FROM cms_top CROSS JOIN cms_j
+),
+cms_est AS (
+  SELECT p.word, CAST(min(t.cnt) AS BIGINT) AS cms_estimate
+  FROM cms_probe p JOIN cms_tab t USING (j, bucket)
+  GROUP BY p.word
+)
+SELECT t.word, t.c AS exact_count, e.cms_estimate,
+       CAST(e.cms_estimate - t.c AS BIGINT) AS overcount
+FROM cms_top t JOIN cms_est e USING (word)
+"""
+)
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom membership sketch: the eval slice's
+    shingle set compressed to <=16384 bit positions (constant-size state —
+    the form that survives an eval corpus too big to broadcast as an exact
+    index), tested against every train shingle.  Exact hits ride along so
+    the one-sided error is measured, not assumed: bloom_hits >= exact_hits
+    row by row (operators/sketches.py::bloom_bits/bloom_membership)."""
+    docs = _documents(spark, sf_dir)
+    train = doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3)
+    ev = doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3)
+    bits = bloom_bits(ev.select("sh_hash").distinct())
+    flagged = bloom_membership(train.select("doc_id", "sh_hash"), bits)
+    exact = train.join(
+        F.broadcast(ev.select("sh_hash").distinct()), "sh_hash", "left_semi"
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_hits")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("bloom_hits"),
+    )
+    return (
+        per_doc.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            F.coalesce(F.col("exact_hits"), F.lit(0)).cast("long")
+            .alias("exact_hits"),
+            (
+                F.col("bloom_hits")
+                - F.coalesce(F.col("exact_hits"), F.lit(0))
+            ).cast("long").alias("false_pos"),
+        )
+    )
+
+
+# bit positions: SAME pipeline as sketches.bloom_bits — 4 salted md5
+# hashes mod 16384 over the DISTINCT eval shingle hashes
+ORACLE_BLOOM_DECONTAMINATE = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+    + """
+, bf_j AS (SELECT unnest(range(4)) AS j),
+bf_ev AS (SELECT DISTINCT sh_hash FROM doc_shingles WHERE doc_id % 10 = 3),
+bf_bits AS (
+  SELECT DISTINCT
+         CAST((('0x' || substr(md5('bf' || CAST(j AS VARCHAR)
+                                    || CAST(sh_hash AS VARCHAR)), 1, 15))::BIGINT)
+              % 16384 AS INTEGER) AS pos
+  FROM bf_ev CROSS JOIN bf_j
+),
+bf_tr AS (SELECT doc_id, sh_hash FROM doc_shingles WHERE doc_id % 10 != 3),
+bf_probe AS (
+  SELECT doc_id, sh_hash,
+         CAST((('0x' || substr(md5('bf' || CAST(j AS VARCHAR)
+                                    || CAST(sh_hash AS VARCHAR)), 1, 15))::BIGINT)
+              % 16384 AS INTEGER) AS pos
+  FROM bf_tr CROSS JOIN bf_j
+),
+bf_hit AS (
+  SELECT p.doc_id, p.sh_hash, (count(b.pos) = 4) AS bloom_hit
+  FROM bf_probe p LEFT JOIN bf_bits b USING (pos)
+  GROUP BY p.doc_id, p.sh_hash
+),
+bf_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits
+  FROM bf_hit GROUP BY doc_id
+),
+bf_exact AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS exact_hits
+  FROM bf_tr t WHERE t.sh_hash IN (SELECT sh_hash FROM bf_ev)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.n_shingles, d.bloom_hits,
+       CAST(coalesce(x.exact_hits, 0) AS BIGINT) AS exact_hits,
+       CAST(d.bloom_hits - coalesce(x.exact_hits, 0) AS BIGINT) AS false_pos
+FROM bf_doc d LEFT JOIN bf_exact x USING (doc_id)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Relational anchors round 2: top-k over join-agg (Q3 shape), HAVING-filtered
 # large-group join-back (Q18 shape), cohort retention windows
@@ -5370,6 +5678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "token_bigrams": q_token_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "shipping_priority": q_shipping_priority,
         "big_orders": q_big_orders,
         "retention_cohorts": q_retention_cohorts,
@@ -5511,6 +5823,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "token_bigrams": ORACLE_TOKEN_BIGRAMS,
         "tfidf_top_terms": ORACLE_TFIDF,
+        "bm25_search": ORACLE_BM25_SEARCH,
+        "hll_distinct": ORACLE_HLL_DISTINCT,
+        "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
+        "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,

@@ -1,0 +1,220 @@
+"""Mergeable cardinality / frequency sketches for 100-TB aggregation.
+
+Two classic streaming sketches, built so the *registers* are plain rows of
+an aggregatable DataFrame — which is exactly what makes them scale: every
+step is a map-side-combinable ``groupBy`` whose output is CONSTANT-SIZE
+(64 HLL registers, 4x256 CMS counters) regardless of input rows, and two
+sketches built on disjoint data merge by ``max`` / ``+`` on their register
+tables.  That is the distributed-counting story the reference's
+distinct-count gates (A5: ``tasks/point_extraction/point_extraction.py``
+count guards, ``tasks/text_extraction/text_extraction.py:133-141``
+per-class tallies) need once a single node can no longer hold the key set.
+
+Portability contract (the DuckDB oracle reproduces every register
+bit-for-bit):
+
+  * the hash is ``md5_i64`` (functions/portable.py) — 60-bit integer from
+    the md5 hex prefix, identical in both engines;
+  * HLL's rank-of-first-bit uses ``length(bin(x))`` — both Spark and DuckDB
+    render integers as minimal binary strings, so ``55 - length(bin(h))``
+    is an exact integer rho with zero float involvement;
+  * the HLL harmonic sum is kept as an exact BIGINT (``sum(1 << (55 -
+    M))``, at most 64 * 2^55 < 2^63), so the only floating-point steps are
+    one division and the final estimator arithmetic — a fixed IEEE tree
+    that both engines evaluate identically;
+  * CMS is integers end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uncharted_ta1_spark.functions.portable import md5_i64
+
+# 2^55 — the HLL register ceiling: md5_i64 is 60 bits, 6 go to the bucket
+# index, leaving 54 payload bits; rho ranges 1..54 with 55 for payload 0.
+POW2_55 = 1 << 55
+
+HLL_M = 64  # 2^6 buckets; standard error 1.04/sqrt(64) ~ 13%
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], key_col: str,
+                  salt: str = "hll") -> DataFrame:
+    """Per-group HyperLogLog registers: (group, bucket, M = max rho).
+
+    One combinable groupBy; output is <= |groups| * 64 rows no matter how
+    many input rows — the shuffle carries registers, not keys.  Registers
+    for disjoint inputs merge with ``max`` (see ``hll_merge``).
+    """
+    h = md5_i64(F.col(key_col).cast("string"), salt=salt)
+    # shiftright, NOT h/64: long division routes through double in Spark
+    # and a 60-bit hash does not survive a 53-bit mantissa
+    h2 = F.shiftright(h, 6)  # payload: top 54 bits
+    rho = F.when(h2 > 0, F.lit(55) - F.length(F.bin(h2))).otherwise(F.lit(55))
+    return (
+        df.select(
+            *group_cols,
+            (h % HLL_M).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge registers down to a coarser grouping (the mergeability that
+    makes HLL the 100-TB distinct-count: partial sketches union by max)."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("m_reg").alias("m_reg")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse registers to the HLL cardinality estimate per group.
+
+    The harmonic mean's denominator sum(2^-M) is scaled by 2^55 and summed
+    as an exact BIGINT; missing buckets contribute 2^55 (M=0).  Small-range
+    linear counting applies below 2.5*m when empty buckets remain —
+    the standard Flajolet correction.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        # SQL expr: the DataFrame shiftleft() only takes a literal shift
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m_reg)"))
+        .cast("long")
+        .alias("present_pow"),
+    )
+    sum_int = (
+        F.col("present_pow")
+        + (F.lit(HLL_M).cast("long") - F.col("n_present")) * F.lit(POW2_55)
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    raw = (
+        F.lit(alpha * HLL_M * HLL_M)
+        * F.lit(float(POW2_55))
+        / sum_int.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    # unrounded: callers round at the contract surface (and may need the
+    # raw double for relative-error math)
+    return agg.select(*group_cols, est.alias("hll_est"))
+
+
+BLOOM_K = 4
+BLOOM_M = 16384  # bits; ~1% FP at ~1.7k inserted keys
+
+
+def bloom_bits(keys: DataFrame, key_col: str = "sh_hash") -> DataFrame:
+    """Bloom filter of a key set as a bit-position table: distinct
+    ``pos = hash_j(key) % m`` rows for j in 0..k-1.
+
+    At most BLOOM_M rows no matter how many keys — the constant-size
+    membership state that replaces broadcasting the full eval index once
+    the eval corpus itself is large.  Filters over disjoint key sets merge
+    by unioning their position tables (bitwise OR).
+    """
+    parts = []
+    for j in range(BLOOM_K):
+        pos = (
+            md5_i64(F.col(key_col).cast("string"), salt=f"bf{j}") % BLOOM_M
+        ).cast("int")
+        parts.append(keys.select(pos.alias("pos")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def bloom_membership(probes: DataFrame, bits: DataFrame,
+                     key_col: str = "sh_hash") -> DataFrame:
+    """Test each probe row's key against the filter: member iff ALL k bit
+    positions are set.  ``bits`` (<= BLOOM_M rows) broadcasts; the probe
+    side is touched k times map-side and shuffles only on its own keys.
+
+    Returns the probe frame + boolean ``bloom_hit``.  One-sided error:
+    every true member tests positive; a positive may be false.
+    """
+    other = [c for c in probes.columns if c != key_col]
+    expanded = []
+    for j in range(BLOOM_K):
+        pos = (
+            md5_i64(F.col(key_col).cast("string"), salt=f"bf{j}") % BLOOM_M
+        ).cast("int")
+        expanded.append(probes.select(*other, key_col, pos.alias("pos")))
+    probe = expanded[0]
+    for p in expanded[1:]:
+        probe = probe.unionByName(p)
+    marked = probe.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return (
+        marked.groupBy(*other, key_col)
+        .agg((F.count("_set") == BLOOM_K).alias("bloom_hit"))
+    )
+
+
+def cms_counters(word_counts: DataFrame, word_col: str = "word",
+                 count_col: str = "c") -> DataFrame:
+    """Count-min sketch counters: (j, bucket, cnt) for j in 0..3.
+
+    Input is a (word, count) table (itself one combinable groupBy over the
+    corpus); output is at most 4*256 = 1024 rows.  Counters for disjoint
+    corpora merge by summing cnt on (j, bucket).
+    """
+    rows = []
+    for j in range(CMS_DEPTH):
+        bucket = (md5_i64(F.col(word_col), salt=f"cms{j}") % CMS_WIDTH).cast(
+            "int"
+        )
+        rows.append(
+            word_counts.select(
+                F.lit(j).alias("j"),
+                bucket.alias("bucket"),
+                F.col(count_col).alias("c"),
+            )
+        )
+    all_rows = rows[0]
+    for r in rows[1:]:
+        all_rows = all_rows.unionByName(r)
+    return (
+        all_rows.groupBy("j", "bucket")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(words: DataFrame, counters: DataFrame,
+               word_col: str = "word") -> DataFrame:
+    """Point-estimate each word: min over the 4 rows' bucket counters.
+
+    ``counters`` is tiny (<=1024 rows) and broadcast; the probe side never
+    shuffles on data volume, only on the distinct words being probed.
+    """
+    probes = []
+    for j in range(CMS_DEPTH):
+        bucket = (md5_i64(F.col(word_col), salt=f"cms{j}") % CMS_WIDTH).cast(
+            "int"
+        )
+        probes.append(
+            words.select(
+                F.col(word_col),
+                F.lit(j).alias("j"),
+                bucket.alias("bucket"),
+            )
+        )
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionByName(p)
+    return (
+        probe.join(F.broadcast(counters), ["j", "bucket"], "inner")
+        .groupBy(word_col)
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
