@@ -4853,6 +4853,42 @@ FROM bf_doc d LEFT JOIN bf_exact x USING (doc_id)
 )
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword centrality: 3 exact-integer PageRank rounds over
+    the corpus word co-occurrence graph (operators/graphrank.py) — the
+    iterative-algorithm exemplar with bit-identical BIGINT micro-unit
+    ranks (order-independent integer sums, no float tree)."""
+    from uncharted_ta1_spark.operators.graphrank import textrank
+
+    return textrank(spark, _documents(spark, sf_dir), rounds=3)
+
+
+def _oracle_textrank() -> str:
+    from uncharted_ta1_spark.operators.graphrank import chain_sql
+
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + """
+, tr_wedges AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT words[i] AS w1, words[i + 1] AS w2
+    FROM (SELECT words, unnest(range(1, len(words))) AS i FROM doc_words)
+  ) GROUP BY 1, 2
+),
+tr_outd AS (
+  SELECT w1 AS w, CAST(sum(c) AS BIGINT) AS outdeg FROM tr_wedges GROUP BY w1
+),
+tr_nodes AS (
+  SELECT DISTINCT w FROM (
+    SELECT w1 AS w FROM tr_wedges UNION ALL SELECT w2 FROM tr_wedges
+  )
+),
+"""
+        + chain_sql(3, "//")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational anchors round 2: top-k over join-agg (Q3 shape), HAVING-filtered
 # large-group join-back (Q18 shape), cohort retention windows
@@ -5682,6 +5718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "textrank": q_textrank,
         "shipping_priority": q_shipping_priority,
         "big_orders": q_big_orders,
         "retention_cohorts": q_retention_cohorts,
@@ -5827,6 +5864,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": ORACLE_HLL_DISTINCT,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
+        "textrank": _oracle_textrank(),
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
