@@ -4853,6 +4853,54 @@ FROM bf_doc d LEFT JOIN bf_exact x USING (doc_id)
 )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel: entered-user counts
+    per step plus integer time-to-convert sums (operators/funnel.py) —
+    the analytics form of the reference's stage-gating (F9 guards)."""
+    from uncharted_ta1_spark.operators.funnel import funnel_counts
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return funnel_counts(ev, steps=["view", "click", "purchase"])
+
+
+# step semantics: first step-k event STRICTLY after the user's first
+# qualifying step-(k-1) event; all integer epoch-us — no floats
+ORACLE_FUNNEL = (
+    duck_with(EVENTS_DUCK)
+    + """
+, fn_s0 AS (
+  SELECT user_id, min(ts_us) AS t0
+  FROM events_epoch WHERE event_type = 'view' GROUP BY user_id
+),
+fn_s1 AS (
+  SELECT e.user_id, s.t0, min(e.ts_us) AS t1
+  FROM events_epoch e JOIN fn_s0 s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > s.t0
+  GROUP BY e.user_id, s.t0
+),
+fn_s2 AS (
+  SELECT e.user_id, s.t1, min(e.ts_us) AS t2
+  FROM events_epoch e JOIN fn_s1 s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > s.t1
+  GROUP BY e.user_id, s.t1
+),
+fn_a0 AS (SELECT CAST(count(*) AS BIGINT) AS n_view FROM fn_s0),
+fn_a1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_click,
+         CAST(coalesce(sum(t1 - t0), 0) AS BIGINT) AS sum_delta_click_us
+  FROM fn_s1
+),
+fn_a2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_purchase,
+         CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) AS sum_delta_purchase_us
+  FROM fn_s2
+)
+SELECT n_view, n_click, sum_delta_click_us, n_purchase, sum_delta_purchase_us
+FROM fn_a0 CROSS JOIN fn_a1 CROSS JOIN fn_a2
+"""
+)
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword centrality: 3 exact-integer PageRank rounds over
     the corpus word co-occurrence graph (operators/graphrank.py) — the
@@ -5719,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
+        "funnel_conversion": q_funnel,
         "shipping_priority": q_shipping_priority,
         "big_orders": q_big_orders,
         "retention_cohorts": q_retention_cohorts,
@@ -5865,6 +5914,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),
+        "funnel_conversion": ORACLE_FUNNEL,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
