@@ -113,6 +113,7 @@ from uncharted_ta1_spark.operators.sampling import (
     sample_bucket_expr,
     stratified_hash_sample,
 )
+from uncharted_ta1_spark.operators.splits import psi_drift, time_series_cv
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.curation import curate_corpus
 from uncharted_ta1_spark.operators.textscrub import scrub_pii, url_domain_stats
@@ -1780,6 +1781,107 @@ ORACLE_DATASET_SPLIT = (
 )
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
 FROM ds GROUP BY split
+"""
+)
+
+
+def q_time_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window time-series CV folds over the sequences corpus
+    (operators/splits.py): the time span is cut into 5 equal integer
+    segments; fold f tests on segment f and trains on everything earlier.
+    Emits the fold manifest (row/token-weight counts per side) plus the
+    materialized no-leakage invariant train_max_t < test_min_t — the
+    point-in-time contract of the north rule, checked as data."""
+    return time_series_cv(
+        _sequences(spark, sf_dir),
+        time_col="event_epoch",
+        weight_col="n_tok",
+        n_segments=5,
+    )
+
+
+ORACLE_TIME_CV_FOLDS = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, b AS (SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx FROM sequences),
+seg AS (
+  SELECT ((s.event_epoch - b._mn) * 5) // (b._mx - b._mn + 1) AS _seg,
+         s.event_epoch, s.n_tok
+  FROM sequences s, b
+),
+per AS (
+  SELECT _seg, CAST(count(*) AS BIGINT) AS _cnt,
+         min(event_epoch) AS _seg_min, max(event_epoch) AS _seg_max,
+         CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS _w
+  FROM seg GROUP BY _seg
+)
+SELECT _seg AS fold,
+       CAST(sum(_cnt) OVER wprev AS BIGINT) AS train_rows,
+       _cnt AS test_rows,
+       CAST(max(_seg_max) OVER wprev AS BIGINT) AS train_max_t,
+       CAST(_seg_min AS BIGINT) AS test_min_t,
+       CAST(_seg_max AS BIGINT) AS test_max_t,
+       (max(_seg_max) OVER wprev < _seg_min) AS leak_free,
+       CAST(sum(_w) OVER wprev AS BIGINT) AS train_weight,
+       _w AS test_weight
+FROM per
+WINDOW wprev AS (ORDER BY _seg ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+QUALIFY _seg BETWEEN 1 AND 4
+"""
+)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve drift gate (operators/splits.py): PSI of the n_tok
+    distribution between the early and late half of the corpus's time
+    span.  One-sided bins are excluded from the sum and REPORTED
+    (bins/rows columns) instead of epsilon-smoothed; per-bin terms are
+    floored to integer nano-units so the cross-partition sum is exact and
+    order-free."""
+    return psi_drift(
+        _sequences(spark, sf_dir),
+        time_col="event_epoch",
+        bin_expr=F.col("n_tok"),
+    )
+
+
+ORACLE_PSI_DRIFT = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, b AS (SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx FROM sequences),
+binned AS (
+  SELECT CASE WHEN s.event_epoch > b._mn + (b._mx - b._mn) // 2
+              THEN 1 ELSE 0 END AS _late,
+         CAST(s.n_tok AS BIGINT) AS _bin
+  FROM sequences s, b
+),
+per_bin AS (
+  SELECT _bin,
+         CAST(sum(CASE WHEN _late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_early,
+         CAST(sum(_late) AS BIGINT) AS c_late
+  FROM binned GROUP BY _bin
+),
+tot AS (
+  SELECT CAST(sum(c_early) AS BIGINT) AS n_early,
+         CAST(sum(c_late) AS BIGINT) AS n_late
+  FROM per_bin
+)
+SELECT
+  CAST(sum(CASE WHEN c_early > 0 AND c_late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS bins_shared,
+  CAST(sum(CASE WHEN c_early > 0 AND c_late > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS bins_one_sided,
+  max(n_early) AS rows_early,
+  max(n_late) AS rows_late,
+  CAST(sum(CASE WHEN c_early > 0 AND c_late > 0 THEN 0
+                ELSE c_early + c_late END) AS BIGINT) AS rows_one_sided,
+  CAST(sum(CASE WHEN c_early > 0 AND c_late > 0
+       THEN CAST(floor((CAST(c_early AS DOUBLE) / n_early
+                        - CAST(c_late AS DOUBLE) / n_late)
+                 * ln((CAST(c_early AS DOUBLE) / n_early)
+                      / (CAST(c_late AS DOUBLE) / n_late)) * 1e9) AS BIGINT)
+       ELSE 0 END) AS DOUBLE) / 1e9 AS psi
+FROM per_bin, tot
 """
 )
 
@@ -4993,6 +5095,44 @@ LIMIT 10
 """
 
 
+Q4_START = "1997-01-01"
+Q4_END = "1997-04-01"
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: orders in one quarter with at least one
+    late-shipped lineitem, counted per priority.  The EXISTS is a LEFT
+    SEMI join with a non-equi conjunct (l_shipdate > o_orderdate) — the
+    probe side is deduplicated by the semi join itself, no distinct
+    needed, and the orders date filter prunes before the shuffle."""
+    datagen.register_base_tables(spark, sf_dir)
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp_ntz"))
+    )
+    li = spark.table("lineitem")
+    sj = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+ORACLE_ORDER_PRIORITY = f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+"""
+
+
 def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-shaped: orders whose total quantity exceeds 200 (HAVING on
     a DECIMAL sum), joined back to order/customer attributes."""
@@ -5769,7 +5909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "funnel_conversion": q_funnel,
         "shipping_priority": q_shipping_priority,
+        "order_priority": q_order_priority,
         "big_orders": q_big_orders,
+        "time_cv_folds": q_time_cv_folds,
+        "psi_drift": q_psi_drift,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
@@ -5916,6 +6059,9 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _oracle_textrank(),
         "funnel_conversion": ORACLE_FUNNEL,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+        "order_priority": ORACLE_ORDER_PRIORITY,
+        "time_cv_folds": ORACLE_TIME_CV_FOLDS,
+        "psi_drift": ORACLE_PSI_DRIFT,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,
