@@ -807,6 +807,136 @@ GROUP BY user_id
 )
 
 
+def _stage_stream_time_split(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a CHRONOLOGICAL multi-batch arrival with two
+    adversarial tails, for the windowed-aggregation watermark story:
+
+    * f0..f2 — thirds of the event-time span, one micro-batch each under
+      ``maxFilesPerTrigger=1`` (the watermark genuinely advances between
+      batches, as it would on a live queue);
+    * f3 — a REPLAY of part of f0 (an at-least-once source re-delivering
+      ~20-day-old rows against a 30-minute watermark: every row must be
+      dropped, or finalized windows would double-count).  The drop is
+      deterministic with ~10 days of margin: Spark's late filter keys on
+      window end vs the PREVIOUS batch's watermark (measured, see
+      windowed_counts_stream), and slice-0 windows end ~10 days before
+      even max(slice1) - 30min;
+    * f4 — one far-future flush row 2 h past the corpus max (pushes the
+      watermark beyond every real window's end so append mode emits them
+      all; the flush row's own window can never be emitted).
+
+    File mtimes are set strictly increasing so the file-stream source's
+    modification-time ordering pins the batch sequence deterministically.
+    Cached per sf_dir for the session (same lifecycle as
+    :func:`_stage_stream_dir`).
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+
+    key = (sf_dir, "tsplit")
+    cached = _STREAM_STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ev.columns
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(
+        F.min(ts_us).alias("_mn"),
+        F.max(ts_us).alias("_mx"),
+        F.max("ts").alias("_mx_ts"),
+    )
+    sliced = (
+        ev.join(F.broadcast(b))
+        .withColumn("_slice", F.expr(
+            "CAST(((unix_micros(CAST(ts AS TIMESTAMP)) - _mn) * 3) "
+            "DIV (_mx - _mn + 1) AS INT)"
+        ))
+    )
+    parts = [sliced.where(F.col("_slice") == i).select(*cols) for i in range(3)]
+    parts.append(
+        sliced.where((F.col("_slice") == 0) & (F.col("event_id") % 10 == 3))
+        .select(*cols)
+    )
+    parts.append(
+        b.select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("_mx_ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("zz_flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    d = os.path.join(root, "ready")
+    os.makedirs(d)
+    now = _time.time()
+    for i, p in enumerate(parts):
+        tmp = os.path.join(root, f"w{i}")
+        p.coalesce(1).write.parquet(tmp)
+        src_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, src_file), dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not _STREAM_STAGE_CACHE:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+                for p in _STREAM_STAGE_CACHE.values()
+            ]
+        )
+    _STREAM_STAGE_CACHE[key] = d
+    return d
+
+
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation through the REAL streaming engine in
+    APPEND mode: per (event_type, 1-h window) counts + exact micro-unit
+    value sums, watermark 30 min.  The staged arrival (see
+    _stage_stream_time_split) replays ~20-day-old rows mid-stream — the
+    watermark must drop every one of them, or the already-finalized early
+    windows would double-count — and ends with a flush row that pushes the
+    watermark past every real window so append emits each window EXACTLY
+    ONCE.  The oracle is the plain batch GROUP BY over events (each event
+    counted once, no flush row): late replays dropped + every window
+    emitted once is precisely batch equivalence."""
+    from uncharted_ta1_spark.streaming.sessions import (
+        events_stream,
+        windowed_counts_stream,
+    )
+
+    datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
+    src = _stage_stream_time_split(spark, sf_dir)
+    stream = windowed_counts_stream(
+        events_stream(spark, src, max_files_per_trigger=1),
+        window="1 hour",
+        watermark="30 minutes",
+    )
+    name = _drain_stream(stream, prefix="strm_win_", output_mode="append")
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_STREAMING_WINDOWED = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_type,
+       CAST((ts_us // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value
+FROM events_epoch
+GROUP BY 1, 2
+"""
+)
+
+
 def q_expanding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free expanding mean (target-encoding feature): each event
     sees the mean of STRICTLY EARLIER same-user values only — the zero-
@@ -5803,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_attribution": q_streaming_attribution,
         "streaming_counters": q_streaming_counters,
+        "streaming_windowed": q_streaming_windowed,
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "expanding_mean": q_expanding_mean,
@@ -5938,6 +6069,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_attribution": ORACLE_STREAMING_ATTRIBUTION,
         "streaming_counters": ORACLE_STREAMING_COUNTERS,
+        "streaming_windowed": ORACLE_STREAMING_WINDOWED,
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "expanding_mean": ORACLE_EXPANDING_MEAN,

@@ -200,3 +200,88 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     n_distinct = ev.select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_windowed_counts_late_rows_dropped(spark, tmp_path):
+    """Append-mode tumbling windows: a replayed row whose window was
+    finalized must be DROPPED (no double-count), and a far-future flush
+    row pushes the watermark past every real window so each is emitted
+    exactly once (its own window is never emitted).
+
+    Measured Spark 4 semantics (4 experiments, see q_streaming_windowed):
+    the late filter drops a row iff its WINDOW END <= the PREVIOUS batch's
+    eviction watermark — one batch of lag, keyed on the window not the row
+    timestamp.  So the replay here arrives two watermark-advancing batches
+    after its origin, mirroring the staged corpus where the margin is ~10
+    days."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from uncharted_ta1_spark.streaming.sessions import windowed_counts_stream
+
+    base = 1_700_000_000_000_000  # us
+    hour = 3_600_000_000
+
+    def _ev(eid, ts_us, etype, value):
+        return Row(
+            event_id=eid, ts_us=ts_us, user_id=1, event_type=etype,
+            value=value, props="",
+        )
+
+    batches = [
+        # batch 0: two windows' worth of early rows
+        [_ev(1, base + 10, "a", 1.0), _ev(2, base + hour + 10, "a", 2.0)],
+        # batches 1-2: later rows -> watermark advances TWICE past batch
+        # 0's windows (the late filter lags eviction by one batch)
+        [_ev(3, base + 10 * hour, "b", 3.0)],
+        [_ev(4, base + 20 * hour, "b", 4.0)],
+        # batch 3: REPLAY of batch 0's first row — its window end is ~9.5h
+        # older than even the previous batch's watermark -> must drop
+        [_ev(1, base + 10, "a", 1.0)],
+        # batch 4: flush row far past everything
+        [_ev(99, base + 30 * hour, "zz_flush", 0.0)],
+    ]
+    src = str(tmp_path / "win_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    stream = windowed_counts_stream(
+        events_stream(spark, src, max_files_per_trigger=1),
+        window="1 hour", watermark="30 minutes",
+    )
+    run_available_now(
+        stream, checkpoint_dir=str(tmp_path / "winckpt"),
+        query_name="win1", output_mode="append",
+    )
+    got = {
+        (r["event_type"], r["window_start"].timestamp()): (
+            r["n_events"], r["sum_value"]
+        )
+        for r in spark.table("win1").collect()
+    }
+    def _ws(ts_us):  # clock-hour window start for an event time
+        sec = ts_us // 1_000_000
+        return float(sec - sec % 3600)
+
+    want = {
+        ("a", _ws(base + 10)): (1, 1.0),        # replay NOT double-counted
+        ("a", _ws(base + hour + 10)): (1, 2.0),
+        ("b", _ws(base + 10 * hour)): (1, 3.0),
+        ("b", _ws(base + 20 * hour)): (1, 4.0),
+    }
+    # flush row's own window is never emitted (watermark can't pass it)
+    assert got == want
