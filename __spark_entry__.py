@@ -3301,6 +3301,103 @@ ASOF LEFT JOIN feat s
 )
 
 
+def q_feature_store_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-group point-in-time feature-store lookup: one probe spine
+    joined against TWO feature groups at different grains, each as-of the
+    probe timestamp — the feature-store generalization of the flagship
+    as-of join (J7; reference analog: georeference.py:80-275 answers each
+    QueryPoint from several independently-accumulated state families).
+
+    Group A (grain doc_id x source): the latest sequence version's n_tok.
+    Group B (grain doc_id, any source): EXPANDING features — how many
+    versions existed at probe time and their cumulative token mass
+    (windows over (event_epoch, source, seq_no); the leak-free expanding
+    shape of q_expanding_mean, here as-of-joined instead of self-joined).
+
+    Scale shape: each group is an independent pipeline on its own key
+    shuffle (doc_id x source vs doc_id) — the single-shuffle union +
+    running-last as-of plan per group — and the spine assembly is one
+    equi join on probe_id.  Groups scale independently; adding a feature
+    group never re-shuffles the others."""
+    from pyspark.sql.window import Window
+
+    seq = _sequences(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    a = asof_join(
+        seq,
+        probes,
+        keys=["doc_id", "source"],
+        payload_cols=["n_tok"],
+        defaults={"n_tok": F.lit(-1)},
+    )
+    wd = Window.partitionBy("doc_id").orderBy("event_epoch", "source", "seq_no")
+    seq_doc = seq.select(
+        "doc_id",
+        "source",
+        "seq_no",
+        "event_epoch",
+        F.row_number().over(wd).cast("long").alias("versions_so_far"),
+        F.sum(F.col("n_tok").cast("long")).over(wd).cast("long").alias("cum_n_tok"),
+    )
+    b = asof_join(
+        seq_doc,
+        probes.drop("source"),
+        keys=["doc_id"],
+        payload_cols=["versions_so_far", "cum_n_tok"],
+        tiebreak_cols=["source", "seq_no"],
+        prefix="doc_",
+        defaults={
+            "versions_so_far": F.lit(0).cast("long"),
+            "cum_n_tok": F.lit(0).cast("long"),
+        },
+    )
+    return a.join(
+        b.select("probe_id", "doc_versions_so_far", "doc_cum_n_tok"),
+        "probe_id",
+    ).select(
+        "probe_id",
+        "doc_id",
+        "source",
+        "ts_epoch",
+        "asof_event_epoch",
+        "asof_n_tok",
+        "asof_age_sec",
+        "fallback_used",
+        "doc_versions_so_far",
+        "doc_cum_n_tok",
+    )
+
+
+ORACLE_FEATURE_STORE = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + """
+, docfeat AS (
+  SELECT doc_id, source, seq_no, event_epoch,
+         CAST(row_number() OVER wd AS BIGINT) AS versions_so_far,
+         CAST(sum(CAST(n_tok AS BIGINT)) OVER wd AS BIGINT) AS cum_n_tok
+  FROM sequences
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY event_epoch, source, seq_no
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+       s.event_epoch AS asof_event_epoch,
+       coalesce(s.n_tok, -1) AS asof_n_tok,
+       p.ts_epoch - s.event_epoch AS asof_age_sec,
+       s.event_epoch IS NULL AS fallback_used,
+       coalesce(d.versions_so_far, 0) AS doc_versions_so_far,
+       coalesce(d.cum_n_tok, 0) AS doc_cum_n_tok
+FROM probes p
+ASOF LEFT JOIN sequences s
+  ON p.doc_id = s.doc_id AND p.source = s.source AND p.ts_epoch >= s.event_epoch
+LEFT JOIN docfeat d
+  ON p.doc_id = d.doc_id AND d.event_epoch <= p.ts_epoch
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id
+  ORDER BY d.event_epoch DESC NULLS LAST, d.source DESC, d.seq_no DESC) = 1
+"""
+)
+
+
 # columns whose string form is engine-identical (ints/strings/bools; the
 # one rounded double is excluded — float->string formatting differs)
 _BFRES_HASH_COLS = [
@@ -5982,6 +6079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "token_sum_pandas": q_token_sum_pandas,
         "feature_backfill": q_feature_backfill,
+        "feature_store_lookup": q_feature_store_lookup,
         "backfill_resume": q_backfill_resume,
         "tile_fanout_merge": q_tile_fanout_merge,
         "halt_gate": q_halt_gate,
@@ -6124,6 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _image_decode_oracle(),
         "token_sum_pandas": ORACLE_TOKEN_SUM,
         "feature_backfill": ORACLE_FEATURE_BACKFILL,
+        "feature_store_lookup": ORACLE_FEATURE_STORE,
         "backfill_resume": _backfill_resume_oracle(),
         "tile_fanout_merge": ORACLE_TILE_FANOUT,
         "halt_gate": ORACLE_HALT_GATE,
