@@ -4594,44 +4594,62 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_IVF_TRAINED = """
-WITH base AS (
+def _lloyd_chain_sql(n_iters: int) -> str:
+    """DuckDB CTE chain mirroring similarity._centroid_set's deterministic
+    Lloyd refinement: ``base``, seed ``cents0``/``assign0``, fixed-point
+    ``ei``, then per iteration t the (update, centroids, assignment)
+    triple — named ``upd``/``cents``/``assign`` for t=1 (the names the
+    trained-IVF oracle has always used) and ``upd2``/``cents2``/
+    ``assign2``... beyond.  Single source of the Lloyd SQL: the trained
+    oracle and the convergence oracle both compose this chain instead of
+    forking copies (CLAUDE.md composite-oracle rule)."""
+    parts = [
+        """base AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
-),
-cents0 AS (
+)""",
+        """cents0 AS (
   SELECT CAST(vec_id AS INT) AS cid, emb AS cemb, nrm AS cnrm
   FROM base WHERE vec_id < 16
-),
-assign0 AS (
+)""",
+        """assign0 AS (
   SELECT b.vec_id AS vid, c.cid AS cell,
          list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
   FROM base b CROSS JOIN cents0 c
   QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) = 1
-),
-ei AS (
+)""",
+        """ei AS (
   SELECT vec_id, i, CAST(floor(e * 1e6 + 0.5e0) AS BIGINT) AS e_int
   FROM (SELECT vec_id, unnest(range(len(emb))) AS i, unnest(emb) AS e FROM base)
-),
-upd AS (
+)""",
+    ]
+    prev_assign = "assign0"
+    for t in range(1, n_iters + 1):
+        sfx = "" if t == 1 else str(t)
+        parts.append(f"""upd{sfx} AS (
   SELECT a.cell AS cid, ei.i,
          floor(CAST(CAST(sum(ei.e_int) AS BIGINT) AS DOUBLE)
                / CAST(count(*) AS DOUBLE)) AS c
-  FROM ei JOIN assign0 a ON a.vid = ei.vec_id
+  FROM ei JOIN {prev_assign} a ON a.vid = ei.vec_id
   GROUP BY a.cell, ei.i
-),
-cents AS (
+)""")
+        parts.append(f"""cents{sfx} AS (
   SELECT cid, list(c ORDER BY i) AS cemb,
          sqrt(list_dot_product(list(c ORDER BY i), list(c ORDER BY i))) AS cnrm
-  FROM upd GROUP BY cid
-),
-assign AS (
+  FROM upd{sfx} GROUP BY cid
+)""")
+        parts.append(f"""assign{sfx} AS (
   SELECT b.vec_id AS vid, c.cid AS cell,
          list_dot_product(b.emb, c.cemb) / (b.nrm * c.cnrm) AS csim
-  FROM base b CROSS JOIN cents c
+  FROM base b CROSS JOIN cents{sfx} c
   QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY csim DESC, c.cid ASC) = 1
-),
+)""")
+        prev_assign = f"assign{sfx}"
+    return ",\n".join(parts)
+
+
+ORACLE_ANN_IVF_TRAINED = "WITH " + _lloyd_chain_sql(1) + """,
 withc AS (
   SELECT b.vec_id, b.emb, b.nrm, a.cell
   FROM base b JOIN assign a ON a.vid = b.vec_id
@@ -4648,6 +4666,69 @@ SELECT qid, vid, cell, round(sim, 9) + 0.0 AS cos_sim,
 FROM sims
 QUALIFY rank <= 3
 """
+
+
+def q_ann_ivf_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd convergence EVIDENCE (the r04 verdict's '2+ iterations with
+    convergence evidence' item): assignment quality — each vector's best
+    cosine to its nearest centroid — measured at iteration 0 (seed), 1 and
+    2 of the deterministic trainer (similarity._centroid_set).  Per-vector
+    winning cosines are fixed IEEE trees, floored to nano-units and summed
+    as BIGINT (order-free), so the per-iteration totals are engine-exact;
+    mean_sim rising across rows is the measured convergence curve.  A
+    harness: it retrains from scratch per iteration count (0+1+2 passes)
+    to reuse the oracle-checked trainer verbatim — a deployment would
+    checkpoint successive centroid sets instead (as _centroid_set already
+    does per iteration)."""
+    from uncharted_ta1_spark.operators.similarity import (
+        _centroid_set,
+        nearest_cell_sims,
+        with_norm,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    base = with_norm(emb)
+    outs = []
+    for itr in range(3):
+        cents = _centroid_set(emb, n_iters=itr)
+        a = nearest_cell_sims(base, cents)
+        outs.append(
+            a.agg(
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.sum(F.floor(F.col("csim") * F.lit(1e9)).cast("long"))
+                .cast("long")
+                .alias("sum_sim_nano"),
+            ).select(F.lit(itr).alias("iter"), "n_vecs", "sum_sim_nano")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "mean_sim",
+        F.col("sum_sim_nano").cast("double")
+        / F.col("n_vecs").cast("double")
+        / F.lit(1e9),
+    )
+
+
+def _conv_leg_sql(itr: int, assign: str) -> str:
+    return f"""
+  SELECT {itr} AS iter, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST(floor(csim * 1e9) AS BIGINT)) AS BIGINT) AS sum_sim_nano,
+         CAST(CAST(sum(CAST(floor(csim * 1e9) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 1e9 AS mean_sim
+  FROM {assign}"""
+
+
+ORACLE_ANN_IVF_CONVERGENCE = (
+    "WITH "
+    + _lloyd_chain_sql(2)
+    + _conv_leg_sql(0, "assign0")
+    + "\nUNION ALL"
+    + _conv_leg_sql(1, "assign")
+    + "\nUNION ALL"
+    + _conv_leg_sql(2, "assign2")
+)
 
 
 def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6108,6 +6189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_match_f1": q_greedy_match_f1,
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_convergence": q_ann_ivf_convergence,
         "ann_recall_ivf": q_ann_recall_ivf,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -6251,6 +6333,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_match_f1": ORACLE_GREEDY_MATCH,
         "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
         "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
+        "ann_ivf_convergence": ORACLE_ANN_IVF_CONVERGENCE,
         "ann_recall_ivf": ORACLE_ANN_RECALL_IVF.format(
             ex=ORACLE_ANN_COSINE,
             seed=ORACLE_ANN_IVF,

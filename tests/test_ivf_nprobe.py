@@ -54,3 +54,20 @@ def test_recall_monotone_in_nprobe(spark):
     ]
     assert r[0] <= r[1] <= r[2]
     assert r[2] > r[0]
+
+
+def test_lloyd_assignment_quality_monotone(spark):
+    """Convergence evidence: mean best-cosine to the assigned centroid must
+    not decrease across Lloyd iterations 0 -> 1 -> 2 (measured, not
+    assumed — Lloyd with cosine assignment + integer-mean update has no
+    hard monotonicity theorem, so the engine MEASURES the curve; this
+    pins the property on the test corpus)."""
+    import __spark_entry__ as E
+
+    rows = {
+        r["iter"]: r["mean_sim"]
+        for r in E.q_ann_ivf_convergence(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] <= rows[1] <= rows[2]
+    assert rows[2] > rows[0]  # training actually moved the needle

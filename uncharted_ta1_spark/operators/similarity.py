@@ -247,6 +247,26 @@ def _nearest_cells(
     )
 
 
+def nearest_cell_sims(
+    base: DataFrame, cents: DataFrame, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """(vid, cell, csim) — the nprobe=1 argmax of :func:`_nearest_cells`
+    with the winning cosine kept (for assignment-quality measurement, e.g.
+    Lloyd convergence evidence).  Same map-side-combinable max(struct)
+    shape: partials collapse to |C| rows before the shuffle."""
+    sims = _centroid_sims(base, cents, id_col)
+    best = F.max(F.struct(F.col("_csim"), (-F.col("cid")).alias("_ncid")))
+    return (
+        sims.groupBy("vid")
+        .agg(best.alias("_b"))
+        .select(
+            "vid",
+            (-F.col("_b._ncid")).cast("int").alias("cell"),
+            F.col("_b._csim").alias("csim"),
+        )
+    )
+
+
 def _centroid_set(
     emb: DataFrame,
     *,
