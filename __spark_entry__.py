@@ -113,6 +113,11 @@ from uncharted_ta1_spark.operators.sampling import (
     sample_bucket_expr,
     stratified_hash_sample,
 )
+from uncharted_ta1_spark.operators.feathash import (
+    FEATHASH_SALT,
+    hashed_features,
+    vocab_index,
+)
 from uncharted_ta1_spark.operators.splits import psi_drift, time_series_cv
 from uncharted_ta1_spark.operators.tiles import merge_tiles, tile_tokens
 from uncharted_ta1_spark.operators.curation import curate_corpus
@@ -134,6 +139,7 @@ from uncharted_ta1_spark.operators.windows import (
     expanding_leakfree_mean,
     group_zscore,
     lag_lead_context,
+    range_window_features,
     rolling_agg,
     rolling_median,
 )
@@ -2012,6 +2018,115 @@ SELECT
                       / (CAST(c_late AS DOUBLE) / n_late)) * 1e9) AS BIGINT)
        ELSE 0 END) AS DOUBLE) / 1e9 AS psi
 FROM per_bin, tot
+"""
+)
+
+
+def q_range_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-h RANGE-frame activity features per sequence row
+    (operators/windows.py::range_window_features): events and token mass
+    in the last 86400 SECONDS of event time (not the last N rows) plus the
+    gap to the previous version — the wall-clock burst-density family that
+    ROWS frames cannot express."""
+    return range_window_features(
+        _sequences(spark, sf_dir),
+        keys=("doc_id", "source"),
+        ts="event_epoch",
+        value="n_tok",
+        range_sec=86400,
+        tiebreak=("seq_no",),
+    ).select(
+        "doc_id", "source", "seq_no", "event_epoch",
+        "n_last_86400s", "n_tok_last_86400s", "gap_prev_sec",
+    )
+
+
+ORACLE_RANGE_WINDOW = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+SELECT doc_id, source, seq_no, event_epoch,
+  CAST(count(*) OVER wr AS BIGINT) AS n_last_86400s,
+  CAST(sum(CAST(n_tok AS BIGINT)) OVER wr AS BIGINT) AS n_tok_last_86400s,
+  CAST(event_epoch - lag(event_epoch) OVER wo AS BIGINT) AS gap_prev_sec
+FROM sequences
+WINDOW wr AS (PARTITION BY doc_id, source ORDER BY event_epoch
+              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
+       wo AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no)
+"""
+)
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer over the document corpus
+    (operators/feathash.py::hashed_features): 256 signed buckets, zero
+    vocabulary state — the coordination-free sparse encoder."""
+    return hashed_features(_documents(spark, sf_dir), n_buckets=256)
+
+
+ORACLE_HASHED_FEATURES = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, wx AS (SELECT doc_id, unnest(words) AS word FROM doc_words),
+hh AS (SELECT doc_id, {md5_i64_duck("word", salt=FEATHASH_SALT)} AS h FROM wx)
+SELECT doc_id, CAST(h & 255 AS INT) AS bucket,
+       CAST(sum(CASE WHEN ((h >> 8) & 1) = 0 THEN 1 ELSE -1 END) AS BIGINT)
+         AS feat_val,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM hh GROUP BY doc_id, bucket
+"""
+)
+
+
+def q_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frequency-ranked vocabulary ids
+    (operators/feathash.py::vocab_index) — the reproducible StringIndexer:
+    id 0 = most frequent word, ties lexicographic."""
+    return vocab_index(_documents(spark, sf_dir))
+
+
+ORACLE_VOCAB_INDEX = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, wx AS (SELECT unnest(words) AS word FROM doc_words),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM wx GROUP BY word)
+SELECT word,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, word ASC) - 1
+            AS BIGINT) AS word_id,
+       n_occurrences
+FROM c
+"""
+)
+
+
+def q_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP in one pass: (event_type, day) -> per-type
+    subtotal -> grand total, tagged by grouping_id — the grouping-sets
+    twin of q_hourly_rollup (one shuffle computes all three levels via
+    partial-agg expansion; three separate groupBys would scan thrice)."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return (
+        ev.rollup(F.col("event_type"), F.expr("ts_us DIV 86400000000").alias("day_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias(
+                "sum_value"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+ORACLE_TYPE_ROLLUP = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_type,
+       ts_us // 86400000000 AS day_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value,
+       CAST(GROUPING(event_type, day_bucket) AS BIGINT) AS gid
+FROM events_epoch
+GROUP BY ROLLUP (event_type, day_bucket)
 """
 )
 
@@ -6224,6 +6339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "time_cv_folds": q_time_cv_folds,
         "psi_drift": q_psi_drift,
+        "range_window_features": q_range_window_features,
+        "hashed_features": q_hashed_features,
+        "vocab_index": q_vocab_index,
+        "type_rollup": q_type_rollup,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
@@ -6376,6 +6495,10 @@ def oracle_sql() -> dict[str, str]:
         "order_priority": ORACLE_ORDER_PRIORITY,
         "time_cv_folds": ORACLE_TIME_CV_FOLDS,
         "psi_drift": ORACLE_PSI_DRIFT,
+        "range_window_features": ORACLE_RANGE_WINDOW,
+        "hashed_features": ORACLE_HASHED_FEATURES,
+        "vocab_index": ORACLE_VOCAB_INDEX,
+        "type_rollup": ORACLE_TYPE_ROLLUP,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,

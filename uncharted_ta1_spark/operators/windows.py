@@ -252,3 +252,46 @@ def ewma(
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
     )
     return g.select(*keys, "n", F.round(fold, 9).alias(f"ewma_{col}"))
+
+
+def range_window_features(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("doc_id", "source"),
+    ts: str = "event_epoch",
+    value: str = "n_tok",
+    range_sec: int = 86400,
+    tiebreak: Sequence[str] = ("seq_no",),
+) -> DataFrame:
+    """Trailing RANGE-frame activity features: events and value mass inside
+    the last ``range_sec`` SECONDS (inclusive of the current row), plus the
+    gap to the previous event.
+
+    A RANGE frame is the time-window twin of the ROWS frames used by
+    :func:`rolling_agg`: the frame is defined by the *timestamp distance*,
+    not a row count, so ties at one timestamp are all in-frame and burst
+    density is measured in wall-clock terms — the "events in last 24 h"
+    feature family (reference analog: the recency gating of
+    ``tasks/geo_referencing/coordinates_extractor.py:495-540``, which
+    bounds neighbor influence by coordinate gap rather than index gap).
+
+    Same scale shape as every window here: ONE hash shuffle on ``keys``,
+    in-partition sort, codegen'd frame scan, zero Python.
+    """
+    t = F.col(ts).cast("long")
+    w_range = (
+        Window.partitionBy(*keys).orderBy(t).rangeBetween(-range_sec, 0)
+    )
+    w_row = Window.partitionBy(*keys).orderBy(
+        t, *[F.col(c) for c in tiebreak]
+    )
+    return (
+        df.withColumn(
+            f"n_last_{range_sec}s", F.count(F.lit(1)).over(w_range).cast("long")
+        )
+        .withColumn(
+            f"{value}_last_{range_sec}s",
+            F.sum(F.col(value).cast("long")).over(w_range).cast("long"),
+        )
+        .withColumn("gap_prev_sec", (t - F.lag(t, 1).over(w_row)).cast("long"))
+    )
