@@ -2099,6 +2099,134 @@ FROM c
 )
 
 
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free running DISTINCT count feature: how many distinct sources
+    had versioned each doc as of each row (inclusive) and strictly before
+    it — the windowed count-distinct Spark windows cannot express
+    directly, decomposed into first-occurrence flags (one window on
+    (doc, source)) + a cumulative sum (one window on doc): two hash
+    shuffles, no distinct-within-frame recomputation, scale-linear."""
+    from pyspark.sql.window import Window
+
+    seq = _sequences(spark, sf_dir)
+    w_first = Window.partitionBy("doc_id", "source").orderBy(
+        "event_epoch", "seq_no"
+    )
+    w_cum = Window.partitionBy("doc_id").orderBy(
+        "event_epoch", "source", "seq_no"
+    )
+    flagged = seq.withColumn(
+        "_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return flagged.select(
+        "doc_id",
+        "source",
+        "seq_no",
+        "event_epoch",
+        F.sum("_first")
+        .over(w_cum.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("distinct_sources_incl"),
+        F.coalesce(
+            F.sum("_first").over(w_cum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("distinct_sources_before"),
+    )
+
+
+ORACLE_RUNNING_DISTINCT = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, flagged AS (
+  SELECT doc_id, source, seq_no, event_epoch,
+         CASE WHEN row_number() OVER (PARTITION BY doc_id, source
+                                      ORDER BY event_epoch, seq_no) = 1
+              THEN 1 ELSE 0 END AS _first
+  FROM sequences
+)
+SELECT doc_id, source, seq_no, event_epoch,
+       CAST(sum(_first) OVER (PARTITION BY doc_id
+            ORDER BY event_epoch, source, seq_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_sources_incl,
+       CAST(coalesce(sum(_first) OVER (PARTITION BY doc_id
+            ORDER BY event_epoch, source, seq_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS distinct_sources_before
+FROM flagged
+"""
+)
+
+
+_PROFILE_NUM_COLS = ["seq_no", "event_epoch", "n_tok"]
+_PROFILE_STR_COLS = ["doc_id", "source"]
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality profile of the sequences corpus in ONE
+    pass: per column, row/null/distinct counts and integer min/max — the
+    validation gate a training pipeline runs before touching 100 TB (the
+    reference validates inputs per-task via pydantic field constraints;
+    this is the corpus-level analog).  All metrics ride one combinable
+    aggregation (count_distinct expands map-side); the per-column rows are
+    exploded from a single result row, so the corpus is scanned once."""
+    seq = _sequences(spark, sf_dir)
+    aggs = []
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+        numeric = c in _PROFILE_NUM_COLS
+        col = F.col(c).cast("long") if numeric else F.col(c)
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}_rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(col).cast("long").alias(f"{c}_distinct"),
+        ]
+        if numeric:
+            aggs += [F.min(col).alias(f"{c}_min"), F.max(col).alias(f"{c}_max")]
+    one = seq.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}_rows").alias("n_rows"),
+                F.col(f"{c}_nulls").alias("n_null"),
+                F.col(f"{c}_distinct").alias("n_distinct"),
+                (
+                    F.col(f"{c}_min")
+                    if c in _PROFILE_NUM_COLS
+                    else F.lit(None).cast("long")
+                ).alias("min_v"),
+                (
+                    F.col(f"{c}_max")
+                    if c in _PROFILE_NUM_COLS
+                    else F.lit(None).cast("long")
+                ).alias("max_v"),
+            )
+            for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("m")).select("m.*")
+
+
+ORACLE_DATA_PROFILE = (
+    duck_with(SEQUENCES_DUCK)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f"CAST(min(CAST({c} AS BIGINT)) AS BIGINT)" if c in _PROFILE_NUM_COLS
+        else "CAST(NULL AS BIGINT)"} AS min_v,
+       {f"CAST(max(CAST({c} AS BIGINT)) AS BIGINT)" if c in _PROFILE_NUM_COLS
+        else "CAST(NULL AS BIGINT)"} AS max_v
+FROM sequences"""
+        for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+    )
+)
+
+
 def q_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level ROLLUP in one pass: (event_type, day) -> per-type
     subtotal -> grand total, tagged by grouping_id — the grouping-sets
@@ -6343,6 +6471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "vocab_index": q_vocab_index,
         "type_rollup": q_type_rollup,
+        "running_distinct": q_running_distinct,
+        "data_profile": q_data_profile,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
@@ -6499,6 +6629,8 @@ def oracle_sql() -> dict[str, str]:
         "hashed_features": ORACLE_HASHED_FEATURES,
         "vocab_index": ORACLE_VOCAB_INDEX,
         "type_rollup": ORACLE_TYPE_ROLLUP,
+        "running_distinct": ORACLE_RUNNING_DISTINCT,
+        "data_profile": ORACLE_DATA_PROFILE,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,
