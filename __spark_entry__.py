@@ -5106,6 +5106,59 @@ FROM sequences GROUP BY source
 )
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling (median/IQR normalization) per event class — the
+    outlier-insensitive feature scaler: ``(v - p50) / (p75 - p25)`` with
+    exact interpolated quantiles over integer micro-units
+    (aggregates.grouped_quantiles).  The per-class quantile table is a
+    handful of rows broadcast back over the corpus; degenerate IQR=0
+    classes yield NULL instead of Inf.  The division runs on 9-dp-rounded
+    quantiles and exact integers, one shared IEEE tree per row — engine
+    bit-identical with no output rounding."""
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v_us"),
+    )
+    q = grouped_quantiles(
+        ev, keys=["event_type"], col="v_us", probs=(0.25, 0.5, 0.75)
+    ).select("event_type", "p25_v_us", "p50_v_us", "p75_v_us")
+    iqr = F.col("p75_v_us") - F.col("p25_v_us")
+    return ev.join(F.broadcast(q), "event_type").select(
+        "event_id",
+        "event_type",
+        "v_us",
+        F.when(
+            iqr != 0,
+            (F.col("v_us").cast("double") - F.col("p50_v_us")) / iqr,
+        ).alias("robust_scaled"),
+    )
+
+
+ORACLE_ROBUST_SCALE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, vq AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1e6) AS BIGINT) AS v_us
+  FROM events_epoch
+),
+q AS (
+  SELECT event_type,
+         round(quantile_cont(v_us, 0.25), 9) AS p25,
+         round(quantile_cont(v_us, 0.5), 9) AS p50,
+         round(quantile_cont(v_us, 0.75), 9) AS p75
+  FROM vq GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.v_us,
+       CASE WHEN (q.p75 - q.p25) <> 0
+            THEN (CAST(v.v_us AS DOUBLE) - q.p50) / (q.p75 - q.p25) END
+         AS robust_scaled
+FROM vq v JOIN q USING (event_type)
+"""
+)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sample of sequences by full row key — stable
     across reruns/repartitions/engines (df.sample() is neither)."""
@@ -6473,6 +6526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_rollup": q_type_rollup,
         "running_distinct": q_running_distinct,
         "data_profile": q_data_profile,
+        "robust_scale": q_robust_scale,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
@@ -6631,6 +6685,7 @@ def oracle_sql() -> dict[str, str]:
         "type_rollup": ORACLE_TYPE_ROLLUP,
         "running_distinct": ORACLE_RUNNING_DISTINCT,
         "data_profile": ORACLE_DATA_PROFILE,
+        "robust_scale": ORACLE_ROBUST_SCALE,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,
