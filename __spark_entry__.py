@@ -5106,6 +5106,123 @@ FROM sequences GROUP BY source
 )
 
 
+def q_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 MERGE + time travel on the oracle surface (the last major
+    semantic that was pytest-only): three keyed upserts into the versioned
+    bucket-manifest table (plans/merge.py — the sandbox's Iceberg MERGE
+    INTO stand-in), then TIME-TRAVEL reads of snapshots v1/v2/v3, each
+    summarized as (rows, distinct keys, order-free content hash).
+
+    v1 = per-(doc,source) latest state with event_epoch <= T1 (epoch-span
+    third); v2 = after upserting the (T1, T2] delta (last-write-wins by
+    the (event_epoch, seq_no) order key); v3 = REPLAYING the v2 delta —
+    version advances but content must be byte-identical to v2 (idempotent
+    reprocessing).  The DuckDB twin computes each snapshot's expected
+    state directly from the clean derivation, so an upsert that drops,
+    duplicates, or resurrects any key — or a replay that mutates content —
+    hash-fails.  T1/T2 are exact integer span arithmetic (a 2-value
+    driver-side collect of min/max, O(1))."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import merge_upsert, read_snapshot
+
+    seq = _sequences(spark, sf_dir)
+    mn, mx = seq.agg(F.min("event_epoch"), F.max("event_epoch")).first()
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + (2 * (mx - mn)) // 3
+
+    upd = seq.select(
+        "doc_id",
+        "source",
+        F.col("event_epoch").cast("long").alias("event_epoch"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("event_epoch").cast("long") * F.lit(1_000_000)
+         + F.col("seq_no").cast("long")).alias("_ord"),
+    )
+    target = tempfile.mkdtemp(prefix="sparkgraft_merge_tt_")
+    try:
+        merge_upsert(
+            spark, target, upd.where(F.col("event_epoch") <= t1),
+            ["doc_id", "source"], order_col="_ord",
+        )
+        delta = upd.where(
+            (F.col("event_epoch") > t1) & (F.col("event_epoch") <= t2)
+        )
+        merge_upsert(spark, target, delta, ["doc_id", "source"], order_col="_ord")
+        merge_upsert(spark, target, delta, ["doc_id", "source"], order_col="_ord")
+
+        legs = []
+        for v in (0, 1, 2):  # merge versions are 0-based
+            snap = read_snapshot(spark, target, v)
+            row_h = md5_i64(
+                F.concat_ws(
+                    "|", "doc_id", "source",
+                    F.col("event_epoch").cast("string"),
+                    F.col("n_tok").cast("string"),
+                )
+            ) % F.lit(1_000_000_007)
+            legs.append(
+                snap.agg(
+                    F.count(F.lit(1)).cast("long").alias("rows_total"),
+                    F.countDistinct("doc_id", "source").cast("long").alias("n_keys"),
+                    F.sum(row_h).cast("long").alias("content_hash"),
+                ).select(F.lit(v).alias("version"), "*")
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        # the snapshots live in temp files: materialize before cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+ORACLE_MERGE_TIMETRAVEL = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, b AS (SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx FROM sequences),
+params AS (
+  SELECT _mn + (_mx - _mn) // 3 AS t1,
+         _mn + (2 * (_mx - _mn)) // 3 AS t2
+  FROM b
+),
+ranked AS (
+  SELECT s.doc_id, s.source, s.event_epoch, CAST(s.n_tok AS BIGINT) AS n_tok,
+         s.event_epoch * 1000000 + s.seq_no AS _ord, p.t1, p.t2
+  FROM sequences s, params p
+),
+state1 AS (
+  SELECT * FROM ranked WHERE event_epoch <= t1
+  QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY _ord DESC) = 1
+),
+state2 AS (
+  SELECT * FROM ranked WHERE event_epoch <= t2
+  QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY _ord DESC) = 1
+),
+leg1 AS (
+  SELECT 0 AS version, CAST(count(*) AS BIGINT) AS rows_total,
+         CAST(count(DISTINCT doc_id || '\x1f' || source) AS BIGINT) AS n_keys,
+         CAST(sum((('0x' || substr(md5(doc_id || '|' || source || '|'
+              || CAST(event_epoch AS VARCHAR) || '|' || CAST(n_tok AS VARCHAR)),
+              1, 15))::BIGINT) % 1000000007) AS BIGINT) AS content_hash
+  FROM state1
+),
+leg2 AS (
+  SELECT 1 AS version, CAST(count(*) AS BIGINT) AS rows_total,
+         CAST(count(DISTINCT doc_id || '\x1f' || source) AS BIGINT) AS n_keys,
+         CAST(sum((('0x' || substr(md5(doc_id || '|' || source || '|'
+              || CAST(event_epoch AS VARCHAR) || '|' || CAST(n_tok AS VARCHAR)),
+              1, 15))::BIGINT) % 1000000007) AS BIGINT) AS content_hash
+  FROM state2
+)
+SELECT * FROM leg1
+UNION ALL SELECT * FROM leg2
+UNION ALL SELECT 2 AS version, rows_total, n_keys, content_hash FROM leg2
+"""
+)
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust scaling (median/IQR normalization) per event class — the
     outlier-insensitive feature scaler: ``(v - p50) / (p75 - p25)`` with
@@ -6527,6 +6644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct": q_running_distinct,
         "data_profile": q_data_profile,
         "robust_scale": q_robust_scale,
+        "merge_timetravel": q_merge_timetravel,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
@@ -6686,6 +6804,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": ORACLE_RUNNING_DISTINCT,
         "data_profile": ORACLE_DATA_PROFILE,
         "robust_scale": ORACLE_ROBUST_SCALE,
+        "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,
