@@ -131,7 +131,8 @@ def main() -> int:
     # (cold driver) subtotal, recorded alongside the warm steady-state
     # timings so the amortization claim stays falsifiable (ADVICE r04).
     stream_qs = ("streaming_sessions", "streaming_dedup",
-                 "streaming_attribution", "streaming_counters")
+                 "streaming_attribution", "streaming_counters",
+                 "streaming_windowed")
     t_cold = time.time()
     for warm_q in stream_qs:
         entrymod.queries()[warm_q](spark, SF_DIR).count()
