@@ -245,3 +245,35 @@ def test_georef_probe_side_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round5_feature_ops_plan_shapes(spark):
+    """Plan pins for the round-5 feature operators: exchange budgets and
+    no-BNL/no-row-Python, per their module docstrings."""
+    budgets = {
+        "range_window_features": 1,   # one window shuffle
+        "hashed_features": 1,         # one combinable groupBy
+        "type_rollup": 1,             # rollup expand + one shuffle
+        "running_distinct": 2,        # flag window + cum window (two keys)
+        "data_profile": None,         # countDistinct expand: >1 but tiny output
+        "robust_scale": None,         # quantile agg + broadcast-back
+    }
+    for name, budget in budgets.items():
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if budget is not None:
+            n = plan.count("Exchange")
+            assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_robust_scale_quantile_table_broadcasts(spark):
+    plan = _plan(E.q_robust_scale(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_feature_store_groups_stay_hash_joined(spark):
+    plan = _plan(E.q_feature_store_lookup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
