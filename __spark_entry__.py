@@ -5106,6 +5106,49 @@ FROM sequences GROUP BY source
 )
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) window aggregation: 1-h windows every 30 min —
+    each event lands in exactly window/slide = 2 windows (F.window's
+    hopping mode; the batch twin of the streaming tumbling query).  The
+    fan-out is the explode Spark's TimeWindow rewrite generates; counts
+    and sums stay combinable after it, so the cost is 2x rows into one
+    shuffle — not a self-join."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    evt = ev.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        evt.groupBy(
+            "event_type", F.window("event_time", "1 hour", "30 minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOWS = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_type,
+       CAST(((ts_us // 1800000000) - k) * 1800000000 AS BIGINT)
+         AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+         AS sum_value
+FROM events_epoch, (SELECT unnest(range(2)) AS k)
+GROUP BY 1, 2
+"""
+)
+
+
 def q_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6 MERGE + time travel on the oracle surface (the last major
     semantic that was pytest-only): three keyed upserts into the versioned
@@ -6644,6 +6687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct": q_running_distinct,
         "data_profile": q_data_profile,
         "robust_scale": q_robust_scale,
+        "sliding_windows": q_sliding_windows,
         "merge_timetravel": q_merge_timetravel,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
@@ -6804,6 +6848,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": ORACLE_RUNNING_DISTINCT,
         "data_profile": ORACLE_DATA_PROFILE,
         "robust_scale": ORACLE_ROBUST_SCALE,
+        "sliding_windows": ORACLE_SLIDING_WINDOWS,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
