@@ -813,6 +813,131 @@ GROUP BY user_id
 )
 
 
+def _stage_stream_with_flush(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged as one batch plus TWO sentinel flush batches (+10 h /
+    +20 h past the corpus max, user_id = -1, one 'view' and one 'click'
+    sentinel 31 min apart so they can never join).  The sentinels pass the
+    outer-join sides' type filters — rows dropped before the watermark
+    operator cannot advance it — and the second batch covers the measured
+    one-micro-batch lag of outer-null emission, so every unmatched left
+    row is deterministically flushed on an availableNow drain.  Cached per
+    sf_dir like the other staged shapes."""
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+
+    key = (sf_dir, "flush2")
+    cached = _STREAM_STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = ev.agg(F.max("ts").alias("_mx"))
+
+    def _sent(view_id: int, click_id: int, hours: int):
+        legs = []
+        for eid, etype, extra_min in (
+            (view_id, "view", 0),
+            (click_id, "click", 31),
+        ):
+            legs.append(
+                mx.select(
+                    F.lit(eid).cast("long").alias("event_id"),
+                    (
+                        F.col("_mx")
+                        + F.expr(f"INTERVAL {hours} HOURS")
+                        + F.expr(f"INTERVAL {extra_min} MINUTES")
+                    ).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit(etype).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("").alias("props"),
+                )
+            )
+        return legs[0].unionByName(legs[1])
+
+    parts = [ev, _sent(-10, -11, 10), _sent(-20, -21, 20)]
+    d = os.path.join(root, "ready")
+    os.makedirs(d)
+    now = _time.time()
+    for i, p in enumerate(parts):
+        tmp = os.path.join(root, f"w{i}")
+        p.coalesce(1).write.parquet(tmp)
+        src_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, src_file), dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not _STREAM_STAGE_CACHE:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+                for p in _STREAM_STAGE_CACHE.values()
+            ]
+        )
+    _STREAM_STAGE_CACHE[key] = d
+    return d
+
+
+def q_streaming_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view matched to
+    same-user 30-min clicks as in streaming_attribution, PLUS each
+    click-less view emitted exactly once with a NULL click — only after
+    the global watermark proves no match can still arrive (the
+    attribution-with-abandonment shape).  Sentinel flush batches make the
+    bounded drain deterministic (see _stage_stream_with_flush); sentinel
+    rows are excluded by user_id >= 0.  Oracle: the batch LEFT JOIN."""
+    from uncharted_ta1_spark.streaming.joins import interval_join_streams
+    from uncharted_ta1_spark.streaming.sessions import events_stream
+
+    datagen.register_base_tables(spark, sf_dir)  # pins session tz UTC
+    src = _stage_stream_with_flush(spark, sf_dir)
+    views = events_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "view"
+    )
+    clicks = events_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join_streams(
+        views, clicks, key="user_id", window="30 minutes",
+        watermark="1 hour", how="leftOuter",
+    )
+    name = _drain_stream(joined, prefix="strm_loj_", output_mode="append")
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            F.col("left_id").alias("view_id"),
+            F.col("right_id").alias("click_id"),
+            "user_id",
+            F.col("left_ts").alias("view_ts"),
+            F.col("right_ts").alias("click_ts"),
+            (F.col("right_ts") - F.col("left_ts")).alias("gap_us"),
+        )
+    )
+
+
+ORACLE_STREAMING_LEFT_OUTER = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       CAST(v.ts_us AS BIGINT) AS view_ts,
+       CAST(c.ts_us AS BIGINT) AS click_ts,
+       CAST(c.ts_us - v.ts_us AS BIGINT) AS gap_us
+FROM events_epoch v
+LEFT JOIN events_epoch c
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click'
+ AND c.ts_us >= v.ts_us
+ AND c.ts_us <= v.ts_us + 1800000000
+WHERE v.event_type = 'view'
+"""
+)
+
+
 def _stage_stream_time_split(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as a CHRONOLOGICAL multi-batch arrival with two
     adversarial tails, for the windowed-aggregation watermark story:
@@ -6568,6 +6693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": q_streaming_attribution,
         "streaming_counters": q_streaming_counters,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_left_outer": q_streaming_left_outer,
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "expanding_mean": q_expanding_mean,
@@ -6715,6 +6841,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_attribution": ORACLE_STREAMING_ATTRIBUTION,
         "streaming_counters": ORACLE_STREAMING_COUNTERS,
         "streaming_windowed": ORACLE_STREAMING_WINDOWED,
+        "streaming_left_outer": ORACLE_STREAMING_LEFT_OUTER,
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "expanding_mean": ORACLE_EXPANDING_MEAN,

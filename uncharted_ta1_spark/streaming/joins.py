@@ -26,14 +26,25 @@ def interval_join_streams(
     key: str = "user_id",
     window: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: right rows with ``left.event_time <= right.event_time <=
+    """Join right rows with ``left.event_time <= right.event_time <=
     left.event_time + window`` on the same ``key``.
 
     Inputs are streaming DataFrames with a ``ts`` column (event time).
     Emits (left_id, right_id, key, left_ts, right_ts) — matches stream out
     as both sides arrive; on a bounded replay the drained result equals the
     batch interval join exactly.
+
+    ``how="leftOuter"``: unmatched left rows are additionally emitted with
+    a NULL right side — but only once the GLOBAL watermark (the min over
+    BOTH inputs) passes their state expiry, so their absence of a match is
+    final.  Measured caveat (prototype in this repo's round-5 session):
+    rows that never reach the watermark operator cannot advance it — a
+    bounded drain must ship flush rows that survive each side's filters,
+    and the outer emission can lag one micro-batch (same one-batch lag the
+    windowed aggregation's late filter shows), so the drain harness stages
+    TWO flush batches.
     """
     lv = (
         left.withColumn("l_time", F.col("ts").cast("timestamp"))
@@ -58,7 +69,7 @@ def interval_join_streams(
         & (F.col("r_time") >= F.col("l_time"))
         & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {window}"))
     )
-    return lv.join(rv, cond, "inner").select(
+    return lv.join(rv, cond, how).select(
         "left_id",
         "right_id",
         F.col("l_key").alias(key),
