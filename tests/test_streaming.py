@@ -285,3 +285,66 @@ def test_windowed_counts_late_rows_dropped(spark, tmp_path):
     }
     # flush row's own window is never emitted (watermark can't pass it)
     assert got == want
+
+
+def test_left_outer_interval_join_flushes_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched view is emitted with a
+    NULL click only after sentinel batches advance the GLOBAL watermark
+    (sentinels must pass both sides' filters; two flush batches cover the
+    measured one-micro-batch emission lag)."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from uncharted_ta1_spark.streaming.joins import interval_join_streams
+
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    mn31 = 31 * 60 * 1_000_000
+
+    def _ev(eid, ts_us, etype, uid=1):
+        return Row(event_id=eid, ts_us=ts_us, user_id=uid,
+                   event_type=etype, value=0.0, props="")
+
+    batches = [
+        [_ev(1, base, "view"), _ev(2, base + 10_000_000, "click"),
+         _ev(3, base + 2 * hour, "view")],           # view 3: no click
+        [_ev(-10, base + 10 * hour, "view", uid=-1),
+         _ev(-11, base + 10 * hour + mn31, "click", uid=-1)],
+        [_ev(-20, base + 20 * hour, "view", uid=-1),
+         _ev(-21, base + 20 * hour + mn31, "click", uid=-1)],
+    ]
+    src = str(tmp_path / "loj_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        tmp = str(tmp_path / f"loj_w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+
+    views = events_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "view")
+    clicks = events_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "click")
+    joined = interval_join_streams(
+        views, clicks, key="user_id", window="30 minutes",
+        watermark="1 hour", how="leftOuter",
+    )
+    run_available_now(
+        joined, checkpoint_dir=str(tmp_path / "loj_ck"),
+        query_name="loj_t", output_mode="append",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.table("loj_t").where(F.col("user_id") >= 0).collect()
+    }
+    assert got == {(1, 2), (3, None)}
