@@ -5231,6 +5231,79 @@ FROM sequences GROUP BY source
 )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly per-type
+    rollup built from the FIRST half of the corpus, then brought current
+    by merging the second half's partial aggregates ADDITIVELY into the
+    versioned MERGE table — only hours the delta touches are re-read and
+    rewritten (O(delta), the continuous-aggregate refresh pattern).  The
+    oracle is the full-recompute GROUP BY: incremental maintenance must be
+    indistinguishable from recomputation.  Counts and micro-unit sums are
+    the mergeable state; the half boundary is exact integer span math."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import merge_upsert, read_current
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = mn + (mx - mn) // 2
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.expr("ts_us DIV 3600000000").alias("hour_bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6))).cast("long").alias("sum_v_us"),
+        )
+
+    target = tempfile.mkdtemp(prefix="sparkgraft_ivm_")
+    try:
+        merge_upsert(
+            spark, target, rollup(ev.where(F.col("ts_us") <= mid)),
+            ["hour_bucket", "event_type"], n_buckets=8,
+        )
+        delta = rollup(ev.where(F.col("ts_us") > mid))
+        cur = read_current(spark, target).select(
+            "hour_bucket", "event_type",
+            F.col("n_events").alias("_n0"), F.col("sum_v_us").alias("_s0"),
+        )
+        upd = delta.join(cur, ["hour_bucket", "event_type"], "left").select(
+            "hour_bucket",
+            "event_type",
+            (F.col("n_events") + F.coalesce(F.col("_n0"), F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.col("sum_v_us") + F.coalesce(F.col("_s0"), F.lit(0)))
+            .cast("long")
+            .alias("sum_v_us"),
+        )
+        merge_upsert(spark, target, upd, ["hour_bucket", "event_type"], n_buckets=8)
+        final = read_current(spark, target).select(
+            "hour_bucket",
+            "event_type",
+            "n_events",
+            (F.col("sum_v_us").cast("double") / F.lit(1e6)).alias("sum_value"),
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+ORACLE_INCREMENTAL_ROLLUP = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT ts_us // 3600000000 AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 1e6 AS sum_value
+FROM events_epoch
+GROUP BY 1, 2
+"""
+)
+
+
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping (sliding) window aggregation: 1-h windows every 30 min —
     each event lands in exactly window/slide = 2 windows (F.window's
@@ -6814,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile": q_data_profile,
         "robust_scale": q_robust_scale,
         "sliding_windows": q_sliding_windows,
+        "incremental_rollup": q_incremental_rollup,
         "merge_timetravel": q_merge_timetravel,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
@@ -6976,6 +7050,7 @@ def oracle_sql() -> dict[str, str]:
         "data_profile": ORACLE_DATA_PROFILE,
         "robust_scale": ORACLE_ROBUST_SCALE,
         "sliding_windows": ORACLE_SLIDING_WINDOWS,
+        "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
