@@ -94,3 +94,13 @@ def test_psi_matches_closed_form_and_reports_one_sided(spark):
         expect += math.floor((p - q) * math.log(p / q) * 1e9)
     assert r["psi"] == expect / 1e9
     assert r["psi"] > 0
+
+
+def test_cv_folds_degenerate_single_timestamp(spark):
+    """All rows at one timestamp: everything lands in segment 0 (never a
+    test fold) -> an EMPTY fold table, not a crash or a leaky fold."""
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame([R(t=42, w=1)] * 10)
+    out = time_series_cv(df, time_col="t", weight_col="w").collect()
+    assert out == []
