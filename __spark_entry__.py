@@ -5231,6 +5231,129 @@ FROM sequences GROUP BY source
 )
 
 
+def q_fit_transform_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free fit/transform separation for a scaler: min-max params are
+    FIT on the training period only (first 80% of the event-time span,
+    integer math) and applied to every row, with the train/serve membership
+    carried as a flag — the scaler analog of the expanding-mean target
+    encoding (serving rows must never influence the statistics that
+    transform them).  Degenerate span -> NULL, not Inf; the scaled value
+    is one shared IEEE tree over exact integers (no rounding needed)."""
+    seq = _sequences(spark, sf_dir)
+    b = seq.agg(
+        F.min(F.col("event_epoch").cast("long")).alias("_mn"),
+        F.max(F.col("event_epoch").cast("long")).alias("_mx"),
+    ).select("*", F.expr("_mn + ((_mx - _mn) * 4) DIV 5").alias("_cut"))
+    fit = (
+        seq.join(F.broadcast(b))
+        .where(F.col("event_epoch") <= F.col("_cut"))
+        .agg(
+            F.min(F.col("n_tok").cast("long")).alias("fit_min"),
+            F.max(F.col("n_tok").cast("long")).alias("fit_max"),
+        )
+    )
+    return (
+        seq.join(F.broadcast(b))
+        .join(F.broadcast(fit))
+        .select(
+            "doc_id",
+            "source",
+            "seq_no",
+            "event_epoch",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            (F.col("event_epoch") <= F.col("_cut")).alias("is_train"),
+            F.when(
+                F.col("fit_max") != F.col("fit_min"),
+                (F.col("n_tok").cast("long") - F.col("fit_min")).cast("double")
+                / (F.col("fit_max") - F.col("fit_min")).cast("double"),
+            ).alias("scaled"),
+        )
+    )
+
+
+ORACLE_FIT_TRANSFORM_SCALE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, b AS (
+  SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx,
+         min(event_epoch) + ((max(event_epoch) - min(event_epoch)) * 4) // 5
+           AS _cut
+  FROM sequences
+),
+fit AS (
+  SELECT CAST(min(CAST(s.n_tok AS BIGINT)) AS BIGINT) AS fit_min,
+         CAST(max(CAST(s.n_tok AS BIGINT)) AS BIGINT) AS fit_max
+  FROM sequences s, b WHERE s.event_epoch <= b._cut
+)
+SELECT s.doc_id, s.source, s.seq_no, s.event_epoch,
+       CAST(s.n_tok AS BIGINT) AS n_tok,
+       (s.event_epoch <= b._cut) AS is_train,
+       CASE WHEN f.fit_max <> f.fit_min
+            THEN CAST(CAST(s.n_tok AS BIGINT) - f.fit_min AS DOUBLE)
+                 / CAST(f.fit_max - f.fit_min AS DOUBLE) END AS scaled
+FROM sequences s, b, fit f
+"""
+)
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling for training: every event class is cut
+    to the size of the SMALLEST class by keeping the lowest deterministic
+    hash ranks within each class — the rebalancing step before training on
+    skewed label distributions, reproducible across engines and reruns
+    (df.sample is neither).  The per-class rank is a window on the class
+    key; the 1-row minimum class size broadcasts back.  Emits the per-
+    class manifest (kept counts equal everywhere + kept-hash checksum)."""
+    from pyspark.sql.window import Window
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    h = md5_i64(
+        F.concat_ws("|", F.col("event_id").cast("string"), F.lit("bal"))
+    )
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    ranked = ev.withColumn("_h", h).withColumn("_rn", F.row_number().over(w))
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    min_n = sizes.agg(F.min("_n").alias("_min_n"))
+    kept = ranked.join(F.broadcast(min_n)).where(F.col("_rn") <= F.col("_min_n"))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("_h") % F.lit(1_000_000_007)).cast("long").alias("kept_hash"),
+        F.min("_rn").cast("long").alias("min_rank"),
+        F.max("_rn").cast("long").alias("max_rank"),
+    )
+
+
+ORACLE_CLASS_BALANCE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, hashed AS (
+  SELECT event_type,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || 'bal'),
+           1, 15))::BIGINT) AS _h,
+         event_id
+  FROM events_epoch
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY _h ASC, event_id ASC) AS BIGINT) AS _rn
+  FROM hashed
+),
+min_n AS (
+  SELECT min(cnt) AS _min_n
+  FROM (SELECT count(*) AS cnt FROM events_epoch GROUP BY event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(_h % 1000000007) AS BIGINT) AS kept_hash,
+       CAST(min(_rn) AS BIGINT) AS min_rank,
+       CAST(max(_rn) AS BIGINT) AS max_rank
+FROM ranked, min_n
+WHERE _rn <= _min_n
+GROUP BY event_type
+"""
+)
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: the hourly per-type
     rollup built from the FIRST half of the corpus, then brought current
@@ -6888,6 +7011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "sliding_windows": q_sliding_windows,
         "incremental_rollup": q_incremental_rollup,
+        "fit_transform_scale": q_fit_transform_scale,
+        "class_balance": q_class_balance,
         "merge_timetravel": q_merge_timetravel,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
@@ -7051,6 +7176,8 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale": ORACLE_ROBUST_SCALE,
         "sliding_windows": ORACLE_SLIDING_WINDOWS,
         "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+        "fit_transform_scale": ORACLE_FIT_TRANSFORM_SCALE,
+        "class_balance": ORACLE_CLASS_BALANCE,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
