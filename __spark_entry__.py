@@ -3616,10 +3616,10 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_FEATURE_BACKFILL = (
-    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
-    + f"""
-, feat0 AS (
+# the windowed-feature derivation (lag/lead, rolling, sessions) as a CTE
+# chain ending in `feat` — single source, composed by BOTH the feature
+# backfill oracle and the bucketed-layout oracle (never fork a copy)
+FEAT_CTE_DUCK = f"""feat0 AS (
   SELECT *,
     lag(n_tok) OVER w AS lag_n_tok_1,
     lead(n_tok) OVER w AS lead_n_tok_1,
@@ -3646,7 +3646,13 @@ feat AS (
     CAST(sum(CAST(n_tok AS BIGINT)) OVER ws AS BIGINT) AS session_sum_n_tok
   FROM feat1
   WINDOW ws AS (PARTITION BY doc_id, source, session_id)
-)
+)"""
+
+ORACLE_FEATURE_BACKFILL = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + ",\n"
+    + FEAT_CTE_DUCK
+    + f"""
 SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
   s.event_epoch AS asof_event_epoch,
   coalesce(array_to_string(s.tokens, ','), '') AS asof_tokens_csv,
@@ -3665,6 +3671,59 @@ SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
 FROM probes p
 ASOF LEFT JOIN feat s
   ON p.doc_id = s.doc_id AND p.source = s.source AND p.ts_epoch >= s.event_epoch
+"""
+)
+
+
+def q_bucketed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed+sorted layout path ON THE ORACLE GATE (plans/layout.py
+    was pytest-only): write sequences as a bucketed per-bucket-sorted
+    table (the Iceberg bucket-transform + WRITE ORDERED BY analog), run
+    the full ordered-feature stack over it, and RAISE unless the executed
+    plan is zero-Exchange — the shuffle-paid-once-at-ingest invariant
+    enforced at query run time.  The oracle derives the same features
+    relationally, so the layout path must be bit-identical to the shuffled
+    derivation, not merely shuffle-free."""
+    import uuid
+
+    from uncharted_ta1_spark.features import sequence_features
+    from uncharted_ta1_spark.plans.layout import (
+        read_bucketed,
+        write_bucketed_sequences,
+    )
+
+    seq = _sequences(spark, sf_dir)
+    tbl = "seq_bkt_q_" + uuid.uuid4().hex[:8]
+    write_bucketed_sequences(seq, tbl, n_buckets=8)
+    try:
+        feats = sequence_features(read_bucketed(spark, tbl))
+        plan = feats._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed layout planned a shuffle (layout invariant broken):\n"
+                + plan
+            )
+        out = feats.select(
+            "doc_id", "source", "seq_no", "event_epoch", "n_tok",
+            "lag_n_tok_1", "lead_n_tok_1", "roll_sum_n_tok_w5",
+            "session_id", "session_len", "session_sum_n_tok",
+        )
+        # the bucketed table lives in the session warehouse: materialize
+        # before dropping it
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+ORACLE_BUCKETED_FEATURES = (
+    duck_with(SEQUENCES_DUCK)
+    + ",\n"
+    + FEAT_CTE_DUCK
+    + """
+SELECT doc_id, source, seq_no, event_epoch, n_tok,
+       lag_n_tok_1, lead_n_tok_1, roll_sum_n_tok_w5,
+       session_id, session_len, session_sum_n_tok
+FROM feat
 """
 )
 
@@ -6939,6 +6998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_sum_pandas": q_token_sum_pandas,
         "feature_backfill": q_feature_backfill,
         "feature_store_lookup": q_feature_store_lookup,
+        "bucketed_features": q_bucketed_features,
         "backfill_resume": q_backfill_resume,
         "tile_fanout_merge": q_tile_fanout_merge,
         "halt_gate": q_halt_gate,
@@ -7096,6 +7156,7 @@ def oracle_sql() -> dict[str, str]:
         "token_sum_pandas": ORACLE_TOKEN_SUM,
         "feature_backfill": ORACLE_FEATURE_BACKFILL,
         "feature_store_lookup": ORACLE_FEATURE_STORE,
+        "bucketed_features": ORACLE_BUCKETED_FEATURES,
         "backfill_resume": _backfill_resume_oracle(),
         "tile_fanout_merge": ORACLE_TILE_FANOUT,
         "halt_gate": ORACLE_HALT_GATE,
