@@ -5290,6 +5290,91 @@ FROM sequences GROUP BY source
 )
 
 
+def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature-selection statistic: association of the
+    event_type feature with a deterministic binary label (micro-unit value
+    parity — an engine-portable coin flip), from pure count tables.  One
+    combinable groupBy builds the contingency table; expected counts and
+    the per-cell (obs-exp)^2/exp terms are fixed IEEE trees over exact
+    integers, floored to nano-units so the per-feature chi2 sums are
+    order-free and engine-exact.  The 100 TB shape: corpus work is ONE
+    map-side-combinable count pass; the statistic runs on the tiny
+    contingency table."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    lab = (F.floor(F.col("value") * F.lit(1e6)).cast("long") % 2 == 0).cast("int")
+    cell = ev.withColumn("_y", lab).groupBy("event_type").agg(
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("obs0"),
+        F.sum(F.col("_y")).cast("long").alias("obs1"),
+    )
+    tot = cell.agg(
+        F.sum("obs0").cast("long").alias("t0"),
+        F.sum("obs1").cast("long").alias("t1"),
+    )
+    n = F.col("t0") + F.col("t1")
+    row_n = F.col("obs0") + F.col("obs1")
+    exp0 = row_n.cast("double") * F.col("t0").cast("double") / n.cast("double")
+    exp1 = row_n.cast("double") * F.col("t1").cast("double") / n.cast("double")
+    c0 = (F.col("obs0").cast("double") - exp0)
+    c1 = (F.col("obs1").cast("double") - exp1)
+    chi_nano = (
+        F.floor((c0 * c0 / exp0 + c1 * c1 / exp1) * F.lit(1e9)).cast("long")
+    )
+    return cell.join(F.broadcast(tot)).select(
+        "event_type",
+        "obs0",
+        "obs1",
+        (F.round(exp0, 6) + F.lit(0.0)).alias("exp0"),
+        (F.round(exp1, 6) + F.lit(0.0)).alias("exp1"),
+        (chi_nano.cast("double") / F.lit(1e9)).alias("chi2_contrib"),
+    )
+
+
+ORACLE_CHI2_FEATURE_SELECT = (
+    duck_with(EVENTS_DUCK)
+    + """
+, cell AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN (CAST(floor(value * 1e6) AS BIGINT) % 2 = 0)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS obs0_wrong,
+         CAST(sum(CASE WHEN (CAST(floor(value * 1e6) AS BIGINT) % 2 = 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS obs1
+  FROM events_epoch
+  GROUP BY event_type
+),
+cell2 AS (
+  SELECT event_type, obs0_wrong AS obs0, obs1 FROM cell
+),
+tot AS (
+  SELECT CAST(sum(obs0) AS BIGINT) AS t0, CAST(sum(obs1) AS BIGINT) AS t1
+  FROM cell2
+)
+SELECT event_type, obs0, obs1,
+  round(CAST(obs0 + obs1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+        / CAST(t0 + t1 AS DOUBLE), 6) + 0.0 AS exp0,
+  round(CAST(obs0 + obs1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        / CAST(t0 + t1 AS DOUBLE), 6) + 0.0 AS exp1,
+  CAST(CAST(floor(((CAST(obs0 AS DOUBLE)
+               - CAST(obs0 + obs1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                 / CAST(t0 + t1 AS DOUBLE))
+              * (CAST(obs0 AS DOUBLE)
+                 - CAST(obs0 + obs1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                   / CAST(t0 + t1 AS DOUBLE))
+              / (CAST(obs0 + obs1 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                 / CAST(t0 + t1 AS DOUBLE))
+              + (CAST(obs1 AS DOUBLE)
+                 - CAST(obs0 + obs1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                   / CAST(t0 + t1 AS DOUBLE))
+                * (CAST(obs1 AS DOUBLE)
+                   - CAST(obs0 + obs1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                     / CAST(t0 + t1 AS DOUBLE))
+                / (CAST(obs0 + obs1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                   / CAST(t0 + t1 AS DOUBLE))) * 1e9) AS BIGINT) AS DOUBLE)
+    / 1e9 AS chi2_contrib
+FROM cell2, tot
+"""
+)
+
+
 def q_fit_transform_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-free fit/transform separation for a scaler: min-max params are
     FIT on the training period only (first 80% of the event-time span,
@@ -7073,6 +7158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "fit_transform_scale": q_fit_transform_scale,
         "class_balance": q_class_balance,
+        "chi2_feature_select": q_chi2_feature_select,
         "merge_timetravel": q_merge_timetravel,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
@@ -7239,6 +7325,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
         "fit_transform_scale": ORACLE_FIT_TRANSFORM_SCALE,
         "class_balance": ORACLE_CLASS_BALANCE,
+        "chi2_feature_select": ORACLE_CHI2_FEATURE_SELECT,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
