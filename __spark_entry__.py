@@ -5290,6 +5290,47 @@ FROM sequences GROUP BY source
 )
 
 
+def q_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM masking over the token payload
+    (operators/packing.py::mask_tokens): BERT's 15% rule with a portable
+    per-position hash, so the corrupted corpus is bit-reproducible in any
+    engine — pure JVM array transform, zero shuffle, zero Python.  Token
+    arrays csv-serialized at the contract surface as usual."""
+    from uncharted_ta1_spark.operators.packing import mask_tokens
+
+    out = mask_tokens(_sequences(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "source",
+        "seq_no",
+        "event_epoch",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        _csv("masked_tokens").alias("masked_tokens_csv"),
+        "n_masked",
+    )
+
+
+ORACLE_MASK_TOKENS = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, masked AS (
+  SELECT doc_id, source, seq_no, event_epoch,
+         CAST(n_tok AS BIGINT) AS n_tok,
+         list_transform(range(len(tokens)), i ->
+           CASE WHEN (('0x' || substr(md5('mlm' || '|' || doc_id || '|'
+                       || CAST(seq_no AS VARCHAR) || '|'
+                       || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 100 < 15
+                THEN -1 ELSE tokens[i + 1] END) AS masked_tokens
+  FROM sequences
+)
+SELECT doc_id, source, seq_no, event_epoch, n_tok,
+       coalesce(array_to_string(masked_tokens, ','), '') AS masked_tokens_csv,
+       CAST(len(list_filter(masked_tokens, x -> x = -1)) AS BIGINT) AS n_masked
+FROM masked
+"""
+)
+
+
 def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared feature-selection statistic: association of the
     event_type feature with a deterministic binary label (micro-unit value
@@ -7159,6 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_transform_scale": q_fit_transform_scale,
         "class_balance": q_class_balance,
         "chi2_feature_select": q_chi2_feature_select,
+        "mask_tokens": q_mask_tokens,
         "merge_timetravel": q_merge_timetravel,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
@@ -7326,6 +7368,7 @@ def oracle_sql() -> dict[str, str]:
         "fit_transform_scale": ORACLE_FIT_TRANSFORM_SCALE,
         "class_balance": ORACLE_CLASS_BALANCE,
         "chi2_feature_select": ORACLE_CHI2_FEATURE_SELECT,
+        "mask_tokens": ORACLE_MASK_TOKENS,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,

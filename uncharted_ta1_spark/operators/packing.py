@@ -73,3 +73,52 @@ def pack_chunks(
         F.expr(f"start_off % {capacity}").alias("chunk_off"),
         F.expr(f"(start_off + n_tok - 1) DIV {capacity}").alias("end_chunk"),
     ).withColumn("straddles", F.col("end_chunk") > F.col("chunk_id"))
+
+
+def mask_tokens(
+    seq: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    rate_pct: int = 15,
+    mask_id: int = -1,
+    salt: str = "mlm",
+) -> DataFrame:
+    """Deterministic MLM-style token masking (the BERT 15% rule, Devlin et
+    al. 2018 — public method): position ``i`` of a sequence is replaced by
+    ``mask_id`` iff a portable md5 hash of ``(salt, doc_id, seq_no, i)``
+    lands under ``rate_pct`` — so the corruption is reproducible across
+    engines, reruns and repartitions (a random mask is none of those), and
+    an epoch-style re-mask is just a salt change.
+
+    Pure JVM higher-order-function work: one ``transform`` over the token
+    array per row, no shuffle, no Python.  Reference analog: the mask-token
+    handling of the vendored tokenizer
+    (``tasks/segmentation/layoutlmft/models/layoutlmv3/
+    tokenization_layoutlmv3.py`` mask_token) — recast as a corpus-scale
+    deterministic transform.
+
+    Output adds ``masked_tokens`` (array) and ``n_masked``.
+    """
+    from uncharted_ta1_spark.functions.portable import md5_i64
+
+    def _mask(x, i):
+        h = md5_i64(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("doc_id"),
+                F.col("seq_no").cast("string"),
+                i.cast("string"),
+            )
+        )
+        return F.when(h % 100 < rate_pct, F.lit(mask_id)).otherwise(x)
+
+    out = seq.withColumn(
+        "masked_tokens", F.transform(F.col(tokens_col), _mask)
+    )
+    return out.withColumn(
+        "n_masked",
+        F.size(
+            F.filter(F.col("masked_tokens"), lambda x: x == F.lit(mask_id))
+        ).cast("long"),
+    )
