@@ -1023,6 +1023,60 @@ def _stage_stream_time_split(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming as-of SERVING path on the oracle gate (previously
+    pytest-only): probes arrive as a 5-file stream and are answered per
+    micro-batch against the static sequences state via foreachBatch
+    (streaming/asof_serve.py — state pruned to the batch's keys, then the
+    batch as-of plan).  The drained answer set must equal the batch as-of
+    join regardless of probe batching: the oracle IS the per-source as-of
+    oracle, nested verbatim."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.streaming.asof_serve import serve_probe_stream
+
+    seq = _sequences(spark, sf_dir)
+    prb = _probes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sparkgraft_serve_")
+    src = os.path.join(root, "probes")
+    out_dir = os.path.join(root, "answers")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        prb.repartition(5).write.parquet(src)
+        probe_stream = (
+            spark.readStream.schema(
+                "probe_id string, doc_id string, source string, ts_epoch long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(df: DataFrame, _batch_id: int) -> None:
+            df.write.mode("append").parquet(out_dir)
+
+        q = serve_probe_stream(
+            probe_stream,
+            seq,
+            keys=["doc_id", "source"],
+            payload_cols=["tokens", "n_tok"],
+            sink=sink,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir).select(
+            "probe_id", "doc_id", "source", "ts_epoch",
+            "asof_event_epoch",
+            _csv("asof_tokens").alias("asof_tokens_csv"),
+            "asof_n_tok", "asof_age_sec",
+            "fallback_used",
+        )
+        # answers live under the temp dir: materialize before cleanup
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation through the REAL streaming engine in
     APPEND mode: per (event_type, 1-h window) counts + exact micro-unit
@@ -7075,6 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counters": q_streaming_counters,
         "streaming_windowed": q_streaming_windowed,
         "streaming_left_outer": q_streaming_left_outer,
+        "streaming_asof_serve": q_streaming_asof_serve,
         "skew_salted_join": q_skew_salted_join,
         "session_top2": q_session_top2,
         "expanding_mean": q_expanding_mean,
@@ -7229,6 +7284,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_counters": ORACLE_STREAMING_COUNTERS,
         "streaming_windowed": ORACLE_STREAMING_WINDOWED,
         "streaming_left_outer": ORACLE_STREAMING_LEFT_OUTER,
+        # serving must equal the batch as-of exactly: same oracle, verbatim
+        "streaming_asof_serve": ORACLE_ASOF_PER_SOURCE,
         "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
         "session_top2": ORACLE_SESSION_TOP2,
         "expanding_mean": ORACLE_EXPANDING_MEAN,
