@@ -238,6 +238,18 @@ def test_value_deciles_no_per_class_global_sort(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_vocab_index_rank_is_bucketed(spark):
+    """Scale contract for the vocabulary indexer (round-5 verdict's one
+    flagged scale-killer): the frequency rank must NOT be an unpartitioned
+    global row_number over the distinct vocabulary — every row_number window
+    runs inside GK range buckets (_bkt), and the offset join-back broadcasts
+    instead of shuffle-sorting the vocab table."""
+    plan = _plan(E.q_vocab_index(spark, SF))
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), f"row_number window not bucketed: {m.group(0)}"
+    assert "SortMergeJoin" not in plan
+
+
 def test_georef_probe_side_is_broadcast_only(spark):
     """Georef composite: the probe relation joins params and the global clue
     via broadcast; no sort-merge join, no Python stage anywhere."""

@@ -131,3 +131,88 @@ def test_polygon_plans_no_bnl(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+RING_SCHEMA = (
+    "ring_id long, class_id long, "
+    "ox1 long, oy1 long, ox2 long, oy2 long, ox3 long, oy3 long, "
+    "ox4 long, oy4 long, "
+    "ix1 long, iy1 long, ix2 long, iy2 long, ix3 long, iy3 long, "
+    "ix4 long, iy4 long"
+)
+
+
+def _ring(rid, cls, cx, cy, a, b, c, d, ia, ib, ic, id_):
+    return (
+        rid, cls,
+        cx + a, cy, cx, cy + b, cx - c, cy, cx, cy - d,
+        cx + ia, cy, cx, cy + ib, cx - ic, cy, cx, cy - id_,
+    )
+
+
+def _pt_in_ring(ring, pt):
+    vo = [(ring[2 + 2 * i], ring[3 + 2 * i]) for i in range(4)]
+    vi = [(ring[10 + 2 * i], ring[11 + 2 * i]) for i in range(4)]
+    in_outer = all(_cross(vo[i], vo[(i + 1) % 4], pt) >= 0 for i in range(4))
+    in_inner = all(_cross(vi[i], vi[(i + 1) % 4], pt) > 0 for i in range(4))
+    return in_outer and not in_inner
+
+
+def test_ring_semantics_hole_and_boundaries(spark):
+    from uncharted_ta1_spark.operators.polygon import ring_contain_join
+
+    rings = [_ring(1, 0, 50, 50, 8, 8, 8, 8, 4, 4, 4, 4)]
+    pts = [
+        (1, 50, 50),  # dead center: in hole -> OUT
+        (2, 54, 50),  # exactly ON inner boundary -> IN (ring keeps it)
+        (3, 56, 50),  # in the annulus -> IN
+        (4, 58, 50),  # on outer boundary vertex -> IN
+        (5, 59, 50),  # outside outer -> OUT
+        (6, 52, 50),  # strictly inside hole -> OUT
+    ]
+    rdf = spark.createDataFrame(rings, RING_SCHEMA)
+    pdf = spark.createDataFrame(pts, "pt_id long, px long, py long")
+    got = {r.pt_id for r in ring_contain_join(pdf, rdf, cell=16).collect()}
+    assert got == {2, 3, 4}
+
+
+def test_ring_degenerate_hole_is_full_quad(spark):
+    from uncharted_ta1_spark.operators.polygon import ring_contain_join
+
+    # collapsed inner (all extents 0): empty strict interior, no hole
+    rings = [_ring(1, 0, 50, 50, 6, 6, 6, 6, 0, 0, 0, 0)]
+    pts = [(1, 50, 50), (2, 52, 52), (3, 57, 50)]
+    rdf = spark.createDataFrame(rings, RING_SCHEMA)
+    pdf = spark.createDataFrame(pts, "pt_id long, px long, py long")
+    got = {r.pt_id for r in ring_contain_join(pdf, rdf, cell=16).collect()}
+    assert got == {1, 2}
+
+
+def test_ring_matches_brute_force(spark):
+    from uncharted_ta1_spark.operators.polygon import ring_contain_join
+
+    rng = random.Random(11)
+    rings = []
+    for i in range(40):
+        a, b, c, d = (rng.randint(1, 8) for _ in range(4))
+        rings.append(
+            _ring(i, 0, rng.randint(10, 90), rng.randint(10, 90),
+                  a, b, c, d,
+                  max(a - 2, 0), max(b - 2, 0), max(c - 2, 0), max(d - 2, 0))
+        )
+    pts = [(j, rng.randint(0, 100), rng.randint(0, 100)) for j in range(300)]
+    rdf = spark.createDataFrame(rings, RING_SCHEMA)
+    pdf = spark.createDataFrame(pts, "pt_id long, px long, py long")
+    got = {
+        (r.pt_id, r.ring_id)
+        for r in ring_contain_join(pdf, rdf, cell=16).collect()
+    }
+    want = {
+        (p[0], rg[0]) for rg in rings for p in pts
+        if _pt_in_ring(rg, (p[1], p[2]))
+    }
+    assert got == want and want
+    plan = ring_contain_join(pdf, rdf, cell=16)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -225,7 +225,12 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     # subtotal).  Temp views persist on the session; only re-register when
     # the sf_dir actually changes.  (The tz pin above stays unconditional —
     # the grading driver may reset session confs between calls.)
-    if getattr(spark, "_sparkgraft_tables_dir", None) == sf_dir:
+    # validate the memo cheaply: if any base view was dropped/replaced
+    # mid-session (driver housekeeping), fall through and re-register
+    # instead of failing later with TABLE_OR_VIEW_NOT_FOUND.
+    if getattr(spark, "_sparkgraft_tables_dir", None) == sf_dir and (
+        spark.catalog.tableExists(BASE_TABLES[0])
+    ):
         return
     for name in BASE_TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)

@@ -15,11 +15,18 @@ Scale design:
   state, output dimensionality fixed at ``n_buckets`` regardless of corpus
   size.  One explode + one combinable groupBy; the estimator every 100 TB
   text pipeline starts with because it needs zero coordination.
-* :func:`vocab_index` — stateful: exact frequency-ranked ids.  The rank is
-  a global sort, but over the DISTINCT vocabulary (corpus-compressed by the
-  word-count groupBy, which is map-side combinable); a Zipf-shaped 10^12-row
-  corpus has a vocabulary orders of magnitude smaller than the corpus, and
-  the optional ``min_count`` floor trims the long tail before the sort.
+* :func:`vocab_index` — stateful: exact frequency-ranked ids.  The
+  corpus-sized work is the combinable word-count groupBy; the rank then
+  runs over the DISTINCT vocabulary — but a web corpus's vocabulary is
+  itself 10^8–10^9 rows, so an unpartitioned ``row_number`` (the classic
+  StringIndexer OOM) is still a one-task global sort.  Instead the rank
+  reuses :mod:`uncharted_ta1_spark.operators.binning`'s pattern: GK
+  boundaries over ``n_occurrences`` split the vocabulary into ~100
+  monotone range buckets (equal counts never straddle an edge, so
+  bucketing can't reorder ties), ``row_number`` runs per bucket in
+  parallel, and a broadcast per-bucket offset (droplet-sized counts
+  table) restores the exact global id — bit-identical to the single-sort
+  answer with max task ~ |vocab| / n_buckets.
 """
 
 from __future__ import annotations
@@ -76,13 +83,20 @@ def vocab_index(
     *,
     text_col: str = "text",
     min_count: int = 1,
+    n_buckets: int = 100,
 ) -> DataFrame:
     """Deterministic frequency-ranked vocabulary: id 0 is the most frequent
     word, ties broken lexicographically — StringIndexer's contract, made
     reproducible.  Returns (word, word_id, n_occurrences).
 
-    The global row_number runs on the distinct-vocabulary table only (the
-    corpus-sized work is the combinable word-count groupBy before it).
+    Rank plan (scale-safe, bit-identical to the naive global sort): GK
+    boundaries over ``n_occurrences`` (mergeable sketch, no sort) split the
+    vocabulary into monotone range buckets; ``row_number`` ordered by
+    (n_occurrences DESC, word) runs per bucket; a broadcast exclusive
+    offset — the count of words in strictly higher-count buckets — lifts
+    the local rank to the exact global id.  Equal counts always share a
+    bucket, so the lexicographic tie-break is decided entirely inside one
+    bucket's window.  Max task ~ |vocab| / n_buckets instead of |vocab|.
     """
     counts = (
         docs.select(F.explode(words_col(F.col(text_col))).alias("word"))
@@ -90,7 +104,54 @@ def vocab_index(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
-    return counts.withColumn(
-        "word_id", (F.row_number().over(w) - 1).cast("long")
-    ).select("word", "word_id", "n_occurrences")
+
+    # GK boundaries over the rank key (broadcast-scalar single row)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = counts.agg(
+        F.percentile_approx(
+            F.col("n_occurrences"),
+            F.array(*[F.lit(p) for p in probs]),
+            F.lit(10_000),
+        ).alias("_bnds")
+    )
+    # monotone range bucket: #boundaries <= n_occurrences (ascending index;
+    # equal counts can never straddle an edge)
+    bucketed = (
+        counts.join(F.broadcast(bounds))
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("n_occurrences") >= b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+
+    # per-bucket counts -> exclusive DESC offsets (droplet-sized table:
+    # the rank orders by n_occurrences DESC, so bucket b's offset is the
+    # number of words in strictly higher buckets)
+    bcounts = bucketed.groupBy("_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    woff = (
+        Window.orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_off")
+    )
+
+    wloc = Window.partitionBy("_bkt").orderBy(
+        F.col("n_occurrences").desc(), F.col("word").asc()
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "word_id",
+            (F.row_number().over(wloc) + F.col("_off") - 1).cast("long"),
+        )
+        .select("word", "word_id", "n_occurrences")
+    )

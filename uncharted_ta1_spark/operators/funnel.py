@@ -31,7 +31,8 @@ def funnel_counts(events: DataFrame, steps: list[str],
     whose first step-k event is strictly after their first qualifying
     step-(k-1) event; delta sums are micro-second integers.
     """
-    assert len(steps) >= 2
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
     # first occurrence of step 0 per user
     cur = (
         events.filter(F.col("event_type") == steps[0])

@@ -64,6 +64,37 @@ def point_in_quad_sql(*, quad_prefix: str = "", px: str = "px", py: str = "py") 
     )
 
 
+def point_in_quad_strict_sql(
+    *, quad_prefix: str = "", px: str = "px", py: str = "py"
+) -> str:
+    """Strict interior: strictly left of every CCW edge (boundary excluded).
+    A degenerate quad (zero-extent edges) has an EMPTY strict interior, so
+    a collapsed inner ring means "no hole" — well-defined in both dialects."""
+    return (
+        "("
+        + " AND ".join(
+            f"{_cross(quad_prefix, i, j, px, py)} > 0" for i, j in _QUAD
+        )
+        + ")"
+    )
+
+
+def point_in_ring_sql(
+    *, outer_prefix: str = "o", inner_prefix: str = "i",
+    px: str = "px", py: str = "py",
+) -> str:
+    """Ring (non-convex, with a hole) containment — the reference's literal
+    ROI shape (``tasks/geo_referencing/filter.py:143-287``, ring
+    construction :170-198: outer map boundary minus an inner buffered
+    copy).  A ring is the difference of two convex quads, so the convex
+    predicates compose: inside the outer (boundary inclusive) AND NOT in
+    the inner's strict interior — the ring keeps both its outer and inner
+    boundaries."""
+    outer = point_in_quad_sql(quad_prefix=outer_prefix, px=px, py=py)
+    inner = point_in_quad_strict_sql(quad_prefix=inner_prefix, px=px, py=py)
+    return f"({outer} AND NOT {inner})"
+
+
 def _separates(edge_pre: str, pt_pre: str) -> str:
     """Some edge of ``edge_pre``'s quad has ALL of ``pt_pre``'s vertices
     strictly right of it (a separating axis)."""
@@ -133,6 +164,28 @@ def quad_contain_join(
     qc = _quad_cells(quads, "", cell).drop("_xmin", "_ymin")
     joined = pts.join(qc, ["gx", "gy"])
     return joined.where(F.expr(point_in_quad_sql(px=px, py=py))).drop("gx", "gy")
+
+
+def ring_contain_join(
+    points: DataFrame,
+    rings: DataFrame,
+    *,
+    cell: int,
+    px: str = "px",
+    py: str = "py",
+) -> DataFrame:
+    """All (point, ring) pairs with the point inside the ring — outer quad
+    columns ``ox1..oy4``, inner quad columns ``ix1..iy4`` (both CCW; the
+    inner hole lies inside the outer, so only the OUTER bbox buckets the
+    grid join).  Same scale shape as :func:`quad_contain_join`: one
+    hash-partitioned equi join on the cell id, exact integer sign
+    predicate post-join."""
+    pts = points.withColumn("gx", F.floor(F.col(px) / cell)).withColumn(
+        "gy", F.floor(F.col(py) / cell)
+    )
+    rc = _quad_cells(rings, "o", cell).drop("_xmin", "_ymin")
+    joined = pts.join(rc, ["gx", "gy"])
+    return joined.where(F.expr(point_in_ring_sql(px=px, py=py))).drop("gx", "gy")
 
 
 def quad_overlap_join(

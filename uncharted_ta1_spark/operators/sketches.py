@@ -141,7 +141,11 @@ def bloom_membership(probes: DataFrame, bits: DataFrame,
     side is touched k times map-side and shuffles only on its own keys.
 
     Returns the probe frame + boolean ``bloom_hit``.  One-sided error:
-    every true member tests positive; a positive may be false.
+    every true member tests positive; a positive may be false.  The hit
+    test compares the matched-bit count against the group's OWN expanded
+    row count (not the constant k), so duplicate probe rows for the same
+    ``(*other, key)`` tuple — which the groupBy collapses — still test
+    positive when every bit is set.
     """
     other = [c for c in probes.columns if c != key_col]
     expanded = []
@@ -158,7 +162,7 @@ def bloom_membership(probes: DataFrame, bits: DataFrame,
     )
     return (
         marked.groupBy(*other, key_col)
-        .agg((F.count("_set") == BLOOM_K).alias("bloom_hit"))
+        .agg((F.count("_set") == F.count(F.lit(1))).alias("bloom_hit"))
     )
 
 
