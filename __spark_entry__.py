@@ -53,6 +53,7 @@ from uncharted_ta1_spark.operators.dedup import (
     simhash16,
     shingle_repetition,
     simhash_pairs,
+    exact_duplicate_spans,
     sliding_span_duplication,
     span_duplication,
     span_scrub,
@@ -137,6 +138,7 @@ from uncharted_ta1_spark.operators.windows import (
     dedup_latest,
     ewma,
     expanding_leakfree_mean,
+    expanding_lowcard_sums,
     group_zscore,
     lag_lead_context,
     range_window_features,
@@ -1031,19 +1033,34 @@ def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch as-of plan).  The drained answer set must equal the batch as-of
     join regardless of probe batching: the oracle IS the per-source as-of
     oracle, nested verbatim."""
+    import atexit
     import shutil
     import tempfile
 
     from uncharted_ta1_spark.streaming.asof_serve import serve_probe_stream
 
     seq = _sequences(spark, sf_dir)
-    prb = _probes(spark, sf_dir)
+    # Stage the probe arrival ONCE per (sf_dir) and reuse across calls —
+    # the answer set is batching-independent by contract, so the staged
+    # batch count (3) is a harness knob, not a semantic one.
+    skey = (sf_dir, "serve_probes")
+    src = _STREAM_STAGE_CACHE.get(skey)
+    if src is None or not os.path.isdir(src):
+        stage_root = tempfile.mkdtemp(prefix="sparkgraft_servesrc_")
+        src = os.path.join(stage_root, "probes")
+        _probes(spark, sf_dir).repartition(3).write.parquet(src)
+        if not _STREAM_STAGE_CACHE:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+                    for p in _STREAM_STAGE_CACHE.values()
+                ]
+            )
+        _STREAM_STAGE_CACHE[skey] = src
     root = tempfile.mkdtemp(prefix="sparkgraft_serve_")
-    src = os.path.join(root, "probes")
     out_dir = os.path.join(root, "answers")
     ckpt = os.path.join(root, "ckpt")
     try:
-        prb.repartition(5).write.parquet(src)
         probe_stream = (
             spark.readStream.schema(
                 "probe_id string, doc_id string, source string, ts_epoch long"
@@ -1721,6 +1738,76 @@ SELECT i.doc_id,
          / CAST(count(*) AS DOUBLE) AS dup_span_frac
 FROM sl_inst i JOIN sl_df d ON d.span_hash = i.span_hash
 GROUP BY i.doc_id
+"""
+)
+
+
+def q_span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest-duplicated-substring per doc pair (the suffix-array
+    tier of Lee et al.'s training-data dedup, as bounded relational
+    algebra): stride-1 8-word anchor grams -> df-capped gram join ->
+    diagonal gaps-and-islands recover every maximal duplicated passage at
+    its exact word length and positions (dedup.py::exact_duplicate_spans).
+    Catches straddling passages the sliding tier (span 10 / stride 5,
+    catches only >=14 words at arbitrary alignment) provably misses —
+    see tests/test_dedup_exact_spans.py."""
+    return exact_duplicate_spans(
+        _documents(spark, sf_dir), n_anchor=8, max_df=50, min_span_words=10
+    )
+
+
+ORACLE_SPAN_DEDUP_EXACT = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, ex_inst AS (
+  SELECT doc_id, k AS pos,
+         {md5_i64_duck("array_to_string(list_slice(words, k, k + 7), ' ')")} AS gram_hash
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS k
+    FROM doc_words
+  )
+),
+ex_df AS (
+  SELECT gram_hash FROM (
+    SELECT gram_hash, count(DISTINCT doc_id) AS g_df
+    FROM ex_inst GROUP BY 1
+  ) WHERE g_df BETWEEN 2 AND 50
+),
+ex_sh AS (SELECT i.* FROM ex_inst i JOIN ex_df USING (gram_hash)),
+ex_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos - b.pos AS diag, a.pos AS pos_a
+  FROM ex_sh a JOIN ex_sh b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+),
+ex_isl AS (
+  SELECT doc_a, doc_b, diag,
+         min(pos_a) AS start_a,
+         CAST(count(*) + 7 AS BIGINT) AS span_words
+  FROM (
+    SELECT doc_a, doc_b, diag, pos_a,
+           pos_a - row_number() OVER (
+             PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+    FROM ex_pairs
+  )
+  GROUP BY doc_a, doc_b, diag, grp
+),
+ex_rank AS (
+  SELECT doc_a, doc_b, span_words, start_a, start_b,
+         row_number() OVER (PARTITION BY doc_a, doc_b
+                            ORDER BY span_words DESC, start_a, start_b) AS rk,
+         CAST(sum(CASE WHEN span_words >= 10 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_a, doc_b) AS BIGINT) AS n_long_islands
+  FROM (SELECT doc_a, doc_b, span_words, start_a,
+               start_a - diag AS start_b
+        FROM ex_isl)
+)
+SELECT doc_a, doc_b,
+       span_words AS longest_span_words,
+       start_a AS longest_start_a,
+       start_b AS longest_start_b,
+       n_long_islands
+FROM ex_rank WHERE rk = 1 AND span_words >= 10
 """
 )
 
@@ -5834,6 +5921,699 @@ UNION ALL SELECT 2 AS version, rows_total, n_keys, content_hash FROM leg2
 )
 
 
+def q_manifest_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max pruning on the oracle gate — the Iceberg
+    data-file-skipping analog (SURVEY §4's scan-optimization promise): a
+    12-bin time rollup of sequences is MERGEd into the versioned
+    bucket-manifest table (plans/merge.py) with per-bucket [min, max] of
+    the bin id harvested from parquet FOOTER statistics at commit; a
+    range predicate (bins 2..4) then plans its scan from manifest
+    metadata alone.  The output hashes the whole invariant: buckets
+    total/read and rows_scanned prove the scan actually skipped files
+    (the DuckDB twin re-derives bucket membership from the shared md5
+    bucket hash), while rows_matched/sum_n_tok prove pruning SAFETY (they
+    must equal the clean full-table aggregation — a scan that skips a
+    matching bucket hash-fails)."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import (
+        merge_upsert,
+        read_current,
+        scan_info,
+    )
+
+    seq = _sequences(spark, sf_dir)
+    mn, mx = seq.agg(F.min("event_epoch"), F.max("event_epoch")).first()
+    span = int(mx) - int(mn) + 1
+    rollup = (
+        seq.select(
+            ((F.col("event_epoch") - F.lit(int(mn))) * F.lit(12))
+            .cast("long").alias("_scaled"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+        )
+        .withColumn("t_bin", F.expr(f"_scaled DIV {span}"))
+        .groupBy("t_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+        )
+        .select(
+            F.col("t_bin").cast("string").alias("t_bin_key"),
+            "t_bin", "n_rows", "sum_n_tok",
+        )
+    )
+    target = tempfile.mkdtemp(prefix="sparkgraft_prune_")
+    try:
+        merge_upsert(
+            spark, target, rollup, ["t_bin_key"],
+            n_buckets=16, stats_cols=["t_bin"],
+        )
+        where = {"t_bin": (2, 4)}
+        info = scan_info(target, where)
+        pruned = read_current(spark, target, where=where)
+        scanned = pruned.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_scanned")
+        ).first()
+        matched = (
+            pruned.where("t_bin BETWEEN 2 AND 4")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("rows_matched"),
+                F.coalesce(F.sum("sum_n_tok"), F.lit(0))
+                .cast("long").alias("sum_n_tok"),
+            )
+            .first()
+        )
+        out = [(
+            int(info["n_buckets_total"]), int(info["n_buckets_read"]),
+            int(scanned["rows_scanned"]), int(matched["rows_matched"]),
+            int(matched["sum_n_tok"]),
+        )]
+        return spark.createDataFrame(
+            out,
+            "n_buckets_total long, n_buckets_read long, rows_scanned long, "
+            "rows_matched long, sum_n_tok long",
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def _manifest_prune_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    bkt = md5_i64_duck("CAST(t_bin AS VARCHAR)") + " % 16"
+    return (
+        datagen.duck_with(datagen.SEQUENCES_DUCK)
+        + f"""
+, b AS (SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx FROM sequences),
+rollup AS (
+  SELECT ((s.event_epoch - b._mn) * 12) // (b._mx - b._mn + 1) AS t_bin,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(s.n_tok) AS BIGINT) AS sum_n_tok
+  FROM sequences s, b
+  GROUP BY 1
+),
+bucketed AS (SELECT *, {bkt} AS bkt FROM rollup),
+bstats AS (
+  SELECT bkt, min(t_bin) AS mn_bin, max(t_bin) AS mx_bin,
+         CAST(count(*) AS BIGINT) AS n_rows_bkt
+  FROM bucketed GROUP BY bkt
+),
+kept AS (SELECT bkt FROM bstats WHERE NOT (mx_bin < 2 OR mn_bin > 4))
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM bstats) AS n_buckets_total,
+  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_buckets_read,
+  (SELECT CAST(count(*) AS BIGINT) FROM bucketed
+    WHERE bkt IN (SELECT bkt FROM kept)) AS rows_scanned,
+  (SELECT CAST(count(*) AS BIGINT) FROM rollup
+    WHERE t_bin BETWEEN 2 AND 4) AS rows_matched,
+  (SELECT CAST(coalesce(sum(sum_n_tok), 0) AS BIGINT) FROM rollup
+    WHERE t_bin BETWEEN 2 AND 4) AS sum_n_tok
+"""
+    )
+
+
+def q_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table-maintenance lifecycle on the oracle gate: three
+    fragmenting MERGE deltas (epoch thirds, last-write-wins by (epoch,
+    seq_no)) build the per-(doc,source) latest-state table; then
+    ``compact_table`` rewrites it into an EVOLVED 4-bucket layout
+    (rewrite_data_files + bucket-spec evolution), and ``expire_snapshots``
+    reclaims every unreferenced data file (keep_last=1).  Each stage is
+    fingerprinted (rows, keys, order-free content hash, nonempty buckets,
+    manifests on disk): the DuckDB twin derives the latest state and the
+    md5 bucket populations independently, so a compaction that drops or
+    duplicates a row, evolves the layout wrong, or an expiry that deletes
+    a LIVE file (current-read content would change) hash-fails.
+
+    Reference analog: the reference's file-store GC + re-tile maintenance
+    (``tasks/common/io.py`` cache layout); Iceberg `rewrite_data_files` +
+    `expire_snapshots` procedures re-expressed over the manifest tables."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import (
+        _manifest_versions,
+        compact_table,
+        current_manifest,
+        expire_snapshots,
+        merge_upsert,
+        read_current,
+        scan_info,
+    )
+
+    seq = _sequences(spark, sf_dir)
+    mn, mx = seq.agg(F.min("event_epoch"), F.max("event_epoch")).first()
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + (2 * (mx - mn)) // 3
+    upd = seq.select(
+        "doc_id", "source",
+        F.col("event_epoch").cast("long").alias("event_epoch"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("event_epoch").cast("long") * F.lit(1_000_000)
+         + F.col("seq_no").cast("long")).alias("_ord"),
+    )
+    target = tempfile.mkdtemp(prefix="sparkgraft_maint_")
+    try:
+        merge_upsert(spark, target, upd.where(F.col("event_epoch") <= t1),
+                     ["doc_id", "source"], n_buckets=16, order_col="_ord")
+        merge_upsert(
+            spark, target,
+            upd.where((F.col("event_epoch") > t1) & (F.col("event_epoch") <= t2)),
+            ["doc_id", "source"], order_col="_ord",
+        )
+        merge_upsert(spark, target, upd.where(F.col("event_epoch") > t2),
+                     ["doc_id", "source"], order_col="_ord")
+
+        def snap(stage: str) -> tuple:
+            cur = read_current(spark, target)
+            row_h = md5_i64(
+                F.concat_ws(
+                    "|", "doc_id", "source",
+                    F.col("event_epoch").cast("string"),
+                    F.col("n_tok").cast("string"),
+                )
+            ) % F.lit(1_000_000_007)
+            a = cur.agg(
+                F.count(F.lit(1)).cast("long"),
+                F.countDistinct("doc_id", "source").cast("long"),
+                F.sum(row_h).cast("long"),
+            ).first()
+            return (
+                stage, int(current_manifest(target)["version"]),
+                int(a[0]), int(a[1]), int(a[2]),
+                int(scan_info(target)["n_buckets_total"]),
+                len(_manifest_versions(target)),
+            )
+
+        rows = [snap("a_fragmented")]
+        compact_table(spark, target, n_buckets=4)
+        rows.append(snap("b_compacted"))
+        expire_snapshots(target, keep_last=1)
+        rows.append(snap("c_expired"))
+        return spark.createDataFrame(
+            rows,
+            "stage string, version long, rows_total long, n_keys long, "
+            "content_hash long, n_buckets long, snapshots long",
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def _table_maintenance_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    key = "doc_id || chr(31) || source"
+    return (
+        datagen.duck_with(datagen.SEQUENCES_DUCK)
+        + f"""
+, state AS (
+  SELECT doc_id, source, event_epoch, CAST(n_tok AS BIGINT) AS n_tok
+  FROM sequences
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id, source
+    ORDER BY event_epoch * 1000000 + seq_no DESC) = 1
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_total,
+         CAST(count(DISTINCT {key}) AS BIGINT) AS n_keys,
+         CAST(sum({md5_i64_duck(
+             "doc_id || '|' || source || '|' || CAST(event_epoch AS VARCHAR)"
+             " || '|' || CAST(n_tok AS VARCHAR)")} % 1000000007) AS BIGINT)
+           AS content_hash,
+         CAST(count(DISTINCT {md5_i64_duck(key)} % 16) AS BIGINT) AS nb16,
+         CAST(count(DISTINCT {md5_i64_duck(key)} % 4) AS BIGINT) AS nb4
+  FROM state
+)
+SELECT 'a_fragmented' AS stage, CAST(2 AS BIGINT) AS version, rows_total,
+       n_keys, content_hash, nb16 AS n_buckets, CAST(3 AS BIGINT) AS snapshots
+FROM fp
+UNION ALL
+SELECT 'b_compacted', 3, rows_total, n_keys, content_hash, nb4, 4 FROM fp
+UNION ALL
+SELECT 'c_expired', 3, rows_total, n_keys, content_hash, nb4, 1 FROM fp
+"""
+    )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through MERGE (Iceberg add-column analog): batch 2
+    ADDS a `quality_milli` column the table never had (pre-existing rows
+    read NULL), batch 3 OMITS the metric columns entirely (its rows read
+    NULL there) — reads merge parquet footer schemas across snapshots'
+    files.  The summary fingerprints the union semantics exactly: which
+    third of the keyspace (md5 bucket) carries which null pattern, with an
+    order-free content hash over null-coalesced rows, all re-derived
+    relationally by the DuckDB twin."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import merge_upsert, read_current
+
+    base = (
+        _sequences(spark, sf_dir)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seq"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+        )
+        .withColumn(
+            "_b3",
+            F.pmod(md5_i64(F.concat_ws("\x1f", "doc_id", "source")), F.lit(3)),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="sparkgraft_evolve_")
+    try:
+        merge_upsert(spark, target, base.drop("_b3"), ["doc_id", "source"])
+        wide = base.where(F.col("_b3") == 0).select(
+            "doc_id", "source", "n_seq", "sum_n_tok",
+            (F.col("sum_n_tok") % F.lit(1000)).cast("long").alias("quality_milli"),
+        )
+        merge_upsert(spark, target, wide, ["doc_id", "source"])
+        narrow = base.where(F.col("_b3") == 1).select(
+            "doc_id", "source",
+            (F.col("sum_n_tok") % F.lit(1000)).cast("long").alias("quality_milli"),
+        )
+        merge_upsert(spark, target, narrow, ["doc_id", "source"])
+
+        cur = read_current(spark, target)
+        row_h = md5_i64(
+            F.concat_ws(
+                "|", "doc_id", "source",
+                F.coalesce(F.col("n_seq").cast("string"), F.lit("null")),
+                F.coalesce(F.col("sum_n_tok").cast("string"), F.lit("null")),
+                F.coalesce(F.col("quality_milli").cast("string"), F.lit("null")),
+            )
+        ) % F.lit(1_000_000_007)
+        out = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("quality_milli").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_quality"),
+            F.sum(F.when(F.col("n_seq").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_nseq_null"),
+            F.coalesce(F.sum("n_seq"), F.lit(0)).cast("long").alias("sum_n_seq"),
+            F.coalesce(F.sum("quality_milli"), F.lit(0)).cast("long")
+            .alias("sum_quality_milli"),
+            F.sum(row_h).cast("long").alias("content_hash"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def _schema_evolution_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    b3 = md5_i64_duck("doc_id || chr(31) || source") + " % 3"
+    return (
+        datagen.duck_with(datagen.SEQUENCES_DUCK)
+        + f"""
+, base AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_seq,
+         CAST(sum(n_tok) AS BIGINT) AS sum_n_tok, {b3} AS _b3
+  FROM sequences GROUP BY doc_id, source
+),
+state AS (
+  SELECT doc_id, source,
+         CASE WHEN _b3 = 1 THEN NULL ELSE n_seq END AS n_seq,
+         CASE WHEN _b3 = 1 THEN NULL ELSE sum_n_tok END AS sum_n_tok,
+         CASE WHEN _b3 IN (0, 1) THEN sum_n_tok % 1000 END AS quality_milli
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN quality_milli IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(sum(CASE WHEN n_seq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nseq_null,
+       CAST(coalesce(sum(n_seq), 0) AS BIGINT) AS sum_n_seq,
+       CAST(coalesce(sum(quality_milli), 0) AS BIGINT) AS sum_quality_milli,
+       CAST(sum({md5_i64_duck(
+           "doc_id || '|' || source || '|' "
+           "|| coalesce(CAST(n_seq AS VARCHAR), 'null') || '|' "
+           "|| coalesce(CAST(sum_n_tok AS VARCHAR), 'null') || '|' "
+           "|| coalesce(CAST(quality_milli AS VARCHAR), 'null')")}
+         % 1000000007) AS BIGINT) AS content_hash
+FROM state
+"""
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (pandas merge_asof ``direction=
+    'nearest'``): each probe matches the temporally CLOSEST state row in
+    either direction, ties broken toward the past (the leakage-free side).
+    Composed from the two existing single-shuffle as-of plans — one
+    backward, one forward pass over the same union+running-last machinery
+    (operators/asof.py), then a pure column-math argmin; no inequality
+    join, no fan-out, still two shuffles total at any scale.
+
+    Reference analog: nearest-keypoint answering in
+    ``tasks/geo_referencing/georeference.py:391-429`` (closest clue wins
+    regardless of side)."""
+    seq = _sequences(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    b = asof_join(
+        seq, probes, keys=["doc_id", "source"], payload_cols=["n_tok"],
+        prefix="b_", direction="backward",
+    )
+    bf = asof_join(
+        seq, b, keys=["doc_id", "source"], payload_cols=["n_tok"],
+        prefix="f_", direction="forward",
+    )
+    b_age = F.col("ts_epoch") - F.col("b_event_epoch")
+    f_age = F.col("f_event_epoch") - F.col("ts_epoch")
+    pick_b = F.col("f_event_epoch").isNull() | (
+        F.col("b_event_epoch").isNotNull() & (b_age <= f_age)
+    )
+    nearest_epoch = F.when(pick_b, F.col("b_event_epoch")).otherwise(
+        F.col("f_event_epoch")
+    )
+    return bf.select(
+        "probe_id", "doc_id", "source", "ts_epoch",
+        F.coalesce(nearest_epoch, F.lit(-1)).cast("long")
+        .alias("nearest_event_epoch"),
+        F.coalesce(
+            F.when(pick_b, F.col("b_n_tok")).otherwise(F.col("f_n_tok")),
+            F.lit(-1),
+        ).cast("long").alias("nearest_n_tok"),
+        F.coalesce(F.col("ts_epoch") - nearest_epoch, F.lit(0)).cast("long")
+        .alias("nearest_age_sec"),
+        F.when(
+            F.col("b_event_epoch").isNull() & F.col("f_event_epoch").isNull(),
+            F.lit("none"),
+        ).when(pick_b, F.lit("backward")).otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+ORACLE_ASOF_NEAREST = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + """
+, bq AS (
+  SELECT p.probe_id, s.event_epoch, s.n_tok
+  FROM probes p JOIN sequences s
+    ON p.doc_id = s.doc_id AND p.source = s.source
+   AND s.event_epoch <= p.ts_epoch
+  QUALIFY row_number() OVER (
+    PARTITION BY p.probe_id ORDER BY s.event_epoch DESC) = 1
+),
+fq AS (
+  SELECT p.probe_id, s.event_epoch, s.n_tok
+  FROM probes p JOIN sequences s
+    ON p.doc_id = s.doc_id AND p.source = s.source
+   AND s.event_epoch >= p.ts_epoch
+  QUALIFY row_number() OVER (
+    PARTITION BY p.probe_id ORDER BY s.event_epoch ASC) = 1
+)
+SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+  CAST(coalesce(CASE WHEN pick_b THEN b.event_epoch ELSE f.event_epoch END,
+                -1) AS BIGINT) AS nearest_event_epoch,
+  CAST(coalesce(CASE WHEN pick_b THEN b.n_tok ELSE f.n_tok END, -1)
+    AS BIGINT) AS nearest_n_tok,
+  CAST(coalesce(p.ts_epoch -
+    CASE WHEN pick_b THEN b.event_epoch ELSE f.event_epoch END, 0)
+    AS BIGINT) AS nearest_age_sec,
+  CASE WHEN b.event_epoch IS NULL AND f.event_epoch IS NULL THEN 'none'
+       WHEN pick_b THEN 'backward' ELSE 'forward' END AS direction
+FROM (
+  SELECT p.*,
+    (f.event_epoch IS NULL OR (b.event_epoch IS NOT NULL AND
+     (p.ts_epoch - b.event_epoch) <= (f.event_epoch - p.ts_epoch))) AS pick_b
+  FROM probes p
+  LEFT JOIN bq b ON b.probe_id = p.probe_id
+  LEFT JOIN fq f ON f.probe_id = p.probe_id
+) p
+LEFT JOIN bq b ON b.probe_id = p.probe_id
+LEFT JOIN fq f ON f.probe_id = p.probe_id
+"""
+)
+
+
+def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-temporal-leakage AUDIT as a first-class query (the north rule's
+    no-future-leakage contract, made measurable): run the flagship as-of
+    join, then per source count probes whose matched state timestamp lies
+    in the probe's FUTURE.  ``n_leaks`` must be 0 — but it is DERIVED on
+    both sides, not asserted, so a leaky as-of plan (e.g. an off-by-one at
+    equal timestamps) hash-fails rather than silently training on the
+    future.  Age extremes/mass per source document the staleness profile
+    the serving tier would see."""
+    out = asof_join(
+        _sequences(spark, sf_dir),
+        _probes(spark, sf_dir),
+        keys=["doc_id", "source"],
+        payload_cols=["n_tok"],
+        defaults={"n_tok": F.lit(-1)},
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(~F.col("fallback_used"), 1).otherwise(0))
+            .cast("long").alias("n_answered"),
+            F.sum(
+                F.when(F.col("asof_event_epoch") > F.col("ts_epoch"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_leaks"),
+            F.max("asof_age_sec").cast("long").alias("max_age_sec"),
+            F.coalesce(F.sum("asof_age_sec"), F.lit(0)).cast("long")
+            .alias("sum_age_sec"),
+        )
+    )
+
+
+ORACLE_LEAKAGE_AUDIT = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + """
+, matched AS (
+  SELECT p.probe_id, p.source, p.ts_epoch, s.event_epoch
+  FROM probes p
+  LEFT JOIN sequences s
+    ON p.doc_id = s.doc_id AND p.source = s.source
+   AND s.event_epoch <= p.ts_epoch
+  QUALIFY row_number() OVER (
+    PARTITION BY p.probe_id ORDER BY s.event_epoch DESC NULLS LAST) = 1
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_probes,
+  CAST(sum(CASE WHEN event_epoch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_answered,
+  CAST(sum(CASE WHEN event_epoch > ts_epoch THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_leaks,
+  CAST(max(ts_epoch - event_epoch) AS BIGINT) AS max_age_sec,
+  CAST(coalesce(sum(ts_epoch - event_epoch), 0) AS BIGINT) AS sum_age_sec
+FROM matched
+GROUP BY source
+"""
+)
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free smoothed target encoding of a low-cardinality
+    categorical (event_type): each event's feature is the mean of STRICTLY
+    EARLIER same-type values, shrunk toward the strictly-earlier GLOBAL
+    mean (additive smoothing, alpha=10) — the standard target-encoding
+    estimator with the same zero-temporal-leakage contract as the as-of
+    join.
+
+    Scale path: a naive ``Window.partitionBy(event_type)`` (and the
+    unpartitioned global prior) funnels the corpus through a handful of
+    single-task sorts; ``windows.expanding_lowcard_sums`` decomposes each
+    into day-bucket partial sums + a tiny offsets window + bounded
+    within-bucket windows — bit-identical integer sums, bounded tasks (the
+    same decomposition as binning.py's deciles).  The encode itself is one
+    fixed IEEE tree over exact integers on both engines."""
+    ev = datagen.events_epoch_df(spark, sf_dir).withColumn(
+        "vm", F.expr("CAST(floor(value * 1e6) AS BIGINT)")
+    )
+    t = expanding_lowcard_sums(
+        ev, keys=["event_type"], ts="ts_us", order_tiebreak=["event_id"],
+        int_cols=["vm"], bucket_div=86_400_000_000, prefix="pt_",
+    )
+    t = expanding_lowcard_sums(
+        t, keys=[], ts="ts_us", order_tiebreak=["event_id"],
+        int_cols=["vm"], bucket_div=86_400_000_000, prefix="pg_",
+    )
+    te = F.expr(
+        "(CAST(pt_vm AS DOUBLE) + 10e0 * (CASE WHEN pg_n > 0 THEN "
+        "CAST(pg_vm AS DOUBLE) / CAST(pg_n AS DOUBLE) ELSE 0e0 END)) "
+        "/ (CAST(pt_n AS DOUBLE) + 10e0)"
+    )
+    return t.select(
+        "event_id", "event_type",
+        F.col("pt_n").alias("n_prior_type"),
+        F.col("pg_n").alias("n_prior_global"),
+        te.alias("te_micro"),
+    )
+
+
+ORACLE_TARGET_ENCODE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, v AS (
+  SELECT event_id, event_type, ts_us,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events_epoch
+)
+SELECT event_id, event_type,
+  CAST(count(*) OVER wt AS BIGINT) AS n_prior_type,
+  CAST(count(*) OVER wg AS BIGINT) AS n_prior_global,
+  (CAST(CAST(coalesce(sum(vm) OVER wt, 0) AS BIGINT) AS DOUBLE)
+   + 10e0 * (CASE WHEN count(*) OVER wg > 0 THEN
+       CAST(CAST(sum(vm) OVER wg AS BIGINT) AS DOUBLE)
+       / CAST(count(*) OVER wg AS DOUBLE) ELSE 0e0 END))
+  / (CAST(count(*) OVER wt AS DOUBLE) + 10e0) AS te_micro
+FROM v
+WINDOW wt AS (PARTITION BY event_type ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       wg AS (ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+)
+
+
+def q_pivot_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (long->wide reshaping): per event class, a fixed 7-column
+    day-of-week activity matrix (count + micro-unit value mass per dow) via
+    Spark's ``groupBy().pivot(values=...)`` — with the value list PINNED so
+    the plan is a single combinable aggregation pass (no second job to
+    discover pivot keys) and the output schema is static at any scale.
+    Epoch dow arithmetic (1970-01-01 was a Thursday) keeps both engines in
+    pure integer math."""
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST((ts_us DIV 86400000000 + 4) % 7 AS INT)").alias("dow"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").alias("vm"),
+    )
+    piv = (
+        ev.groupBy("event_type")
+        .pivot("dow", list(range(7)))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("vm").alias("vm"),
+        )
+    )
+    cols = [F.col("event_type")]
+    for d in range(7):
+        cols.append(
+            F.coalesce(F.col(f"{d}_cnt"), F.lit(0)).cast("long")
+            .alias(f"d{d}_cnt")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{d}_vm"), F.lit(0)).cast("long")
+            .alias(f"d{d}_vm")
+        )
+    return piv.select(*cols)
+
+
+def _pivot_activity_oracle() -> str:
+    terms = []
+    for d in range(7):
+        terms.append(
+            f"CAST(sum(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS d{d}_cnt"
+        )
+        terms.append(
+            f"CAST(coalesce(sum(CASE WHEN dow = {d} THEN vm END), 0)"
+            f" AS BIGINT) AS d{d}_vm"
+        )
+    return (
+        duck_with(datagen.EVENTS_DUCK)
+        + f"""
+, v AS (
+  SELECT event_type, CAST((ts_us // 86400000000 + 4) % 7 AS INT) AS dow,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events_epoch
+)
+SELECT event_type, {", ".join(terms)}
+FROM v GROUP BY event_type
+"""
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per source over the daily sequence-count
+    series: the day maximizing |S_k| where S_k = N*cum_k - k*total (the
+    mean-deviation cumulative sum scaled by N so everything stays exact
+    integer), ties broken to the EARLIEST day.  The per-source series is
+    bounded by the calendar (days, not rows), so the windows are tiny; the
+    only corpus-sized operation is the combinable daily count.
+
+    Reference analog: the first/last hemisphere-trend vote
+    (``tasks/geo_referencing/coordinates_extractor.py:560-607``) — a
+    drift-detection decision from an ordered series; CUSUM is its
+    classical statistical form."""
+    from pyspark.sql.window import Window
+
+    seq = _sequences(spark, sf_dir)
+    daily = (
+        seq.select(
+            "source",
+            F.expr("CAST(event_epoch DIV 86400 AS BIGINT)").alias("day"),
+        )
+        .groupBy("source", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_ord = Window.partitionBy("source").orderBy("day")
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = daily.select(
+        "source", "day",
+        F.sum("cnt").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum"),
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+        F.sum("cnt").over(w_all).cast("long").alias("total"),
+    ).select(
+        "source", "day", "n_days", "total",
+        (F.col("n_days") * F.col("cum") - F.col("k") * F.col("total"))
+        .alias("s_k"),
+    )
+    pick = Window.partitionBy("source").orderBy(
+        F.abs(F.col("s_k")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "source", "n_days", "total",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("s_k")).cast("long").alias("max_abs_cusum"),
+        )
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, daily AS (
+  SELECT source, CAST(event_epoch // 86400 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM sequences GROUP BY source, day
+),
+scored AS (
+  SELECT source, day,
+    CAST(count(*) OVER wa AS BIGINT) AS n_days,
+    CAST(sum(cnt) OVER wa AS BIGINT) AS total,
+    CAST(count(*) OVER wa AS BIGINT)
+      * CAST(sum(cnt) OVER (PARTITION BY source ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      - CAST(row_number() OVER (PARTITION BY source ORDER BY day) AS BIGINT)
+      * CAST(sum(cnt) OVER wa AS BIGINT) AS s_k
+  FROM daily
+  WINDOW wa AS (PARTITION BY source)
+)
+SELECT source, n_days, total, day AS change_day,
+       CAST(abs(s_k) AS BIGINT) AS max_abs_cusum
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY abs(s_k) DESC, day ASC) = 1
+"""
+)
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust scaling (median/IQR normalization) per event class — the
     outlier-insensitive feature scaler: ``(v - p50) / (p75 - p25)`` with
@@ -7272,6 +8052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
         "span_dedup_sliding": q_span_dedup_sliding,
+        "span_dedup_exact": q_span_dedup_exact,
         "span_scrub": q_span_scrub,
         "word_entropy": q_word_entropy,
         "corpus_curation": q_corpus_curation,
@@ -7315,6 +8096,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_feature_select": q_chi2_feature_select,
         "mask_tokens": q_mask_tokens,
         "merge_timetravel": q_merge_timetravel,
+        "manifest_prune_scan": q_manifest_prune_scan,
+        "table_maintenance": q_table_maintenance,
+        "schema_evolution": q_schema_evolution,
+        "asof_nearest": q_asof_nearest,
+        "leakage_audit": q_leakage_audit,
+        "target_encode": q_target_encode,
+        "pivot_activity": q_pivot_activity,
+        "cusum_changepoint": q_cusum_changepoint,
         "retention_cohorts": q_retention_cohorts,
         "frame_sample": q_frame_sample,
         "ewma_ntok": q_ewma_ntok,
@@ -7439,6 +8228,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "span_dedup": ORACLE_SPAN_DEDUP,
         "span_dedup_sliding": ORACLE_SPAN_DEDUP_SLIDING,
+        "span_dedup_exact": ORACLE_SPAN_DEDUP_EXACT,
         "span_scrub": ORACLE_SPAN_SCRUB,
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
@@ -7486,6 +8276,14 @@ def oracle_sql() -> dict[str, str]:
         "chi2_feature_select": ORACLE_CHI2_FEATURE_SELECT,
         "mask_tokens": ORACLE_MASK_TOKENS,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
+        "manifest_prune_scan": _manifest_prune_oracle(),
+        "table_maintenance": _table_maintenance_oracle(),
+        "schema_evolution": _schema_evolution_oracle(),
+        "asof_nearest": ORACLE_ASOF_NEAREST,
+        "leakage_audit": ORACLE_LEAKAGE_AUDIT,
+        "target_encode": ORACLE_TARGET_ENCODE,
+        "pivot_activity": _pivot_activity_oracle(),
+        "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
         "big_orders": ORACLE_BIG_ORDERS,
         "retention_cohorts": ORACLE_RETENTION,
         "frame_sample": ORACLE_FRAME_SAMPLE,

@@ -98,3 +98,164 @@ def test_concurrent_commit_collision_fails_loudly(spark, tmp_path):
         f.write("{}")
     with pytest.raises(RuntimeError, match="concurrent merge"):
         merge_upsert(spark, t, _df(spark, [("d2", "op", 2)]), ["doc_id", "op_id"])
+
+
+def test_manifest_minmax_pruning_skips_buckets(spark, tmp_path):
+    """Iceberg file-skipping analog: per-bucket [min,max] recorded at
+    commit time (from parquet footer statistics) must let a selective
+    range predicate open FEWER parquet files, while returning exactly the
+    rows the full scan returns under the same predicate."""
+    from uncharted_ta1_spark.plans.merge import scan_info
+
+    t = str(tmp_path / "tbl_prune")
+    rows = [(f"d{i}", "op", i) for i in range(16)]
+    merge_upsert(
+        spark, t, _df(spark, rows), ["doc_id", "op_id"],
+        n_buckets=8, stats_cols=["payload"],
+    )
+    m = current_manifest(t)
+    # every bucket carries payload stats
+    for e in m["buckets"].values():
+        assert "payload" in e["stats"]
+        lo, hi = e["stats"]["payload"]
+        assert 0 <= lo <= hi <= 15
+
+    where = {"payload": (3, 3)}
+    info = scan_info(t, where)
+    assert 0 < info["n_buckets_read"] < info["n_buckets_total"]
+
+    full = read_current(spark, t)
+    pruned = read_current(spark, t, where=where)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # pruning safety: identical matching rows
+    want = sorted(
+        (r.doc_id, r.payload)
+        for r in full.where("payload BETWEEN 3 AND 3").collect()
+    )
+    got = sorted(
+        (r.doc_id, r.payload)
+        for r in pruned.where("payload BETWEEN 3 AND 3").collect()
+    )
+    assert got == want == [("d3", 3)]
+
+
+def test_manifest_stats_carried_and_refreshed(spark, tmp_path):
+    """Untouched buckets keep their previous stats verbatim; a touched
+    bucket's stats reflect the merged content (here: d3's payload jumps to
+    100, widening only its own bucket's max)."""
+    t = str(tmp_path / "tbl_prune2")
+    rows = [(f"d{i}", "op", i) for i in range(16)]
+    merge_upsert(
+        spark, t, _df(spark, rows), ["doc_id", "op_id"],
+        n_buckets=8, stats_cols=["payload"],
+    )
+    m1 = current_manifest(t)
+    merge_upsert(
+        spark, t, _df(spark, [("d3", "op", 100)]), ["doc_id", "op_id"],
+        stats_cols=["payload"],
+    )
+    m2 = current_manifest(t)
+    changed = [
+        b for b in m2["buckets"]
+        if m2["buckets"][b]["path"] != m1["buckets"][b]["path"]
+    ]
+    assert len(changed) == 1
+    assert m2["buckets"][changed[0]]["stats"]["payload"][1] == 100
+    for b in m2["buckets"]:
+        if b != changed[0]:
+            assert m2["buckets"][b]["stats"] == m1["buckets"][b]["stats"]
+
+
+def test_prune_everything_returns_empty_with_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl_prune3")
+    merge_upsert(
+        spark, t, _df(spark, [("a", "op", 1)]), ["doc_id", "op_id"],
+        stats_cols=["payload"],
+    )
+    out = read_current(spark, t, where={"payload": (999, None)})
+    assert out.count() == 0
+    assert set(out.columns) >= {"doc_id", "op_id", "payload"}
+
+
+def test_compact_rebucket_preserves_content(spark, tmp_path):
+    """Iceberg rewrite_data_files + bucket-spec evolution: compaction into a
+    NEW bucket count keeps content identical, shrinks the referenced file
+    set, and later merges adopt the evolved layout from the manifest."""
+    from uncharted_ta1_spark.plans.merge import compact_table, data_files
+
+    t = str(tmp_path / "tbl_compact")
+    for lo in (0, 8, 16):  # three fragmenting deltas
+        rows = [(f"d{i}", "op", i) for i in range(lo, lo + 8)]
+        merge_upsert(spark, t, _df(spark, rows), ["doc_id", "op_id"], n_buckets=16)
+    before = sorted((r.doc_id, r.payload) for r in read_current(spark, t).collect())
+    files_before = data_files(t)
+
+    info = compact_table(spark, t, n_buckets=4)
+    assert info["n_buckets"] == 4 and info["rows_total"] == 24
+    assert data_files(t) < files_before
+    after = sorted((r.doc_id, r.payload) for r in read_current(spark, t).collect())
+    assert after == before
+    assert current_manifest(t)["n_buckets"] == 4
+
+    # a post-compaction merge adopts the evolved 4-bucket layout
+    merge_upsert(spark, t, _df(spark, [("d0", "op", 999)]), ["doc_id", "op_id"])
+    m = current_manifest(t)
+    assert m["n_buckets"] == 4 and all(int(b) < 4 for b in m["buckets"])
+    got = {r.doc_id: r.payload for r in read_current(spark, t).collect()}
+    assert got["d0"] == 999 and len(got) == 24
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
+    """expire_snapshots drops old manifests and deletes ONLY data dirs no
+    retained manifest references; current content is untouched; expired
+    versions stop time-traveling."""
+    import pytest
+
+    from uncharted_ta1_spark.plans.merge import expire_snapshots, read_snapshot
+
+    t = str(tmp_path / "tbl_expire")
+    for v, lo in enumerate((0, 4, 8)):
+        rows = [(f"d{i}", "op", 100 * v + i) for i in range(lo, lo + 4)]
+        merge_upsert(spark, t, _df(spark, rows), ["doc_id", "op_id"], n_buckets=8)
+    want = sorted((r.doc_id, r.payload) for r in read_current(spark, t).collect())
+
+    res = expire_snapshots(t, keep_last=1)
+    assert res["versions_expired"] == 2 and res["dirs_deleted"] > 0
+    # current snapshot still reads every row bit-identically (shared files
+    # referenced by the retained manifest must have survived)
+    got = sorted((r.doc_id, r.payload) for r in read_current(spark, t).collect())
+    assert got == want
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0)
+    # idempotent: nothing left to reclaim
+    res2 = expire_snapshots(t, keep_last=1)
+    assert res2 == {"versions_expired": 0, "dirs_deleted": 0}
+
+
+def test_schema_evolution_add_and_omit_column(spark, tmp_path):
+    """Iceberg add-column analog: a later batch may ADD a column (old rows
+    read NULL) or OMIT one (new rows read NULL); reads merge footer
+    schemas; time-travel of the pre-evolution snapshot is unaffected."""
+    from uncharted_ta1_spark.plans.merge import read_snapshot
+
+    t = str(tmp_path / "tbl_evolve")
+    merge_upsert(spark, t, _df(spark, [("a", "op", 1), ("b", "op", 2)]), ["doc_id", "op_id"])
+    wide = spark.createDataFrame(
+        [("b", "op", 20, 0.5), ("c", "op", 3, 0.7)],
+        "doc_id string, op_id string, payload long, quality double",
+    )
+    merge_upsert(spark, t, wide, ["doc_id", "op_id"])
+    got = {r.doc_id: (r.payload, r.quality) for r in read_current(spark, t).collect()}
+    assert got == {"a": (1, None), "b": (20, 0.5), "c": (3, 0.7)}
+
+    # omit `payload` entirely in the third batch
+    narrow = spark.createDataFrame(
+        [("d", "op", 0.9)], "doc_id string, op_id string, quality double"
+    )
+    merge_upsert(spark, t, narrow, ["doc_id", "op_id"])
+    got = {r.doc_id: (r.payload, r.quality) for r in read_current(spark, t).collect()}
+    assert got["d"] == (None, 0.9) and got["a"] == (1, None)
+
+    # the v0 snapshot still reads with its original 3-column schema
+    snap0 = read_snapshot(spark, t, 0)
+    assert set(snap0.columns) == {"doc_id", "op_id", "payload"}

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uncharted_ta1_spark.functions.portable import (
@@ -221,6 +221,133 @@ def sliding_span_duplication(
             "n_dup_spans",
             (F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"))
             .alias("dup_span_frac"),
+        )
+    )
+
+
+def exact_duplicate_spans(
+    docs: DataFrame,
+    *,
+    n_anchor: int = 8,
+    max_df: int = 50,
+    min_span_words: int = 10,
+) -> DataFrame:
+    """EXACT longest-duplicated-substring detection between document pairs
+    (word-level) — the suffix-array tier of the public "deduplicating
+    training data" recipe (Lee et al. 2022), re-expressed as bounded
+    relational algebra instead of a suffix-array build:
+
+      1. every stride-1 ``n_anchor``-word gram with its start position
+         (one row per word position — linear in corpus words);
+      2. gram document-frequency; keep grams shared by 2..``max_df``
+         distinct docs (the hot-gram cap, same role as jaccard_pairs'
+         hot-shingle cap: boilerplate grams in >max_df docs would fan the
+         pair join quadratically, and those passages are already caught —
+         and removed — by the aligned span_scrub tier);
+      3. position-pair join on the gram hash (doc_a < doc_b): a duplicated
+         passage of L words produces L-n+1 matches on ONE diagonal
+         (pos_a - pos_b constant);
+      4. gaps-and-islands per (pair, diagonal): consecutive pos_a runs are
+         maximal exact duplicated spans of length run + n_anchor - 1.
+
+    Exactness contract: for any pair of docs, every maximal duplicated
+    passage of >= ``n_anchor`` words whose grams stay under the df cap is
+    recovered at its EXACT word length and start positions — including
+    passages shorter than span_words + stride - 1 that the sliding tier
+    misses at unlucky alignments (property-tested).
+
+    Scale: corpus-sized work is one explode + one combinable groupBy + one
+    equi join keyed on the gram hash; the island windows partition by
+    (doc_a, doc_b, diagonal) — bounded by document length, never by corpus
+    size.  Returns one row per qualifying pair: the longest span (ties →
+    smallest start_a, then start_b) plus the count of distinct duplicated
+    islands >= ``min_span_words``.
+
+    Reference analog: the span-overlap dedup of W4
+    (``tasks/text_extraction/...`` tile-overlap suppression) taken to
+    exact cross-document substring granularity.
+    """
+    n = n_anchor
+    words = words_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)),
+        ),
+        lambda k: F.array_join(F.slice(words, k, n), " "),
+    )
+    par = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    inst = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            md5_i64(F.col("gram")).alias("gram_hash"),
+        )
+    )
+    gram_df = (
+        inst.select("doc_id", "gram_hash")
+        .distinct()
+        .groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("g_df"))
+        .where((F.col("g_df") >= 2) & (F.col("g_df") <= max_df))
+    )
+    shared = inst.join(gram_df.select("gram_hash"), "gram_hash")
+    a = shared.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "gram_hash",
+    )
+    b = shared.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "gram_hash",
+    )
+    matches = a.join(b, "gram_hash").where(F.col("doc_a") < F.col("doc_b"))
+    diag = matches.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        "pos_a",
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = (
+        diag.withColumn(
+            "grp", F.col("pos_a") - F.row_number().over(w)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("span_words"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "span_words",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+        )
+    )
+    pick = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("span_words"), F.asc("start_a"), F.asc("start_b")
+    )
+    return (
+        islands.withColumn("_rk", F.row_number().over(pick))
+        .withColumn(
+            "n_long_islands",
+            F.sum(
+                F.when(F.col("span_words") >= min_span_words, 1).otherwise(0)
+            ).over(Window.partitionBy("doc_a", "doc_b")).cast("long"),
+        )
+        .where((F.col("_rk") == 1) & (F.col("span_words") >= min_span_words))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("span_words").alias("longest_span_words"),
+            F.col("start_a").alias("longest_start_a"),
+            F.col("start_b").alias("longest_start_b"),
+            "n_long_islands",
         )
     )
 

@@ -295,3 +295,88 @@ def range_window_features(
         )
         .withColumn("gap_prev_sec", (t - F.lag(t, 1).over(w_row)).cast("long"))
     )
+
+
+def expanding_lowcard_sums(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str,
+    order_tiebreak: Sequence[str],
+    int_cols: Sequence[str],
+    bucket_div: int,
+    prefix: str = "prior_",
+) -> DataFrame:
+    """Expanding (STRICTLY-prior) integer sums per LOW-cardinality key —
+    the scale-safe replacement for ``Window.partitionBy(low_card_key)``.
+
+    A naive expanding window partitioned by a low-cardinality key (an event
+    type, a label class — or nothing at all for a global prior) funnels the
+    whole corpus through a handful of single-task sorts.  Instead, the same
+    two-level prefix-sum decomposition as ``operators/binning.py``:
+
+    1. bucket rows by coarse time (``_bkt = ts DIV bucket_div``);
+    2. per (key, bucket): ONE combinable groupBy of the partial sums;
+    3. an expanding window over the TINY (key x bucket) partial frame
+       computes each bucket's strictly-before-this-bucket offsets;
+    4. broadcast-join offsets back, then an expanding window partitioned by
+       (key, bucket) — bounded per-task work — adds the within-bucket
+       strictly-prior sums.
+
+    Integer addition is associative, so ``offset + within`` is bit-identical
+    to the naive single-partition window at any bucket granularity.  Adds
+    ``{prefix}n`` and ``{prefix}{c}`` (both long) for each c of
+    ``int_cols``; rows with no prior history get zeros.
+
+    Reference analog: the reference's per-category running re-scoring
+    accumulates per-class state across a whole run
+    (``tasks/point_extraction/point_orientation_extractor.py:60-150``
+    class-keyed sweeps); here the accumulation is time-ordered and
+    leakage-free.
+    """
+    keys = list(keys)
+    order_tiebreak = list(order_tiebreak)
+    int_cols = list(int_cols)
+    bkt = (F.col(ts).cast("long") / F.lit(bucket_div)).cast("long")
+    # floor for negative ts too (cast truncates toward zero)
+    bkt = F.when(
+        F.col(ts).cast("long") % F.lit(bucket_div) < 0, bkt - 1
+    ).otherwise(bkt)
+    df = df.withColumn("_bkt", bkt)
+
+    grp = keys + ["_bkt"]
+    partials = df.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("long").alias("_pn"),
+        *[F.sum(c).cast("long").alias(f"_ps_{c}") for c in int_cols],
+    )
+    w_off = (
+        Window.partitionBy(*(keys or [F.lit(0)]))
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        *grp,
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_on"),
+        *[
+            F.coalesce(F.sum(f"_ps_{c}").over(w_off), F.lit(0)).alias(f"_os_{c}")
+            for c in int_cols
+        ],
+    )
+    w_in = (
+        Window.partitionBy(*grp)
+        .orderBy(F.col(ts).asc(), *[F.col(c).asc() for c in order_tiebreak])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.join(F.broadcast(offsets), grp)
+    out = out.select(
+        "*",
+        (F.col("_on") + F.coalesce(F.count(F.lit(1)).over(w_in), F.lit(0)))
+        .cast("long").alias(f"{prefix}n"),
+        *[
+            (F.col(f"_os_{c}") + F.coalesce(F.sum(c).over(w_in), F.lit(0)))
+            .cast("long").alias(f"{prefix}{c}")
+            for c in int_cols
+        ],
+    )
+    drop = ["_bkt", "_on"] + [f"_os_{c}" for c in int_cols]
+    return out.drop(*drop)
