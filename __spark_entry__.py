@@ -60,7 +60,11 @@ from uncharted_ta1_spark.operators.dedup import (
 )
 from uncharted_ta1_spark.operators.collapse import line_blocks, string_agg_collapse
 from uncharted_ta1_spark.operators.components import connected_components
-from uncharted_ta1_spark.operators.evalmetrics import buffered_f1, greedy_buffered_f1
+from uncharted_ta1_spark.operators.evalmetrics import (
+    buffered_f1,
+    greedy_buffered_f1,
+    grouped_auc,
+)
 from uncharted_ta1_spark.operators import datum, geodesy, utmconv
 from uncharted_ta1_spark.operators.extrapolate import extrapolate_groups
 from uncharted_ta1_spark.operators.groupfit import (
@@ -97,6 +101,7 @@ from uncharted_ta1_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup_pairs,
+    random_project,
 )
 from uncharted_ta1_spark.functions.portable import (
     md5_i64,
@@ -130,6 +135,7 @@ from uncharted_ta1_spark.operators.textstats import (
     lang_id,
     text_quality,
     tfidf_top_terms,
+    pmi_collocations,
     token_bigrams,
     token_counts,
     word_entropy,
@@ -1812,6 +1818,47 @@ FROM ex_rank WHERE rk = 1 AND span_words >= 10
 )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information (min bigram
+    count 5): exact integer counts, one fixed ln tree, total-order top-N
+    via TakeOrdered (textstats.py::pmi_collocations)."""
+    return pmi_collocations(_documents(spark, sf_dir), min_count=5, top_n=100)
+
+
+ORACLE_PMI_COLLOCATIONS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, pm_bgi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i+1])) AS w2
+  FROM doc_words
+),
+pm_bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pm_bgi GROUP BY 1, 2),
+pm_ug AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS w FROM doc_words) GROUP BY 1
+),
+pm_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM pm_ug),
+pm_btot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM pm_bg),
+pm_sc AS (
+  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         round(ln((CAST(c12 AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+                  / (CAST(n_big AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))),
+               6) + 0.0 AS pmi
+  FROM pm_bg
+  JOIN pm_ug u1 ON u1.w = w1
+  JOIN pm_ug u2 ON u2.w = w2
+  CROSS JOIN pm_tot CROSS JOIN pm_btot
+  WHERE c12 >= 5
+)
+SELECT w1, w2, c12, c1, c2, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, c12 DESC, w1, w2) AS INT) AS rank
+FROM pm_sc
+QUALIFY rank <= 100
+"""
+)
+
+
 def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the word distribution (quality proxy)."""
     return word_entropy(_documents(spark, sf_dir))
@@ -2888,6 +2935,94 @@ QUALIFY rank <= 3
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->8 reduction with a deterministic md5-parity
+    Rademacher matrix (similarity.py::random_project): exact BIGINT output
+    coordinates, zero shuffle, whole-stage-codegen column math — the
+    on-ingest compaction step before ANN indexing."""
+    return random_project(
+        _embeddings(spark, sf_dir), in_dim=64, out_dim=8
+    )
+
+
+ORACLE_RANDOM_PROJECTION = """
+WITH rp_signs AS (
+  SELECT j, k,
+         CASE WHEN (('0x' || substr(md5('rp_' || j || '_' || k), 1, 15))::BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM range(64) t1(j) CROSS JOIN range(8) t2(k)
+),
+rp_flat AS (
+  SELECT vec_id, j,
+         CAST(floor(embedding[j + 1]::DOUBLE * 1e6) AS BIGINT) AS q
+  FROM embeddings, range(64) t(j)
+),
+rp_p AS (
+  SELECT vec_id, k, CAST(sum(q * s) AS BIGINT) AS p
+  FROM rp_flat JOIN rp_signs USING (j) GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN k = 0 THEN p END) AS BIGINT) AS p0,
+       CAST(max(CASE WHEN k = 1 THEN p END) AS BIGINT) AS p1,
+       CAST(max(CASE WHEN k = 2 THEN p END) AS BIGINT) AS p2,
+       CAST(max(CASE WHEN k = 3 THEN p END) AS BIGINT) AS p3,
+       CAST(max(CASE WHEN k = 4 THEN p END) AS BIGINT) AS p4,
+       CAST(max(CASE WHEN k = 5 THEN p END) AS BIGINT) AS p5,
+       CAST(max(CASE WHEN k = 6 THEN p END) AS BIGINT) AS p6,
+       CAST(max(CASE WHEN k = 7 THEN p END) AS BIGINT) AS p7
+FROM rp_p GROUP BY vec_id
+"""
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PCA sufficient statistics (pca.py::embedding_gram):
+    per Arrow batch numpy computes the int64 partial Gram of micro-quantized
+    components; one combinable groupBy sums to DECIMAL(38,0).  The full
+    (j,k) cross-product matrix + component sums (k=-1) + count (-1,-1) —
+    everything the driver-side eigen finish needs, all integer-exact."""
+    from uncharted_ta1_spark.operators.pca import embedding_gram
+
+    g = embedding_gram(_embeddings(spark, sf_dir), in_dim=64)
+    # contract surface: DECIMAL(38,0) serializes as its exact digit string
+    # (lossless at any corpus size; a DOUBLE cast would round above 2^53)
+    return g.select("j", "k", F.col("v").cast("string").alias("v"))
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH ec_f AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+         CAST(floor(embedding[j + 1]::DOUBLE * 1e6) AS BIGINT) AS q
+  FROM embeddings, range(64) t(j)
+)
+SELECT a.j AS j, b.j AS k,
+       CAST(CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS VARCHAR) AS v
+FROM ec_f a JOIN ec_f b USING (vec_id) GROUP BY 1, 2
+UNION ALL
+SELECT j, -1 AS k, CAST(CAST(sum(q) AS DECIMAL(38,0)) AS VARCHAR) AS v
+FROM ec_f GROUP BY 1
+UNION ALL
+SELECT -1 AS j, -1 AS k,
+       CAST(CAST(count(*) AS DECIMAL(38,0)) AS VARCHAR) AS v
+FROM embeddings
+"""
+
+
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PCA: fit on the exact distributed Gram (oracle-hashed as
+    embedding_covariance), eigendecompose the 64x64 covariance on the
+    driver (bounded finish, sign-fixed components), project every vector
+    onto the top 4 — broadcast column math, zero shuffle.  The eigen step
+    is LAPACK float math with no SQL twin, so this query is rows-only on
+    the driver gate; its numeric properties (variance ordering, covariance
+    reconstruction, determinism) are pytest-verified
+    (tests/test_pca.py)."""
+    from uncharted_ta1_spark.operators.pca import pca_project
+
+    return pca_project(
+        _embeddings(spark, sf_dir), in_dim=64, n_components=4
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured (not guessed) ANN quality: per-query recall@3 of the LSH
     path against the exact brute-force top-3 — the self-measurement harness
@@ -3427,6 +3562,63 @@ SELECT e.user_id,
 FROM events_epoch e
 ANTI JOIN top2 t ON e.user_id = t.user_id AND e.event_type = t.event_type
 GROUP BY e.user_id
+"""
+)
+
+
+def q_ranking_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC-AUC of a candidate quality signal (value
+    predicting the purchase class), grouped by day-of-week — rank-based
+    Mann-Whitney with tie correction, all-integer until the final division
+    (evalmetrics.py::grouped_auc; the prefix over distinct scores runs the
+    binning.py GK-bucket decomposition, never a single-task sort)."""
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        F.expr("CAST((ts_us DIV 86400000000 + 4) % 7 AS INT)").alias("dow"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").alias("vm"),
+    )
+    out = grouped_auc(
+        ev, group_cols=["dow"], label_col="is_pos", score_col="vm"
+    )
+    return out.select(
+        "dow", "n_pos", "n_neg", "u2",
+        (F.round("auc", 9) + F.lit(0.0)).alias("auc"),
+    )
+
+
+ORACLE_RANKING_AUC = (
+    duck_with(EVENTS_DUCK)
+    + """
+, au_v AS (
+  SELECT CAST((ts_us // 86400000000 + 4) % 7 AS INT) AS dow,
+         CAST(event_type = 'purchase' AS INT) AS pos,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events_epoch
+),
+au_s AS (
+  SELECT dow, vm, CAST(sum(pos) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS t
+  FROM au_v GROUP BY 1, 2
+),
+au_c AS (
+  SELECT dow, vm, p, t - p AS ng,
+         CAST(coalesce(sum(t - p) OVER (
+           PARTITION BY dow ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS negbelow
+  FROM au_s
+),
+au_a AS (
+  SELECT dow,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(ng) AS BIGINT) AS n_neg,
+         CAST(sum(2 * p * negbelow + p * ng) AS BIGINT) AS u2
+  FROM au_c GROUP BY dow
+)
+SELECT dow, n_pos, n_neg, u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 9) + 0.0
+       END AS auc
+FROM au_a
 """
 )
 
@@ -7538,6 +7730,70 @@ FROM events_epoch
 )
 
 
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration curve of a candidate quality score: events
+    are cut into GLOBAL equal-frequency deciles of ``value`` (the same
+    scale-safe ntile as value_deciles — a constant group key, so the plan
+    is GK buckets + bounded per-bucket ranks, never one corpus sort) and
+    each decile reports its observed purchase rate vs its mean score — the
+    companion diagnostic to ranking_auc (AUC says CAN the score rank;
+    calibration says do its LEVELS mean what they claim)."""
+    ev = datagen.events_epoch_df(spark, sf_dir).withColumn("_g", F.lit(1))
+    d = ntile_equal_freq(
+        ev,
+        keys=["_g"],
+        col="value",
+        order_tiebreak=["event_id"],
+        k=10,
+        n_buckets=50,
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long").alias("n_pos"),
+        F.sum(F.expr("CAST(floor(value * 1e6) AS BIGINT)"))
+        .cast("long").alias("vm_sum"),
+    )
+    return agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        "vm_sum",
+        (F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 9
+        ) + F.lit(0.0)).alias("pos_rate"),
+        (F.round(
+            F.col("vm_sum").cast("double") / F.col("n").cast("double"), 3
+        ) + F.lit(0.0)).alias("mean_score_micro"),
+    )
+
+
+ORACLE_CALIBRATION_CURVE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, cal_d AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS INT)
+           AS decile,
+         CAST(event_type = 'purchase' AS INT) AS pos,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events_epoch
+),
+cal_a AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(vm) AS BIGINT) AS vm_sum
+  FROM cal_d GROUP BY decile
+)
+SELECT decile, n, n_pos, vm_sum,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) + 0.0 AS pos_rate,
+       round(CAST(vm_sum AS DOUBLE) / CAST(n AS DOUBLE), 3) + 0.0
+         AS mean_score_micro
+FROM cal_a
+"""
+)
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window (hourly) rollup per class — the hypertable
     continuous-aggregate pattern: integer floor-div time bucketing (exact,
@@ -7997,6 +8253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "random_projection": q_random_projection,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_projection": q_pca_projection,
         "ann_recall": q_ann_recall,
         "dedup_eval": q_dedup_eval,
         "vocab_stats": q_vocab_stats,
@@ -8024,6 +8283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_join": q_pos_join,
         "except_leftover": q_except_leftover,
         "eval_f1": q_eval_f1,
+        "ranking_auc": q_ranking_auc,
         "scalar_extract": q_scalar_extract,
         "knn_nearest_event": q_knn_nearest_event,
         "distinct_gate": q_distinct_gate,
@@ -8070,6 +8330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_quantiles": q_ntok_quantiles,
         "hash_sample": q_hash_sample,
         "token_bigrams": q_token_bigrams,
+        "pmi_collocations": q_pmi_collocations,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "hll_distinct": q_hll_distinct,
@@ -8111,6 +8372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_deduped": q_corpus_deduped,
         "hourly_rollup": q_hourly_rollup,
         "value_deciles": q_value_deciles,
+        "calibration_curve": q_calibration_curve,
     }
 
 
@@ -8163,6 +8425,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
+        "random_projection": ORACLE_RANDOM_PROJECTION,
+        "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
+        # pca_projection: rows-only by design (driver-side LAPACK eigen has
+        # no SQL twin; the exact Gram it is fit from IS hashed above)
         "vocab_stats": ORACLE_VOCAB_STATS,
         "dataset_split": ORACLE_DATASET_SPLIT,
         "bpe_merges": _bpe_oracle(),
@@ -8196,6 +8462,7 @@ def oracle_sql() -> dict[str, str]:
         "pos_join": ORACLE_POS_JOIN,
         "except_leftover": ORACLE_EXCEPT_LEFTOVER,
         "eval_f1": ORACLE_EVAL_F1,
+        "ranking_auc": ORACLE_RANKING_AUC,
         "scalar_extract": ORACLE_SCALAR_EXTRACT,
         "knn_nearest_event": ORACLE_KNN_NEAREST,
         "distinct_gate": ORACLE_DISTINCT_GATE,
@@ -8251,6 +8518,7 @@ def oracle_sql() -> dict[str, str]:
         "ntok_quantiles": ORACLE_NTOK_QUANTILES,
         "hash_sample": ORACLE_HASH_SAMPLE,
         "token_bigrams": ORACLE_TOKEN_BIGRAMS,
+        "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "bm25_search": ORACLE_BM25_SEARCH,
         "hll_distinct": ORACLE_HLL_DISTINCT,
@@ -8292,4 +8560,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_deduped": ORACLE_CORPUS_DEDUPED_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "hourly_rollup": ORACLE_HOURLY_ROLLUP,
         "value_deciles": ORACLE_VALUE_DECILES,
+        "calibration_curve": ORACLE_CALIBRATION_CURVE,
     }

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -193,4 +193,108 @@ def buffered_f1(
         F.round(precision, 6).alias("precision"),
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+def grouped_auc(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Exact per-group ROC-AUC from a BIGINT score column — rank-based
+    (Mann-Whitney U) with the standard tie correction, as pure integer
+    algebra until one final division.
+
+    AUC = [ sum_s pos_s * neg_below(s) + 0.5 * sum_s pos_s * neg_s ]
+          / (n_pos * n_neg)
+    over distinct scores s, so the corpus-sized work is ONE combinable
+    groupBy to the (group, score) frame.  ``neg_below`` needs an ordered
+    prefix sum over distinct scores — 10^8-10^9 rows for a micro-quantized
+    web-scale score, the classic single-task sort trap — so it runs the
+    binning.py decomposition: per-group GK range boundaries bucket the
+    distinct scores (equal scores can never straddle an edge), per-bucket
+    negative totals give broadcast offsets via a droplet-sized window, and
+    the within-bucket prefix window is bounded by distinct/n_buckets.
+
+    Everything up to ``u2 = 2*U`` is exact BIGINT (tie term pos*neg stays
+    integral under the doubling), so the result hash-matches the naive
+    single-window oracle bit for bit.  Groups with no positives or no
+    negatives report NULL auc (undefined), never a division error.
+
+    Reference analog: the reference scores extractions against ground truth
+    with threshold sweeps (``eval/18month_eval/fe_metrics_utils.py:18-120``);
+    AUC is that sweep integrated, the standard feature-screening metric a
+    training-data pipeline applies to candidate quality signals.
+    """
+    groups = list(group_cols)
+    s = df.groupBy(*groups, score_col).agg(
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    ).withColumn("ng", F.col("t") - F.col("p"))
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = s.groupBy(*groups).agg(
+        F.percentile_approx(
+            F.col(score_col), F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("_bnds")
+    )
+    bucketed = (
+        s.join(F.broadcast(bounds), groups)
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(score_col) >= b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+    w_off = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(*groups, "_bkt")
+        .agg(F.sum("ng").cast("long").alias("_bng"))
+        .select(
+            *groups,
+            "_bkt",
+            F.coalesce(F.sum("_bng").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(*groups, "_bkt")
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = bucketed.join(F.broadcast(offsets), groups + ["_bkt"]).withColumn(
+        "negbelow",
+        (F.col("_off") + F.coalesce(F.sum("ng").over(w_in), F.lit(0)))
+        .cast("long"),
+    )
+    agg = c.groupBy(*groups).agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("ng").cast("long").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("p") * F.col("negbelow")
+            + F.col("p") * F.col("ng")
+        ).cast("long").alias("u2"),
+    )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        *groups,
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            defined,
+            F.col("u2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
     )

@@ -429,3 +429,58 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", "vid", "cell", (F.round(F.col("_sim"), 9) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
+
+
+def random_project(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    Rademacher (±1) matrix: the classic cheap pre-step before ANN indexing
+    or clustering at web scale (a dense 64-d corpus projected to 8-d cuts
+    every downstream distance computation 8x while approximately preserving
+    pairwise distances).
+
+    The sign matrix derives from md5('rp_<j>_<k>') parity — the same
+    no-RNG-state recipe as the LSH hyperplanes (see lsh_buckets), so any
+    engine reproduces it bit-for-bit.  Components quantize to exact micro
+    ints (float32 -> double is exact), so each output coordinate is an
+    exact BIGINT sum of ±q_j — hashable across engines with no float tree
+    at all.
+
+    Plan: pure per-row column math (one narrow projection, zero shuffle,
+    whole-stage codegen); the sign constants are baked at plan-build time
+    by the driver, never computed per row.
+
+    Reference analog: the reference ships raw CLIP-style embeddings to its
+    ANN store (``pipelines/metadata_extraction/.../embedding lookup``);
+    this is the standard on-ingest compaction step such a store applies.
+    """
+    import hashlib
+
+    def sgn(j: int, k: int) -> int:
+        h = int(hashlib.md5(f"rp_{j}_{k}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    e = F.col(col)
+    q = emb.select(
+        id_col,
+        *[
+            F.floor(F.element_at(e, j + 1).cast("double") * F.lit(1e6))
+            .cast("long")
+            .alias(f"_q{j}")
+            for j in range(in_dim)
+        ],
+    )
+    outs = []
+    for k in range(out_dim):
+        acc = None
+        for j in range(in_dim):
+            t = F.col(f"_q{j}") if sgn(j, k) > 0 else -F.col(f"_q{j}")
+            acc = t if acc is None else acc + t
+        outs.append(acc.cast("long").alias(f"p{k}"))
+    return q.select(id_col, *outs)

@@ -9,7 +9,7 @@ metadata pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from uncharted_ta1_spark.functions.portable import md5_i64, shingles_col, words_col
@@ -306,4 +306,101 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
             F.round("score", 9).alias("tfidf"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame, *, min_count: int = 5, top_n: int = 100
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — the classic
+    corpus-analytics surface (multi-word-expression mining, tokenizer merge
+    screening) over exact integer counts.
+
+    pmi(w1,w2) = ln( (c12/B) / ((c1/N)(c2/N)) ), computed as ONE fixed IEEE
+    tree ln((c12*N*N)/(B*c1*c2)) over doubles cast from exact BIGINT counts,
+    rounded 6 dp — bit-portable (same recipe as bigram_logprob).  Bigrams
+    below ``min_count`` are screened first (the standard low-count PMI
+    noise filter).
+
+    Plan: two combinable count passes (bigram, unigram — both
+    vocabulary-sized after aggregation), equi joins on the word keys,
+    broadcast scalar totals, then a TOTAL-ORDER top-N
+    (pmi desc, c12 desc, w1, w2) via TakeOrdered — a distributed partial
+    top-k, never a global sort; the rank column is added on the 100-row
+    result frame.
+
+    Reference analog: the vocabulary/co-occurrence vote tallies of
+    ``tasks/metadata_extraction`` (place-name votes over extracted text)
+    generalized to association strength.
+    """
+    words = words_col(F.col("text"))
+    d = docs.select(words.alias("w"))
+    n = F.greatest(F.size("w"), F.lit(1))
+    pairs = F.zip_with(
+        F.slice(F.col("w"), 1, n - 1),
+        F.slice(F.col("w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    ug = (
+        d.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = ug.agg(
+        F.sum("c").cast("long").alias("n_uni"),
+    ).crossJoin(
+        F.broadcast(
+            bg.agg(F.sum("c12").cast("long").alias("n_big"))
+        )
+    )
+    scored = (
+        bg.where(F.col("c12") >= min_count)
+        .join(ug.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(ug.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (
+                        F.col("c12").cast("double")
+                        * F.col("n_uni").cast("double")
+                        * F.col("n_uni").cast("double")
+                    )
+                    / (
+                        F.col("n_big").cast("double")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+    top = (
+        scored.select("w1", "w2", "c12", "c1", "c2", "pmi")
+        .orderBy(
+            F.col("pmi").desc(),
+            F.col("c12").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        )
+        .limit(top_n)
+    )
+    w_rank = Window.orderBy(
+        F.col("pmi").desc(),
+        F.col("c12").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    )
+    # rank window runs on the already-limited top_n-row frame — bounded
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int")
     )
