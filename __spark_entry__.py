@@ -1859,6 +1859,157 @@ QUALIFY rank <= 100
 )
 
 
+def q_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency spectrum over 3-word shingle types: for each
+    occurrence count r, how many distinct types occur exactly r times
+    (hapax legomena at r=1 — the type/token vocabulary-health profile every
+    tokenizer/corpus audit starts with; KN smoothing's N_r discount inputs).
+    Two combinable groupBys (type counts -> count-of-counts); the spectrum
+    caps at r<=20 with one heavy-tail rollup row (r=-1), so the output is
+    constant-size at any corpus scale."""
+    sh = doc_shingles(_documents(spark, sf_dir), n=3, distinct=False)
+    tc = sh.groupBy("sh_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    return tc.select(
+        F.when(F.col("r") <= 20, F.col("r")).otherwise(F.lit(-1)).alias("r"),
+        F.col("r").alias("_true_r"),
+    ).groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("_true_r").cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE_FREQUENCY_SPECTRUM = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, fs_sh AS (
+  SELECT {md5_i64_duck("array_to_string(list_slice(words, k, k + 2), ' ')")} AS sh_hash
+  FROM (
+    SELECT words, unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS k
+    FROM doc_words
+  )
+),
+fs_tc AS (
+  SELECT sh_hash, CAST(count(*) AS BIGINT) AS r FROM fs_sh GROUP BY 1
+)
+SELECT CASE WHEN r <= 20 THEN r ELSE -1 END AS r,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(r) AS BIGINT) AS n_tokens
+FROM fs_tc
+GROUP BY 1
+"""
+)
+
+
+def q_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts — the smoothing statistics of the
+    modern n-gram LM: per word, the number of distinct LEFT contexts
+    (N1+(.w), KN's unigram numerator) and distinct RIGHT continuations
+    (N1+(w.)), plus its raw frequency.  One bigram explode -> distinct ->
+    two combinable groupBys; all vocabulary-sized after aggregation."""
+    words = words_col(F.col("text"))
+    d = _documents(spark, sf_dir).select(words.alias("w"))
+    n = F.greatest(F.size("w"), F.lit(1))
+    pairs = F.zip_with(
+        F.slice(F.col("w"), 1, n - 1),
+        F.slice(F.col("w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .distinct()
+    )
+    left = bg.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_left")
+    )
+    right = bg.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_right")
+    )
+    freq = (
+        d.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        freq.join(left, "word", "left")
+        .join(right, "word", "left")
+        .select(
+            "word",
+            "freq",
+            F.coalesce("cont_left", F.lit(0)).cast("long").alias("cont_left"),
+            F.coalesce("cont_right", F.lit(0)).cast("long").alias("cont_right"),
+        )
+    )
+
+
+ORACLE_KN_CONTINUATION = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, kn_bg AS (
+  SELECT DISTINCT w1, w2 FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i])) AS w1,
+           unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i+1])) AS w2
+    FROM doc_words
+  )
+),
+kn_left AS (SELECT w2 AS word, CAST(count(*) AS BIGINT) AS cont_left FROM kn_bg GROUP BY 1),
+kn_right AS (SELECT w1 AS word, CAST(count(*) AS BIGINT) AS cont_right FROM kn_bg GROUP BY 1),
+kn_freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(words) AS word FROM doc_words) GROUP BY 1
+)
+SELECT f.word, f.freq,
+       CAST(coalesce(l.cont_left, 0) AS BIGINT) AS cont_left,
+       CAST(coalesce(r.cont_right, 0) AS BIGINT) AS cont_right
+FROM kn_freq f
+LEFT JOIN kn_left l USING (word)
+LEFT JOIN kn_right r ON r.word = f.word
+"""
+)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): per document,
+    the minimum 4-word-gram hash of every 5-gram window (ties rightmost),
+    deduplicated — the guarantee-bearing local sketch (any >=8-word match
+    shares a fingerprint) at ~1/3 the gram density
+    (dedup.py::winnow_fingerprints)."""
+    from uncharted_ta1_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=4, w=5)
+
+
+ORACLE_WINNOW_FINGERPRINTS = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, wf_g AS (
+  SELECT doc_id, k AS pos,
+         lpad(CAST({md5_i64_duck("array_to_string(list_slice(words, k, k + 3), ' ')")} AS VARCHAR), 19, '0')
+         || lpad(CAST(9999999999 - k AS VARCHAR), 10, '0') AS enc
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, greatest(len(words) - 3, 0) + 1)) AS k
+    FROM doc_words
+  )
+),
+wf_m AS (
+  SELECT doc_id, pos,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS winmin,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM wf_g
+)
+SELECT DISTINCT doc_id,
+       CAST(9999999999 - CAST(substr(winmin, 20, 10) AS BIGINT) AS BIGINT) AS pos,
+       CAST(substr(winmin, 1, 19) AS BIGINT) AS sh_hash
+FROM wf_m
+WHERE pos <= greatest(n - 4, 1)
+"""
+)
+
+
 def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the word distribution (quality proxy)."""
     return word_entropy(_documents(spark, sf_dir))
@@ -5757,6 +5908,79 @@ FROM cell2, tot
 )
 
 
+def q_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature screening (the information-theoretic
+    sibling of chi2_feature_select, same contingency table, same label):
+    per feature value, its contribution p(x,y)*ln(p(x,y)/(p(x)p(y))) summed
+    over the two label cells — one combinable count pass, fixed ln trees
+    over exact integers, nano-floored so the statistic is order-free and
+    engine-exact.  Zero-count cells contribute exactly 0 (the 0*ln(0)
+    limit), never NaN."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    lab = (F.floor(F.col("value") * F.lit(1e6)).cast("long") % 2 == 0).cast("int")
+    cell = ev.withColumn("_y", lab).groupBy("event_type").agg(
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).cast("long").alias("obs0"),
+        F.sum(F.col("_y")).cast("long").alias("obs1"),
+    )
+    tot = cell.agg(
+        F.sum("obs0").cast("long").alias("t0"),
+        F.sum("obs1").cast("long").alias("t1"),
+    )
+    n = (F.col("t0") + F.col("t1")).cast("double")
+    row_n = (F.col("obs0") + F.col("obs1")).cast("double")
+
+    def term(obs, col_t):
+        c = F.col(obs).cast("double")
+        t = F.col(col_t).cast("double")
+        return F.when(
+            F.col(obs) > 0,
+            (c / n) * F.log((c * n) / (row_n * t)),
+        ).otherwise(F.lit(0.0))
+
+    mi_nano = F.floor(
+        (term("obs0", "t0") + term("obs1", "t1")) * F.lit(1e9)
+    ).cast("long")
+    return cell.join(F.broadcast(tot)).select(
+        "event_type",
+        "obs0",
+        "obs1",
+        (mi_nano.cast("double") / F.lit(1e9)).alias("mi_contrib"),
+    )
+
+
+ORACLE_MI_FEATURE_SELECT = (
+    duck_with(EVENTS_DUCK)
+    + """
+, mi_cell AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN (CAST(floor(value * 1e6) AS BIGINT) % 2 = 0)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS obs0,
+         CAST(sum(CASE WHEN (CAST(floor(value * 1e6) AS BIGINT) % 2 = 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS obs1
+  FROM events_epoch
+  GROUP BY event_type
+),
+mi_tot AS (
+  SELECT CAST(sum(obs0) AS BIGINT) AS t0, CAST(sum(obs1) AS BIGINT) AS t1
+  FROM mi_cell
+)
+SELECT event_type, obs0, obs1,
+  CAST(CAST(floor((
+    (CASE WHEN obs0 > 0 THEN
+       (CAST(obs0 AS DOUBLE) / CAST(t0 + t1 AS DOUBLE))
+       * ln((CAST(obs0 AS DOUBLE) * CAST(t0 + t1 AS DOUBLE))
+            / (CAST(obs0 + obs1 AS DOUBLE) * CAST(t0 AS DOUBLE)))
+     ELSE 0.0 END)
+    + (CASE WHEN obs1 > 0 THEN
+         (CAST(obs1 AS DOUBLE) / CAST(t0 + t1 AS DOUBLE))
+         * ln((CAST(obs1 AS DOUBLE) * CAST(t0 + t1 AS DOUBLE))
+              / (CAST(obs0 + obs1 AS DOUBLE) * CAST(t1 AS DOUBLE)))
+       ELSE 0.0 END)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS mi_contrib
+FROM mi_cell, mi_tot
+"""
+)
+
+
 def q_fit_transform_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-free fit/transform separation for a scaler: min-max params are
     FIT on the training period only (first 80% of the event-time span,
@@ -8331,6 +8555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "token_bigrams": q_token_bigrams,
         "pmi_collocations": q_pmi_collocations,
+        "frequency_spectrum": q_frequency_spectrum,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "kn_continuation": q_kn_continuation,
+        "mi_feature_select": q_mi_feature_select,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "hll_distinct": q_hll_distinct,
@@ -8519,6 +8747,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "token_bigrams": ORACLE_TOKEN_BIGRAMS,
         "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+        "frequency_spectrum": ORACLE_FREQUENCY_SPECTRUM,
+        "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
+        "kn_continuation": ORACLE_KN_CONTINUATION,
+        "mi_feature_select": ORACLE_MI_FEATURE_SELECT,
         "tfidf_top_terms": ORACLE_TFIDF,
         "bm25_search": ORACLE_BM25_SEARCH,
         "hll_distinct": ORACLE_HLL_DISTINCT,

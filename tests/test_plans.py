@@ -289,3 +289,59 @@ def test_feature_store_groups_stay_hash_joined(spark):
     plan = _plan(E.q_feature_store_lookup(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_random_projection_zero_shuffle(spark):
+    """JL projection is pure per-row column math: zero Exchange, zero
+    Python stage, no join of any kind."""
+    plan = _plan(E.q_random_projection(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """PMI top-100 must be a distributed partial top-k (TakeOrdered), and
+    the only global-sort window runs AFTER the limit (a 100-row frame)."""
+    plan = _plan(E.q_pmi_collocations(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the only BNLs allowed are the broadcast-SCALAR totals crossJoins
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_ranking_auc_prefix_is_bucketed(spark):
+    """AUC's neg-below prefix must never be an unpartitioned (or
+    group-only) window over the distinct-score frame: every running-sum
+    window is either bucketed (_bkt) or runs over the droplet-sized bucket
+    offsets table (ordered by _bkt itself)."""
+    plan = _plan(E.q_ranking_auc(spark, SF))
+    for m in re.finditer(r"Window \[sum\([^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        part, order = m.group(1), m.group(2)
+        assert "_bkt" in part or "_bkt" in order, (
+            f"unbucketed running-sum window: {m.group(0)[:200]}"
+        )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_span_dedup_plan_shapes(spark):
+    """Exact substring dedup: the position-pair join is equi on the gram
+    hash (no BNL/cartesian), the island windows partition by the pair
+    diagonal, and no Python stage exists."""
+    plan = _plan(E.q_span_dedup_exact(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "diag" in m.group(1) or "doc_a" in m.group(1), m.group(0)[:200]
+
+
+def test_embedding_gram_single_aggregation_exchange(spark):
+    """The PCA Gram reduces per-batch in Python (mapInPandas partials) and
+    sums through exactly one aggregation Exchange of dim^2-sized partials."""
+    plan = _plan(E.q_embedding_covariance(spark, SF))
+    n = plan.count("Exchange")
+    assert n <= 1, f"{n} exchanges"
+    assert "CartesianProduct" not in plan

@@ -689,3 +689,74 @@ def simhash_pairs(sim: DataFrame, *, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "sh1", "sh2", "hamming")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, *, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    algorithm, Schleimer-Wilkerson-Aiken 2003): hash every k-word gram,
+    slide a w-gram window, and keep each window's minimum hash (ties ->
+    rightmost position).  The selected (position, hash) set is the
+    guarantee-bearing sketch: any match of length >= w+k-1 words between
+    two documents shares at least one selected fingerprint, at ~2/(w+1)
+    the density of the full gram set.
+
+    Determinism across engines: the window argmin is ONE string min over a
+    fixed-width encoding '<hash:19 digits><(10^10-1-pos):10 digits>' —
+    lexicographic order == (hash asc, pos desc), so the rightmost-tie rule
+    needs no second pass and DuckDB reproduces it verbatim.
+
+    Plan: one explode (linear in corpus words), one w-row running min
+    window PARTITIONED BY doc (bounded by document length, never corpus
+    size), one distinct.  No joins, no corpus-wide sort.
+
+    Reference analog: the tile-overlap duplicate suppression of W4
+    (``tasks/text_extraction`` tile merge) needs exactly this
+    position-anchored sketch when overlaps are fuzzy; also the standard
+    plagiarism/provenance index of a training-data pipeline.
+    """
+    words = words_col(F.col("text"))
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    par = 2 * docs.sparkSession.sparkContext.defaultParallelism
+    inst = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            md5_i64(F.col("gram")).alias("sh_hash"),
+        )
+    )
+    enc = F.concat(
+        F.format_string("%019d", F.col("sh_hash")),
+        F.format_string("%010d", F.lit(9_999_999_999) - F.col("pos")),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    sel = (
+        inst.withColumn("_enc", enc)
+        .withColumn("_winmin", F.min("_enc").over(win))
+        .withColumn("_n", F.count(F.lit(1)).over(n_grams))
+        # only FULL windows select (starts 1 .. G-w+1); short docs with
+        # fewer than w grams keep their single global min (start 1 only)
+        .where(F.col("pos") <= F.greatest(F.col("_n") - F.lit(w - 1), F.lit(1)))
+        .select(
+            "doc_id",
+            (F.lit(9_999_999_999)
+             - F.substring("_winmin", 20, 10).cast("long")).alias("pos"),
+            F.substring("_winmin", 1, 19).cast("long").alias("sh_hash"),
+        )
+        .distinct()
+    )
+    return sel
