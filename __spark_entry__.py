@@ -2010,6 +2010,89 @@ WHERE pos <= greatest(n - 4, 1)
 )
 
 
+def q_keyword_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per source by smoothed log-odds ratio (the
+    "Fightin' Words" monroe-style contrast with +1 smoothing): per
+    (source, word), ln-odds of the word inside the source vs the rest of
+    the corpus, top-5 per source.  The corpus work is two combinable count
+    passes; the per-group top-k runs aggregates.grouped_topk's two-phase
+    salted rank — NEVER a window that sorts a whole source's vocabulary in
+    one task (the per-class candidate top-n of the reference's point
+    extraction, made web-scale)."""
+    from uncharted_ta1_spark.operators.aggregates import grouped_topk
+
+    words = words_col(F.col("text"))
+    sw = (
+        _documents(spark, sf_dir)
+        .select("source", F.explode(words).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+    )
+    wtot = sw.groupBy("word").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    stot = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    tot = wtot.agg(F.sum("c_w").cast("long").alias("n_all"))
+    j = (
+        sw.join(wtot, "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("c_ow", F.col("c_w") - F.col("c_sw"))
+        .withColumn("n_o", F.col("n_all") - F.col("n_s"))
+    )
+    lor = F.round(
+        F.log(
+            (F.col("c_sw") + F.lit(1)).cast("double")
+            / (F.col("n_s") - F.col("c_sw") + F.lit(1)).cast("double")
+        )
+        - F.log(
+            (F.col("c_ow") + F.lit(1)).cast("double")
+            / (F.col("n_o") - F.col("c_ow") + F.lit(1)).cast("double")
+        ),
+        9,
+    ) + F.lit(0.0)
+    scored = j.select(
+        "source", "word", "c_sw", "c_w", lor.alias("log_odds")
+    )
+    return grouped_topk(
+        scored,
+        group_cols=["source"],
+        order_exprs=[
+            (F.col("log_odds"), True),
+            (F.col("word"), False),
+        ],
+        k=5,
+        n_salt=32,
+    )
+
+
+ORACLE_KEYWORD_LOGODDS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, ko_sw AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+  FROM (SELECT source, unnest(words) AS word FROM doc_words)
+  GROUP BY 1, 2
+),
+ko_w AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM ko_sw GROUP BY 1),
+ko_s AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM ko_sw GROUP BY 1),
+ko_t AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_all FROM ko_w),
+ko_j AS (
+  SELECT source, word, c_sw, c_w,
+         round(ln(CAST(c_sw + 1 AS DOUBLE)
+                  / CAST(n_s - c_sw + 1 AS DOUBLE))
+               - ln(CAST(c_w - c_sw + 1 AS DOUBLE)
+                    / CAST(n_all - n_s - (c_w - c_sw) + 1 AS DOUBLE)), 9) + 0.0
+           AS log_odds
+  FROM ko_sw JOIN ko_w USING (word) JOIN ko_s USING (source) CROSS JOIN ko_t
+)
+SELECT source, word, c_sw, c_w, log_odds,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY log_odds DESC, word ASC) AS INT) AS rank
+FROM ko_j
+QUALIFY rank <= 5
+"""
+)
+
+
 def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the word distribution (quality proxy)."""
     return word_entropy(_documents(spark, sf_dir))
@@ -6292,6 +6375,120 @@ def q_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(target, ignore_errors=True)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between table snapshots (the Iceberg changelog/diff read): build
+    the versioned merge table (v0 = state at T1, v1 = after the (T1,T2]
+    delta upsert), then FULL-OUTER join the two snapshots on the merge key
+    and classify every key as inserted / updated / unchanged (deleted is
+    impossible under pure upsert — its absence is part of the invariant).
+    Output per change type: key count + order-free key-hash sum, so a diff
+    that misclassifies even one key hash-fails against the clean
+    derivation.  Scale: the diff is ONE bucketed-key equi join of two
+    snapshot reads."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import merge_upsert, read_snapshot
+
+    seq = _sequences(spark, sf_dir)
+    mn, mx = seq.agg(F.min("event_epoch"), F.max("event_epoch")).first()
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + (2 * (mx - mn)) // 3
+    upd = seq.select(
+        "doc_id",
+        "source",
+        F.col("event_epoch").cast("long").alias("event_epoch"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("event_epoch").cast("long") * F.lit(1_000_000)
+         + F.col("seq_no").cast("long")).alias("_ord"),
+    )
+    target = tempfile.mkdtemp(prefix="sparkgraft_merge_cdc_")
+    try:
+        merge_upsert(
+            spark, target, upd.where(F.col("event_epoch") <= t1),
+            ["doc_id", "source"], order_col="_ord",
+        )
+        merge_upsert(
+            spark, target,
+            upd.where((F.col("event_epoch") > t1) & (F.col("event_epoch") <= t2)),
+            ["doc_id", "source"], order_col="_ord",
+        )
+        v0 = read_snapshot(spark, target, 0).select(
+            "doc_id", "source",
+            F.col("event_epoch").alias("e0"), F.col("n_tok").alias("k0"),
+        )
+        v1 = read_snapshot(spark, target, 1).select(
+            "doc_id", "source",
+            F.col("event_epoch").alias("e1"), F.col("n_tok").alias("k1"),
+        )
+        j = v0.join(v1, ["doc_id", "source"], "full_outer")
+        change = (
+            F.when(F.col("e0").isNull(), F.lit("inserted"))
+            .when(F.col("e1").isNull(), F.lit("deleted"))
+            .when(
+                (F.col("e0") == F.col("e1")) & (F.col("k0") == F.col("k1")),
+                F.lit("unchanged"),
+            )
+            .otherwise(F.lit("updated"))
+        )
+        key_h = md5_i64(F.concat_ws("|", "doc_id", "source")) % F.lit(
+            1_000_000_007
+        )
+        out = (
+            j.select(change.alias("change_type"), key_h.alias("_kh"))
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("_kh").cast("long").alias("key_hash_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+ORACLE_SNAPSHOT_DIFF = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, b AS (SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx FROM sequences),
+params AS (
+  SELECT _mn + (_mx - _mn) // 3 AS t1,
+         _mn + (2 * (_mx - _mn)) // 3 AS t2
+  FROM b
+),
+ranked AS (
+  SELECT s.doc_id, s.source, s.event_epoch, CAST(s.n_tok AS BIGINT) AS n_tok,
+         s.event_epoch * 1000000 + s.seq_no AS _ord, p.t1, p.t2
+  FROM sequences s, params p
+),
+state1 AS (
+  SELECT * FROM ranked WHERE event_epoch <= t1
+  QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY _ord DESC) = 1
+),
+state2 AS (
+  SELECT * FROM ranked WHERE event_epoch <= t2
+  QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY _ord DESC) = 1
+),
+diff AS (
+  SELECT
+    CASE WHEN a.doc_id IS NULL THEN 'inserted'
+         WHEN b2.doc_id IS NULL THEN 'deleted'
+         WHEN a.event_epoch = b2.event_epoch AND a.n_tok = b2.n_tok
+           THEN 'unchanged'
+         ELSE 'updated' END AS change_type,
+    (('0x' || substr(md5(coalesce(a.doc_id, b2.doc_id) || '|'
+       || coalesce(a.source, b2.source)), 1, 15))::BIGINT) % 1000000007 AS kh
+  FROM state1 a
+  FULL OUTER JOIN state2 b2
+    ON a.doc_id = b2.doc_id AND a.source = b2.source
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(kh) AS BIGINT) AS key_hash_sum
+FROM diff GROUP BY change_type
+"""
+)
+
+
 ORACLE_MERGE_TIMETRAVEL = (
     duck_with(SEQUENCES_DUCK)
     + """
@@ -8557,6 +8754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "frequency_spectrum": q_frequency_spectrum,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "keyword_logodds": q_keyword_logodds,
         "kn_continuation": q_kn_continuation,
         "mi_feature_select": q_mi_feature_select,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -8585,6 +8783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_feature_select": q_chi2_feature_select,
         "mask_tokens": q_mask_tokens,
         "merge_timetravel": q_merge_timetravel,
+        "snapshot_diff": q_snapshot_diff,
         "manifest_prune_scan": q_manifest_prune_scan,
         "table_maintenance": q_table_maintenance,
         "schema_evolution": q_schema_evolution,
@@ -8749,6 +8948,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "frequency_spectrum": ORACLE_FREQUENCY_SPECTRUM,
         "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
+        "keyword_logodds": ORACLE_KEYWORD_LOGODDS,
         "kn_continuation": ORACLE_KN_CONTINUATION,
         "mi_feature_select": ORACLE_MI_FEATURE_SELECT,
         "tfidf_top_terms": ORACLE_TFIDF,
@@ -8776,6 +8976,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_feature_select": ORACLE_CHI2_FEATURE_SELECT,
         "mask_tokens": ORACLE_MASK_TOKENS,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "manifest_prune_scan": _manifest_prune_oracle(),
         "table_maintenance": _table_maintenance_oracle(),
         "schema_evolution": _schema_evolution_oracle(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -184,3 +184,54 @@ def grouped_quantiles(
         name = f"p{str(p).replace('0.', '').ljust(2, '0')}_{col}"
         out.append(F.round(F.col("_pct").getItem(i), 9).alias(name))
     return agg.select(*out)
+
+
+def grouped_topk(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column] | None = None,
+    order_exprs=None,
+    k: int = 5,
+    n_salt: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Scale-safe top-k rows PER GROUP for small k — the two-phase salted
+    rank that replaces ``row_number() OVER (PARTITION BY group)`` when a
+    group's candidate set is huge (per-source vocabulary, per-query
+    candidates): a group-partitioned window sorts the group's ENTIRE
+    candidate set in one task.
+
+    Phase 1: rank within (group, salt) — salt = pmod(hash(whole row), n_salt)
+    spreads each group's candidates over n_salt bounded tasks; keep local
+    rank <= k.  Phase 2: rank within group over the surviving <= k*n_salt
+    rows — droplet-sized by construction.  Any row in the true global top-k
+    is in its salt partition's top-k, so the result is EXACTLY the naive
+    window's output (same total order, same ties).
+
+    ``order_exprs``: list of (Column, bool_desc) pairs defining the total
+    order; give a TOTAL order (include a unique tiebreak) or ranks are
+    nondeterministic — same contract as every window in this repo.
+
+    Reference analog: the reference's per-class candidate pruning keeps the
+    best-n extractions per label class (``tasks/point_extraction``
+    confidence top-n); this is that operator at web-scale cardinalities.
+    """
+    groups = list(group_cols)
+    exprs = order_exprs or [(c, False) for c in (order_cols or [])]
+    ordering = [
+        (c.desc() if d else c.asc()) for c, d in exprs
+    ]
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt)
+    ).alias("_salt")
+    w_local = Window.partitionBy(*groups, "_salt").orderBy(*ordering)
+    w_final = Window.partitionBy(*groups).orderBy(*ordering)
+    return (
+        df.select("*", salt)
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k)
+        .withColumn(rank_col, F.row_number().over(w_final).cast("int"))
+        .where(F.col(rank_col) <= k)
+        .drop("_salt", "_lr")
+    )
