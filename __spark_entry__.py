@@ -6489,6 +6489,129 @@ FROM diff GROUP BY change_type
 )
 
 
+def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN-MATCHED-THEN-DELETE tombstones (the Iceberg delete
+    arm, completing ST6): v0 = state at T1; the (T1, T2] delta marks each
+    key's surviving row a TOMBSTONE when its n_tok % 3 == 0 — deletes mix
+    with updates and inserts in one batch, last write per key decides.
+    The v0->v1 snapshot diff then classifies every key — including a real
+    'deleted' class — against the clean derivation; a tombstone that fails
+    to remove, removes the wrong key, or resurrects later hash-fails."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.merge import merge_upsert, read_snapshot
+
+    seq = _sequences(spark, sf_dir)
+    mn, mx = seq.agg(F.min("event_epoch"), F.max("event_epoch")).first()
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + (2 * (mx - mn)) // 3
+    upd = seq.select(
+        "doc_id",
+        "source",
+        F.col("event_epoch").cast("long").alias("event_epoch"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("event_epoch").cast("long") * F.lit(1_000_000)
+         + F.col("seq_no").cast("long")).alias("_ord"),
+    )
+    target = tempfile.mkdtemp(prefix="sparkgraft_merge_del_")
+    try:
+        merge_upsert(
+            spark, target, upd.where(F.col("event_epoch") <= t1),
+            ["doc_id", "source"], order_col="_ord",
+        )
+        delta = upd.where(
+            (F.col("event_epoch") > t1) & (F.col("event_epoch") <= t2)
+        ).withColumn("_tomb", F.col("n_tok") % 3 == 0)
+        merge_upsert(
+            spark, target, delta, ["doc_id", "source"],
+            order_col="_ord", delete_col="_tomb",
+        )
+        v0 = read_snapshot(spark, target, 0).select(
+            "doc_id", "source",
+            F.col("event_epoch").alias("e0"), F.col("n_tok").alias("k0"),
+        )
+        v1 = read_snapshot(spark, target, 1).select(
+            "doc_id", "source",
+            F.col("event_epoch").alias("e1"), F.col("n_tok").alias("k1"),
+        )
+        j = v0.join(v1, ["doc_id", "source"], "full_outer")
+        change = (
+            F.when(F.col("e0").isNull(), F.lit("inserted"))
+            .when(F.col("e1").isNull(), F.lit("deleted"))
+            .when(
+                (F.col("e0") == F.col("e1")) & (F.col("k0") == F.col("k1")),
+                F.lit("unchanged"),
+            )
+            .otherwise(F.lit("updated"))
+        )
+        key_h = md5_i64(F.concat_ws("|", "doc_id", "source")) % F.lit(
+            1_000_000_007
+        )
+        out = (
+            j.select(change.alias("change_type"), key_h.alias("_kh"))
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("_kh").cast("long").alias("key_hash_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+ORACLE_MERGE_DELETE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, b AS (SELECT min(event_epoch) AS _mn, max(event_epoch) AS _mx FROM sequences),
+params AS (
+  SELECT _mn + (_mx - _mn) // 3 AS t1,
+         _mn + (2 * (_mx - _mn)) // 3 AS t2
+  FROM b
+),
+ranked AS (
+  SELECT s.doc_id, s.source, s.event_epoch, CAST(s.n_tok AS BIGINT) AS n_tok,
+         s.event_epoch * 1000000 + s.seq_no AS _ord, p.t1, p.t2
+  FROM sequences s, params p
+),
+state1 AS (
+  SELECT * FROM ranked WHERE event_epoch <= t1
+  QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY _ord DESC) = 1
+),
+delta AS (
+  SELECT *, (n_tok % 3 = 0) AS tomb
+  FROM ranked WHERE event_epoch > t1 AND event_epoch <= t2
+  QUALIFY row_number() OVER (PARTITION BY doc_id, source ORDER BY _ord DESC) = 1
+),
+final AS (
+  SELECT a.doc_id, a.source, a.event_epoch, a.n_tok
+  FROM state1 a
+  LEFT JOIN delta d ON d.doc_id = a.doc_id AND d.source = a.source
+  WHERE d.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, source, event_epoch, n_tok FROM delta WHERE NOT tomb
+),
+diff AS (
+  SELECT
+    CASE WHEN a.doc_id IS NULL THEN 'inserted'
+         WHEN f.doc_id IS NULL THEN 'deleted'
+         WHEN a.event_epoch = f.event_epoch AND a.n_tok = f.n_tok
+           THEN 'unchanged'
+         ELSE 'updated' END AS change_type,
+    (('0x' || substr(md5(coalesce(a.doc_id, f.doc_id) || '|'
+       || coalesce(a.source, f.source)), 1, 15))::BIGINT) % 1000000007 AS kh
+  FROM state1 a
+  FULL OUTER JOIN final f
+    ON a.doc_id = f.doc_id AND a.source = f.source
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(kh) AS BIGINT) AS key_hash_sum
+FROM diff GROUP BY change_type
+"""
+)
+
+
 ORACLE_MERGE_TIMETRAVEL = (
     duck_with(SEQUENCES_DUCK)
     + """
@@ -8784,6 +8907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_tokens": q_mask_tokens,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
+        "merge_delete": q_merge_delete,
         "manifest_prune_scan": q_manifest_prune_scan,
         "table_maintenance": q_table_maintenance,
         "schema_evolution": q_schema_evolution,
@@ -8977,6 +9101,7 @@ def oracle_sql() -> dict[str, str]:
         "mask_tokens": ORACLE_MASK_TOKENS,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "merge_delete": ORACLE_MERGE_DELETE,
         "manifest_prune_scan": _manifest_prune_oracle(),
         "table_maintenance": _table_maintenance_oracle(),
         "schema_evolution": _schema_evolution_oracle(),

@@ -16,7 +16,10 @@ def _df(spark, rows):
 def test_merge_upsert_semantics(spark, tmp_path):
     t = str(tmp_path / "tbl")
     s1 = merge_upsert(spark, t, _df(spark, [("d1", "op", 1), ("d2", "op", 2)]), ["doc_id", "op_id"])
-    assert s1 == {"version": 0, "rows_total": 2, "rows_updated": 0, "rows_inserted": 2}
+    assert s1 == {
+        "version": 0, "rows_total": 2, "rows_updated": 0,
+        "rows_inserted": 2, "rows_deleted": 0,
+    }
 
     # d2 updated, d3 inserted, d1 untouched
     s2 = merge_upsert(spark, t, _df(spark, [("d2", "op", 20), ("d3", "op", 3)]), ["doc_id", "op_id"])
@@ -259,3 +262,50 @@ def test_schema_evolution_add_and_omit_column(spark, tmp_path):
     # the v0 snapshot still reads with its original 3-column schema
     snap0 = read_snapshot(spark, t, 0)
     assert set(snap0.columns) == {"doc_id", "op_id", "payload"}
+
+
+def test_merge_delete_tombstones(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE: tombstone rows remove their key, a
+    tombstone for an absent key is a no-op, and the per-key last-write-wins
+    collapse decides upsert-vs-delete when one batch carries both."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl_del")
+    base = _df(spark, [("d1", "op", 1), ("d2", "op", 2), ("d3", "op", 3)])
+    merge_upsert(spark, t, base, ["doc_id", "op_id"])
+
+    delta = spark.createDataFrame(
+        [
+            ("d2", "op", 99, False, 1),   # plain update
+            ("d3", "op", 0, True, 1),     # delete existing
+            ("d9", "op", 0, True, 1),     # delete absent -> no-op
+            ("d4", "op", 4, False, 1),    # insert
+            # d1: update at ord 1, then delete at ord 2 -> delete wins
+            ("d1", "op", 10, False, 1),
+            ("d1", "op", 0, True, 2),
+        ],
+        "doc_id string, op_id string, payload long, is_del boolean, ord long",
+    )
+    s = merge_upsert(
+        spark, t, delta, ["doc_id", "op_id"],
+        order_col="ord", delete_col="is_del",
+    )
+    assert s["rows_updated"] == 1      # d2
+    assert s["rows_inserted"] == 1     # d4
+    assert s["rows_deleted"] == 2      # d1, d3 (d9 was absent)
+    got = {r.doc_id: r.payload for r in read_current(spark, t).collect()}
+    assert got == {"d2": 99, "d4": 4}
+    # the stored schema never carries the tombstone flag or the order col
+    assert "is_del" not in read_current(spark, t).columns
+
+    # delete-then-reinsert across batches works (no tombstone resurrection)
+    merge_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [("d3", "op", 33, False, 1)],
+            "doc_id string, op_id string, payload long, is_del boolean, ord long",
+        ),
+        ["doc_id", "op_id"], order_col="ord", delete_col="is_del",
+    )
+    got2 = {r.doc_id: r.payload for r in read_current(spark, t).collect()}
+    assert got2 == {"d2": 99, "d3": 33, "d4": 4}

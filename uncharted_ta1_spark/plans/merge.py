@@ -390,8 +390,15 @@ def merge_upsert(
     n_buckets: int = 16,
     order_col: str | None = None,
     stats_cols: list[str] | None = None,
+    delete_col: str | None = None,
 ) -> dict:
     """Upsert `updates` into the keyed table at `target_dir`.
+
+    ``delete_col``: name of a boolean column in `updates` marking tombstone
+    rows — Iceberg's ``WHEN MATCHED THEN DELETE`` arm.  After the per-key
+    last-write-wins collapse, a key whose surviving row is a tombstone is
+    REMOVED from the table (a tombstone for an absent key is a no-op); the
+    column itself is never stored.  Returned dict gains ``rows_deleted``.
 
     ``stats_cols``: columns whose per-bucket [min, max] is recorded in the
     manifest (harvested from parquet footer row-group statistics — no extra
@@ -435,15 +442,25 @@ def merge_upsert(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # tombstone split AFTER the collapse: the key's last write decides
+    # whether it is an upsert or a delete
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col), F.lit(False))
+        keyed = updates.withColumn("_del", is_del).drop(delete_col)
+    else:
+        keyed = updates.withColumn("_del", F.lit(False))
+    updates = keyed.where(~F.col("_del")).drop("_del")
 
     manifest = current_manifest(target_dir)
     if manifest is not None and manifest["n_buckets"] != n_buckets:
         n_buckets = manifest["n_buckets"]  # bucket layout is a table property
 
     updates = updates.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
+    keyed = keyed.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
     # touched-bucket set is bounded by n_buckets — a driver-side list, O(1)
+    # (tombstone-only buckets are touched too: their kept rows get rewritten)
     touched = sorted(
-        r["_bucket"] for r in updates.select("_bucket").distinct().collect()
+        r["_bucket"] for r in keyed.select("_bucket").distinct().collect()
     )
 
     next_v = 0 if manifest is None else manifest["version"] + 1
@@ -451,6 +468,7 @@ def merge_upsert(
     if manifest is None:
         new_df = updates
         n_updated = 0
+        n_deleted = 0
         n_inserted = new_df.count()
         old_entries: dict = {}
     else:
@@ -458,19 +476,21 @@ def merge_upsert(
         tpaths = _bucket_paths(target_dir, manifest, touched)
         if tpaths:
             cur = spark.read.option("mergeSchema", "true").parquet(*tpaths)
-            upd_keys = updates.select(*key_cols).withColumn("_u", F.lit(1))
-            # one aggregation for both counters (no per-counter .count() jobs)
+            upd_keys = keyed.select(*key_cols, "_del").withColumn("_u", F.lit(1))
+            # one aggregation for all counters (no per-counter .count() jobs)
             tagged = (
                 cur.select(*key_cols).withColumn("_t", F.lit(1))
                 .join(upd_keys, key_cols, "full_outer")
             )
             stats = tagged.agg(
-                F.sum(F.when(F.col("_t").isNotNull() & F.col("_u").isNotNull(), 1).otherwise(0)).alias("updated"),
-                F.sum(F.when(F.col("_t").isNull() & F.col("_u").isNotNull(), 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(F.col("_t").isNotNull() & F.col("_u").isNotNull() & ~F.coalesce(F.col("_del"), F.lit(False)), 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(F.col("_t").isNull() & F.col("_u").isNotNull() & ~F.coalesce(F.col("_del"), F.lit(False)), 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(F.col("_t").isNotNull() & F.col("_u").isNotNull() & F.coalesce(F.col("_del"), F.lit(False)), 1).otherwise(0)).alias("deleted"),
             ).first()
             n_updated = int(stats["updated"] or 0)
             n_inserted = int(stats["inserted"] or 0)
-            kept = cur.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+            n_deleted = int(stats["deleted"] or 0)
+            kept = cur.join(keyed.select(*key_cols).distinct(), key_cols, "left_anti")
             kept = kept.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
             # schema evolution (Iceberg add-column analog): a batch may carry
             # columns the table has never seen (old rows read as NULL) or
@@ -480,6 +500,7 @@ def merge_upsert(
         else:
             new_df = updates
             n_updated = 0
+            n_deleted = 0
             n_inserted = updates.count()
 
     # --- write ONLY the touched buckets under this version ----------------
@@ -514,6 +535,7 @@ def merge_upsert(
         "rows_total": rows_total,
         "rows_updated": n_updated,
         "rows_inserted": n_inserted,
+        "rows_deleted": n_deleted,
         "buckets": entries,
     }
     # compare-and-swap commit with crash atomicity: the manifest is written
@@ -531,4 +553,5 @@ def merge_upsert(
         "rows_total": rows_total,
         "rows_updated": n_updated,
         "rows_inserted": n_inserted,
+        "rows_deleted": n_deleted,
     }
