@@ -112,6 +112,12 @@ from uncharted_ta1_spark.functions.portable import (
 from uncharted_ta1_spark.operators.aggregates import grouped_quantiles
 from uncharted_ta1_spark.operators.binning import ntile_equal_freq
 from uncharted_ta1_spark.operators.salting import salted_agg, salted_join
+from uncharted_ta1_spark.operators.timefeat import (
+    lag_horizons,
+    resample_locf,
+    scd2_versions,
+    twap,
+)
 from uncharted_ta1_spark.operators.sampling import (
     fixed_k_hash_sample,
     hash_sample,
@@ -8739,6 +8745,476 @@ FROM pa JOIN pb
 """
 
 
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 intervalization of the (doc_id, source) changelog: each
+    state event becomes a version valid [event_epoch, next event_epoch),
+    the latest version open-ended — the dimension-table form a feature
+    store serves point-in-time lookups from by interval containment
+    (answers == the as-of join by construction).  One window per group key,
+    single hash shuffle (operators/timefeat.py).
+
+    Reference analog: per-map state memoized by content+config version and
+    replayed idempotently (tasks/common/task.py:188-212,
+    cdr/server.py:273-335) — here the changelog is intervalized instead of
+    re-scanned."""
+    return scd2_versions(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        ts="event_epoch",
+        order_tiebreak=["seq_no"],
+        payload_cols=["n_tok"],
+    )
+
+
+ORACLE_SCD2_VERSIONS = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, sv AS (
+  SELECT doc_id, source, event_epoch, seq_no, n_tok,
+         lead(event_epoch) OVER w AS nxt,
+         row_number() OVER w AS ver
+  FROM sequences
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no)
+)
+SELECT doc_id, source,
+  CAST(ver AS BIGINT) AS version,
+  CAST(event_epoch AS BIGINT) AS valid_from,
+  CAST(coalesce(nxt, -1) AS BIGINT) AS valid_to,
+  CAST(CASE WHEN nxt IS NULL THEN -1 ELSE nxt - event_epoch END AS BIGINT)
+    AS duration_sec,
+  (nxt IS NULL) AS is_current,
+  CAST(n_tok AS BIGINT) AS n_tok
+FROM sv
+"""
+)
+
+
+def q_twap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average token mass per (doc, source): each observation
+    is piecewise-constant until the next one, so its weight is that gap
+    (the standard TWAP estimator — a mean over observations would over-
+    weight bursts).  The BIGINT numerator and span ride along so the oracle
+    hash pins the exact integer algebra; the only float is one division
+    (operators/timefeat.py).
+
+    Reference analog: per-map score aggregation over extraction events
+    (tasks/geo_referencing/georeference.py:80-275)."""
+    return twap(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        ts="event_epoch",
+        order_tiebreak=["seq_no"],
+        value="n_tok",
+    )
+
+
+ORACLE_TWAP_FEATURES = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, tw AS (
+  SELECT doc_id, source, event_epoch AS t,
+         CAST(n_tok AS BIGINT)
+           * coalesce(lead(event_epoch) OVER w - event_epoch, 0) AS mass
+  FROM sequences
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no)
+)
+SELECT doc_id, source,
+  CAST(count(*) AS BIGINT) AS n_obs,
+  CAST(sum(mass) AS BIGINT) AS twap_num,
+  CAST(max(t) - min(t) AS BIGINT) AS span_sec,
+  CASE WHEN max(t) - min(t) > 0 THEN
+    CAST(CAST(sum(mass) AS BIGINT) AS DOUBLE)
+      / CAST(max(t) - min(t) AS DOUBLE)
+  END AS twap_value
+FROM tw GROUP BY doc_id, source
+"""
+)
+
+
+def q_lag_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon lag / delta / age matrix (k = 1, 2, 4) in ONE window
+    pass: the derivative feature stack (value k back, signed change, elapsed
+    seconds) that autoregressive feature sets are built from.  All horizons
+    share one WindowSpec — one hash shuffle, one sort, however many
+    horizons (operators/timefeat.py); sentinel -1 / delta 0 for missing
+    history keeps the vector dense."""
+    return lag_horizons(
+        _sequences(spark, sf_dir).drop("tokens"),
+        keys=["doc_id", "source"],
+        ts="event_epoch",
+        order_tiebreak=["seq_no"],
+        value="n_tok",
+        horizons=[1, 2, 4],
+    )
+
+
+def _lag_horizons_oracle() -> str:
+    per_k = []
+    for k in (1, 2, 4):
+        per_k.append(
+            f"CAST(coalesce(lag(n_tok, {k}) OVER w, -1) AS BIGINT) AS lag{k}"
+        )
+        per_k.append(
+            f"CAST(coalesce(n_tok - lag(n_tok, {k}) OVER w, 0) AS BIGINT)"
+            f" AS delta{k}"
+        )
+        per_k.append(
+            f"CAST(coalesce(event_epoch - lag(event_epoch, {k}) OVER w, -1)"
+            f" AS BIGINT) AS age{k}_sec"
+        )
+    return (
+        duck_with(SEQUENCES_DUCK)
+        + f"""
+SELECT doc_id, source, CAST(event_epoch AS BIGINT) AS event_epoch, seq_no,
+  CAST(n_tok AS BIGINT) AS n_tok,
+  {", ".join(per_k)}
+FROM sequences
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no)
+"""
+    )
+
+
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling with last-observation-carried-forward: the
+    (doc, source) event series lands on a 900-second grid from its first to
+    its last observed bucket; unobserved cells carry the last value forward
+    and report staleness — the regular-cadence feature matrix training
+    loops consume, derived leakage-free (only PAST observations fill a
+    cell).  Within a bucket the last event wins (same rule as the as-of
+    join).  Grid explode is linear in span; both windows reuse the group
+    hash partitioning (operators/timefeat.py).
+
+    Reference analog: carrying surrounding anchor state into unobserved
+    positions (tasks/geo_referencing/inference.py:21-80)."""
+    return resample_locf(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        ts="event_epoch",
+        order_tiebreak=["seq_no"],
+        value="n_tok",
+        bucket_sec=900,
+    )
+
+
+ORACLE_RESAMPLE_LOCF = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, rb AS (
+  SELECT doc_id, source, event_epoch AS t, event_epoch // 900 AS b,
+         seq_no, CAST(n_tok AS BIGINT) AS v
+  FROM sequences
+),
+rw AS (
+  SELECT doc_id, source, b, v AS obs_value
+  FROM rb
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id, source, b ORDER BY t DESC, seq_no DESC) = 1
+),
+rspan AS (
+  SELECT doc_id, source, min(b) AS blo, max(b) AS bhi
+  FROM rb GROUP BY doc_id, source
+),
+rgrid AS (
+  SELECT doc_id, source, unnest(range(blo, bhi + 1)) AS b FROM rspan
+),
+rj AS (
+  SELECT g.doc_id, g.source, g.b, rw.obs_value
+  FROM rgrid g
+  LEFT JOIN rw ON rw.doc_id = g.doc_id AND rw.source = g.source
+              AND rw.b = g.b
+)
+SELECT doc_id, source,
+  CAST(b * 900 AS BIGINT) AS bucket_epoch,
+  CAST(last_value(obs_value IGNORE NULLS) OVER w AS BIGINT) AS value_filled,
+  (obs_value IS NOT NULL) AS is_observed,
+  CAST(b - last_value(CASE WHEN obs_value IS NOT NULL THEN b END IGNORE NULLS)
+         OVER w AS BIGINT) AS staleness_buckets
+FROM rj
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+def q_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding (K=5): each event's categorical
+    encode uses only the OTHER folds' rows — the cross-validation-safe
+    variant of target encoding (the expanding encode in q_target_encode is
+    its temporal cousin).  Fold assignment is a portable content hash, so
+    the split is rerun- and engine-stable.
+
+    Scale shape: ONE combinable (event_type, fold) count/sum pass over the
+    corpus; every subsequent table is <= |types| x K rows, joined back
+    broadcast — adding folds or types never adds a corpus shuffle.  The
+    encode divides exact integers in one fixed IEEE tree (alpha=10
+    smoothing toward the out-of-fold global mean)."""
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").alias("vm"),
+    )
+    folded = ev.withColumn(
+        "fold",
+        md5_i64(F.concat(F.lit("oof"), F.col("event_id").cast("string")))
+        % F.lit(5),
+    )
+    ft = folded.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_f"),
+        F.sum("vm").cast("long").alias("vm_f"),
+    )
+    tt = ft.groupBy("event_type").agg(
+        F.sum("n_f").cast("long").alias("n_t"),
+        F.sum("vm_f").cast("long").alias("vm_t"),
+    )
+    gf = ft.groupBy("fold").agg(
+        F.sum("n_f").cast("long").alias("n_gf"),
+        F.sum("vm_f").cast("long").alias("vm_gf"),
+    )
+    gg = ft.agg(
+        F.sum("n_f").cast("long").alias("n_gg"),
+        F.sum("vm_f").cast("long").alias("vm_gg"),
+    )
+    enc = (
+        ft.join(tt, "event_type")
+        .join(gf, "fold")
+        .crossJoin(F.broadcast(gg))
+        .select(
+            "event_type",
+            "fold",
+            (F.col("n_t") - F.col("n_f")).alias("oof_n"),
+            (F.col("vm_t") - F.col("vm_f")).alias("oof_vm"),
+            (F.col("n_gg") - F.col("n_gf")).alias("g_oof_n"),
+            (F.col("vm_gg") - F.col("vm_gf")).alias("g_oof_vm"),
+        )
+    )
+    out = folded.join(F.broadcast(enc), ["event_type", "fold"])
+    encode = F.expr(
+        "(CAST(oof_vm AS DOUBLE) + 10e0 * (CASE WHEN g_oof_n > 0 THEN "
+        "CAST(g_oof_vm AS DOUBLE) / CAST(g_oof_n AS DOUBLE) ELSE 0e0 END)) "
+        "/ (CAST(oof_n AS DOUBLE) + 10e0)"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("oof_n").cast("long").alias("oof_n"),
+        encode.alias("oof_encode"),
+    )
+
+
+ORACLE_OOF_TARGET_ENCODE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, ovm AS (
+  SELECT event_id, event_type,
+         (('0x' || substr(md5('oof' || CAST(event_id AS VARCHAR)), 1, 15))
+           ::BIGINT) % 5 AS fold,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events_epoch
+),
+oft AS (
+  SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_f,
+         CAST(sum(vm) AS BIGINT) AS vm_f
+  FROM ovm GROUP BY event_type, fold
+),
+ott AS (
+  SELECT event_type, CAST(sum(n_f) AS BIGINT) AS n_t,
+         CAST(sum(vm_f) AS BIGINT) AS vm_t
+  FROM oft GROUP BY event_type
+),
+ogf AS (
+  SELECT fold, CAST(sum(n_f) AS BIGINT) AS n_gf,
+         CAST(sum(vm_f) AS BIGINT) AS vm_gf
+  FROM oft GROUP BY fold
+),
+ogg AS (
+  SELECT CAST(sum(n_f) AS BIGINT) AS n_gg, CAST(sum(vm_f) AS BIGINT) AS vm_gg
+  FROM oft
+),
+oenc AS (
+  SELECT oft.event_type, oft.fold,
+         (ott.n_t - oft.n_f) AS oof_n, (ott.vm_t - oft.vm_f) AS oof_vm,
+         (ogg.n_gg - ogf.n_gf) AS g_oof_n, (ogg.vm_gg - ogf.vm_gf) AS g_oof_vm
+  FROM oft
+  JOIN ott USING (event_type)
+  JOIN ogf USING (fold)
+  CROSS JOIN ogg
+)
+SELECT o.event_id, o.event_type,
+  CAST(o.fold AS BIGINT) AS fold,
+  CAST(e.oof_n AS BIGINT) AS oof_n,
+  (CAST(e.oof_vm AS DOUBLE) + 10e0 * (CASE WHEN e.g_oof_n > 0 THEN
+     CAST(e.g_oof_vm AS DOUBLE) / CAST(e.g_oof_n AS DOUBLE) ELSE 0e0 END))
+  / (CAST(e.oof_n AS DOUBLE) + 10e0) AS oof_encode
+FROM ovm o
+JOIN oenc e ON e.event_type = o.event_type AND e.fold = o.fold
+"""
+)
+
+
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering, measured as manifest pruning: events
+    quantized on (user_id, day) are assigned to 256 simulated files two
+    ways — Morton-interleaved (the Delta OPTIMIZE ZORDER / Iceberg
+    sort-order analog) and single-key ranges — and a 2-D box predicate is
+    planned against each layout's per-file min/max manifest.  The Z-order
+    layout must scan a fraction of the files the linear layout scans for
+    the same (identical) answer; both scan counts and the exact in-box row
+    count are hashed, so the pruning claim is the verified output, not
+    prose (operators/zorder.py)."""
+    from uncharted_ta1_spark.operators.zorder import (
+        layout_scan_counts,
+        morton_sql,
+        quantize_sql,
+    )
+
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("x"),
+        F.expr("ts_us DIV 86400000000").alias("y"),
+    )
+    stats = ev.agg(
+        F.min("x").alias("_xmin"),
+        F.max("x").alias("_xmax"),
+        F.min("y").alias("_ymin"),
+        F.max("y").alias("_ymax"),
+    )
+    p = (
+        ev.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "xq", F.expr(quantize_sql("x", "_xmin", "_xmax", div="DIV"))
+        )
+        .withColumn(
+            "yq", F.expr(quantize_sql("y", "_ymin", "_ymax", div="DIV"))
+        )
+        .withColumn(
+            "zb", F.expr(morton_sql("xq", "yq", div="DIV") + " DIV 256")
+        )
+        .withColumn("lb", F.col("xq"))
+        .withColumn("xlo", F.expr("_xmin + (_xmax - _xmin + 1) DIV 4"))
+        .withColumn("xhi", F.expr("_xmin + (_xmax - _xmin + 1) DIV 2"))
+        .withColumn("ylo", F.expr("_ymin + (_ymax - _ymin + 1) DIV 4"))
+        .withColumn("yhi", F.expr("_ymin + (_ymax - _ymin + 1) DIV 2"))
+    )
+    z = layout_scan_counts(p, bucket_col="zb", layout="zorder")
+    lin = layout_scan_counts(p, bucket_col="lb", layout="linear")
+    return z.unionByName(lin)
+
+
+def _zorder_prune_oracle() -> str:
+    from uncharted_ta1_spark.operators.zorder import morton_sql, quantize_sql
+
+    xq = quantize_sql("x", "xmn", "xmx", div="//")
+    yq = quantize_sql("y", "ymn", "ymx", div="//")
+    z = morton_sql("xq", "yq", div="//")
+    summary = """
+  SELECT '{name}' AS layout,
+    CAST(count(*) AS BIGINT) AS n_buckets_total,
+    CAST(sum(CASE WHEN minx <= bxhi AND maxx >= bxlo
+                   AND miny <= byhi AND maxy >= bylo THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_buckets_scanned,
+    CAST(sum(CASE WHEN minx <= bxhi AND maxx >= bxlo
+                   AND miny <= byhi AND maxy >= bylo THEN rws ELSE 0 END)
+      AS BIGINT) AS n_rows_scanned,
+    CAST(sum(hits) AS BIGINT) AS n_rows_in_box
+  FROM man_{tag}
+"""
+    manifest = """
+man_{tag} AS (
+  SELECT {bucket} AS bucket,
+         min(x) AS minx, max(x) AS maxx, min(y) AS miny, max(y) AS maxy,
+         CAST(count(*) AS BIGINT) AS rws,
+         CAST(sum(CASE WHEN x BETWEEN xlo AND xhi
+                        AND y BETWEEN ylo AND yhi THEN 1 ELSE 0 END)
+           AS BIGINT) AS hits,
+         min(xlo) AS bxlo, min(xhi) AS bxhi,
+         min(ylo) AS bylo, min(yhi) AS byhi
+  FROM zz GROUP BY 1
+)"""
+    return (
+        duck_with(EVENTS_DUCK)
+        + f"""
+, zp AS (
+  SELECT CAST(user_id AS BIGINT) AS x, ts_us // 86400000000 AS y
+  FROM events_epoch
+),
+zs AS (
+  SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM zp
+),
+zq AS (
+  SELECT x, y, {xq} AS xq, {yq} AS yq,
+         xmn + (xmx - xmn + 1) // 4 AS xlo, xmn + (xmx - xmn + 1) // 2 AS xhi,
+         ymn + (ymx - ymn + 1) // 4 AS ylo, ymn + (ymx - ymn + 1) // 2 AS yhi
+  FROM zp CROSS JOIN zs
+),
+zz AS (
+  SELECT x, y, xlo, xhi, ylo, yhi, {z} // 256 AS zb, xq AS lb FROM zq
+),
+{manifest.format(tag="z", bucket="zb")},
+{manifest.format(tag="l", bucket="lb")}
+{summary.format(name="zorder", tag="z")}
+UNION ALL
+{summary.format(name="linear", tag="l")}
+"""
+    )
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-document contamination fraction: the share of each train
+    doc's distinct 3-gram shingles that appear ANYWHERE in the held-out
+    eval slice — the doc-level removal/weighting signal (q_decontaminate
+    emits the pair-level view; this is the train-side rollup a curation
+    cascade thresholds on).  The eval shingle set is tiny relative to
+    train, so the membership test is a broadcast semi-join: the train side
+    shuffles once for its own per-doc counts and never for the lookup
+    (operators/dedup.py:376 machinery)."""
+    docs = _documents(spark, sf_dir)
+    tr = doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3)
+    evs = (
+        doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3)
+        .select("sh_hash")
+        .distinct()
+    )
+    contaminated = (
+        tr.join(F.broadcast(evs), "sh_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contam"))
+    )
+    total = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    return total.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        F.coalesce(F.col("n_contam"), F.lit(0)).cast("long").alias("n_contam"),
+        (
+            F.coalesce(F.col("n_contam"), F.lit(0)).cast("double")
+            / F.col("n_sh").cast("double")
+        ).alias("contam_frac"),
+    )
+
+
+ORACLE_CONTAMINATION_OVERLAP = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+    + """
+, ctr AS (SELECT doc_id, sh_hash FROM doc_shingles WHERE doc_id % 10 != 3),
+cev AS (SELECT DISTINCT sh_hash FROM doc_shingles WHERE doc_id % 10 = 3),
+ctot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ctr GROUP BY doc_id
+),
+ccon AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam
+  FROM ctr WHERE sh_hash IN (SELECT sh_hash FROM cev)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_sh,
+  CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contam,
+  CAST(coalesce(c.n_contam, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE)
+    AS contam_frac
+FROM ctot t LEFT JOIN ccon c USING (doc_id)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8908,6 +9384,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
+        "scd2_versions": q_scd2_versions,
+        "twap_features": q_twap_features,
+        "lag_horizons": q_lag_horizons,
+        "resample_locf": q_resample_locf,
+        "oof_target_encode": q_oof_target_encode,
+        "zorder_prune": q_zorder_prune,
+        "contamination_overlap": q_contamination_overlap,
         "manifest_prune_scan": q_manifest_prune_scan,
         "table_maintenance": q_table_maintenance,
         "schema_evolution": q_schema_evolution,
@@ -9102,6 +9585,13 @@ def oracle_sql() -> dict[str, str]:
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,
+        "scd2_versions": ORACLE_SCD2_VERSIONS,
+        "twap_features": ORACLE_TWAP_FEATURES,
+        "lag_horizons": _lag_horizons_oracle(),
+        "resample_locf": ORACLE_RESAMPLE_LOCF,
+        "oof_target_encode": ORACLE_OOF_TARGET_ENCODE,
+        "zorder_prune": _zorder_prune_oracle(),
+        "contamination_overlap": ORACLE_CONTAMINATION_OVERLAP,
         "manifest_prune_scan": _manifest_prune_oracle(),
         "table_maintenance": _table_maintenance_oracle(),
         "schema_evolution": _schema_evolution_oracle(),
