@@ -9215,6 +9215,197 @@ FROM ctot t LEFT JOIN ccon c USING (doc_id)
 )
 
 
+def q_backfill_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 lineage/metrics emission ON the oracle gate (previously
+    pytest-only): run a clean bucketed backfill, then emit what the
+    CHECKPOINT LOG recorded — per-bucket rows_written plus positivity of
+    the byte/timestamp metrics — while the DuckDB twin recomputes the
+    expected per-bucket row counts from the clean relational derivation
+    (nesting the feature-backfill oracle).  A lineage row that under- or
+    over-counts, a missing commit, or a zero-byte bucket hash-fails: the
+    metrics pipeline itself is the thing being checked, not the data
+    (plans/checkpoint.py:93; reference metrics emission
+    tasks/common/request_client.py:374-458)."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.plans.backfill import run_backfill
+    from uncharted_ta1_spark.plans.checkpoint import CheckpointLog
+
+    out_dir = tempfile.mkdtemp(prefix="sparkgraft_bflin_")
+    try:
+        r = run_backfill(spark, sf_dir, out_dir, n_buckets=8)
+        if r["buckets_computed"] != 8:
+            raise AssertionError(f"clean run computed {r['buckets_computed']}/8")
+        log = CheckpointLog(os.path.join(out_dir, "_checkpoint"))
+        recs = sorted(log.lineage(), key=lambda x: x["bucket"])
+        rows = [
+            (
+                int(x["bucket"]),
+                int(x["rows_written"]),
+                bool(x["bytes_written"] > 0),
+                bool(x["committed_at_epoch"] > 0),
+            )
+            for x in recs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "bucket int, rows_written long, bytes_positive boolean,"
+            " ts_positive boolean",
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _backfill_lineage_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    # nests the feature-backfill oracle verbatim (composite-oracle rule);
+    # md5_i64 is non-negative, so plain % 8 matches Spark's pmod
+    return f"""
+WITH fb AS ({ORACLE_FEATURE_BACKFILL})
+SELECT CAST({md5_i64_duck("doc_id")} % 8 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS rows_written,
+       TRUE AS bytes_positive,
+       TRUE AS ts_positive
+FROM fb
+GROUP BY 1
+"""
+
+
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 on the oracle gate (previously pytest-only): stage the corpus
+    as JSON lines through the engine's own sink (valid rows via the pinned-
+    schema JSON writer; rows with doc_id % 7 == 3 deliberately written as
+    truncated, unparseable lines), then read the mixed directory back
+    through the PERMISSIVE corrupt-skip source.  The good/quarantined
+    split counts and the content checksum of the GOOD rows are the hashed
+    output; the DuckDB twin derives them from `documents` directly — a
+    quarantine that drops a good row, passes a corrupt one, or double-reads
+    hash-fails (sources/io.py:77; reference corrupt-skip
+    tasks/segmentation/segmenter_utils.py `_verify_is_image` analog)."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.sources.io import read_json_with_quarantine
+
+    d = tempfile.mkdtemp(prefix="sparkgraft_jsonq_")
+    try:
+        base = _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        base.where(F.col("doc_id") % 7 != 3).write.mode("overwrite").json(
+            f"{d}/valid"
+        )
+        # truncated records: unterminated string -> PERMISSIVE quarantine
+        base.where(F.col("doc_id") % 7 == 3).select(
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "source": "'),
+            ).alias("value")
+        ).write.mode("overwrite").text(f"{d}/corrupt")
+        qr = read_json_with_quarantine(
+            spark, f"{d}/*/part-*", "doc_id long, source string, text_len long"
+        )
+        good, bad = qr
+        kh = md5_i64(
+            F.concat_ws("|", "doc_id", "source", "text_len")
+        ) % F.lit(1_000_000_007)
+        g = good.agg(
+            F.count(F.lit(1)).cast("long").alias("n_good"),
+            F.sum("doc_id").cast("long").alias("good_docid_sum"),
+            F.sum("text_len").cast("long").alias("good_len_sum"),
+            F.sum(kh).cast("long").alias("good_hash_sum"),
+        )
+        b = bad.agg(F.count(F.lit(1)).cast("long").alias("n_quarantined"))
+        out = g.crossJoin(b).select(
+            "n_good", "n_quarantined", "good_docid_sum", "good_len_sum",
+            "good_hash_sum",
+        )
+        rows = out.collect()
+        qr.unpersist()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _json_quarantine_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    kh = md5_i64_duck(
+        "concat_ws('|', CAST(doc_id AS VARCHAR), source,"
+        " CAST(length(text) AS VARCHAR))"
+    )
+    return f"""
+SELECT
+  CAST(sum(CASE WHEN doc_id % 7 != 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quarantined,
+  CAST(sum(CASE WHEN doc_id % 7 != 3 THEN doc_id END) AS BIGINT)
+    AS good_docid_sum,
+  CAST(sum(CASE WHEN doc_id % 7 != 3 THEN length(text) END) AS BIGINT)
+    AS good_len_sum,
+  CAST(sum(CASE WHEN doc_id % 7 != 3 THEN {kh} % 1000000007 END) AS BIGINT)
+    AS good_hash_sum
+FROM documents
+"""
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 on the oracle gate (previously pytest-only): push the probe
+    spine through the engine's schema-pinned CSV sink and source
+    (sources/io.py:28,35 — the reference's query-point CSV input,
+    tasks/geo_referencing/ground_control.py query files), then checksum
+    what came back.  The DuckDB twin derives the same checksums from the
+    probes fragment directly, so a roundtrip that loses rows, reorders
+    columns, or corrupts a type (the classic inferred-schema hazard the
+    pinned schema exists to prevent) hash-fails."""
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.sources.io import (
+        read_probes_csv,
+        write_probes_csv,
+    )
+
+    d = tempfile.mkdtemp(prefix="sparkgraft_csvrt_")
+    try:
+        write_probes_csv(_probes(spark, sf_dir), d)
+        back = read_probes_csv(spark, d)
+        kh = md5_i64(
+            F.concat_ws("|", "probe_id", "doc_id", "source", "ts_epoch")
+        ) % F.lit(1_000_000_007)
+        out = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("ts_epoch").cast("long").alias("ts_sum"),
+            F.sum(kh).cast("long").alias("probe_hash_sum"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _csv_roundtrip_oracle() -> str:
+    from uncharted_ta1_spark.functions.portable import md5_i64_duck
+
+    kh = md5_i64_duck(
+        "concat_ws('|', probe_id, doc_id, source, CAST(ts_epoch AS VARCHAR))"
+    )
+    return (
+        duck_with(PROBES_DUCK)
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(ts_epoch) AS BIGINT) AS ts_sum,
+       CAST(sum({kh} % 1000000007) AS BIGINT) AS probe_hash_sum
+FROM probes
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9391,6 +9582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oof_target_encode": q_oof_target_encode,
         "zorder_prune": q_zorder_prune,
         "contamination_overlap": q_contamination_overlap,
+        "backfill_lineage": q_backfill_lineage,
+        "json_quarantine": q_json_quarantine,
+        "csv_roundtrip": q_csv_roundtrip,
         "manifest_prune_scan": q_manifest_prune_scan,
         "table_maintenance": q_table_maintenance,
         "schema_evolution": q_schema_evolution,
@@ -9592,6 +9786,9 @@ def oracle_sql() -> dict[str, str]:
         "oof_target_encode": ORACLE_OOF_TARGET_ENCODE,
         "zorder_prune": _zorder_prune_oracle(),
         "contamination_overlap": ORACLE_CONTAMINATION_OVERLAP,
+        "backfill_lineage": _backfill_lineage_oracle(),
+        "json_quarantine": _json_quarantine_oracle(),
+        "csv_roundtrip": _csv_roundtrip_oracle(),
         "manifest_prune_scan": _manifest_prune_oracle(),
         "table_maintenance": _table_maintenance_oracle(),
         "schema_evolution": _schema_evolution_oracle(),
