@@ -7726,6 +7726,183 @@ FROM cms_top t JOIN cms_est e USING (word)
 )
 
 
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-day distinct users per day from MERGED DAILY REGISTER
+    PARTIALS (operators/sketches.py::hll_sliding_window): the event stream
+    is scanned once into per-day HLL registers; every window is then a
+    constant-size register merge (each daily register row explodes to the
+    3 windows it serves — |days| x 64 x 3 rows total), never an event
+    rescan.  The windowed-distinct story at 100 TB.  Exact sliding
+    distinct and relative error ride along so the merged sketch is
+    evaluated against truth per window."""
+    from uncharted_ta1_spark.operators.sketches import hll_sliding_window
+
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
+        F.col("user_id").cast("string").alias("uk"),
+    )
+    daily = hll_registers(ev, ["day"], "uk")
+    merged, ndays = hll_sliding_window(daily, day_col="day", window_days=3)
+    est = hll_estimate(merged, ["win_day"])
+
+    offs = F.array(F.lit(0), F.lit(1), F.lit(2))
+    days = ev.select(F.col("day").alias("win_day")).distinct()
+    exact = (
+        ev.select(
+            F.explode(offs).alias("_o"), F.col("day"), F.col("uk")
+        )
+        .withColumn("win_day", (F.col("day") + F.col("_o")).cast("long"))
+        .join(days, "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("uk").cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.join(ndays, "win_day")
+        .join(exact, "win_day")
+        .select(
+            F.col("win_day"),
+            F.col("n_days_merged"),
+            F.col("exact_distinct"),
+            F.round("hll_est", 6).alias("hll_estimate"),
+            F.round(
+                F.abs(
+                    F.col("hll_est") - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+# same register + estimator trees as ORACLE_HLL_DISTINCT, windowed: daily
+# registers explode to the 3 windows they serve, merge by max per window
+ORACLE_HLL_SLIDING_DISTINCT = (
+    duck_with(EVENTS_DUCK)
+    + """
+, slw_keys AS (
+  SELECT ts_us // 86400000000 AS day, CAST(user_id AS VARCHAR) AS uk
+  FROM events_epoch
+),
+slw_days AS (SELECT DISTINCT day FROM slw_keys),
+slw_h AS (
+  SELECT day,
+         (('0x' || substr(md5('hll' || uk), 1, 15))::BIGINT) AS h
+  FROM slw_keys
+),
+slw_reg AS (
+  SELECT day, CAST(h % 64 AS INTEGER) AS bucket,
+         max(CASE WHEN (h >> 6) > 0
+                  THEN 55 - length(bin(h >> 6)) ELSE 55 END) AS m_reg
+  FROM slw_h GROUP BY day, bucket
+),
+slw_exp AS (
+  SELECT r.day + o.o AS win_day, r.day, r.bucket, r.m_reg
+  FROM slw_reg r CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) o
+  WHERE r.day + o.o IN (SELECT day FROM slw_days)
+),
+slw_win AS (
+  SELECT win_day, bucket, max(m_reg) AS m_reg
+  FROM slw_exp GROUP BY win_day, bucket
+),
+slw_nd AS (
+  SELECT win_day, CAST(count(DISTINCT day) AS BIGINT) AS n_days_merged
+  FROM slw_exp GROUP BY win_day
+),
+slw_agg AS (
+  SELECT win_day,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(1::BIGINT << (55 - m_reg)) AS BIGINT) AS present_pow
+  FROM slw_win GROUP BY win_day
+),
+slw_est AS (
+  SELECT win_day,
+         (64 - n_present) AS zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 36028797018963968.0
+           / CAST(present_pow + (64 - n_present) * 36028797018963968 AS DOUBLE)
+           AS raw
+  FROM slw_agg
+),
+slw_fin AS (
+  SELECT win_day,
+         CASE WHEN raw <= 160.0 AND zeros > 0
+              THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+              ELSE raw END AS est
+  FROM slw_est
+),
+slw_exact AS (
+  SELECT d.day AS win_day, CAST(count(DISTINCT k.uk) AS BIGINT) AS exact_distinct
+  FROM slw_days d JOIN slw_keys k ON k.day BETWEEN d.day - 2 AND d.day
+  GROUP BY d.day
+)
+SELECT f.win_day, n.n_days_merged, x.exact_distinct,
+       round(f.est, 6) AS hll_estimate,
+       round(abs(f.est - CAST(x.exact_distinct AS DOUBLE))
+             / CAST(x.exact_distinct AS DOUBLE), 6) AS rel_err
+FROM slw_fin f
+JOIN slw_nd n USING (win_day)
+JOIN slw_exact x USING (win_day)
+"""
+)
+
+
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event_type plurality winner (modal user_id, ties to the
+    smallest id) via operators/aggregates.py::grouped_mode — a combinable
+    count groupBy collapses events to the distinct (type, user) set, then
+    the winner is picked by the two-phase salted rank (k=1), so a group
+    with a web-scale distinct-value set never funnels through one task.
+    The reference's tally-and-keep-dominant decisions (geo_fencing.py
+    hemisphere multiplier, per-class extraction tallies) as a first-class
+    aggregate."""
+    from uncharted_ta1_spark.operators.aggregates import grouped_mode
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    nd = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_distinct_users")
+    )
+    mode = grouped_mode(
+        ev,
+        group_cols=["event_type"],
+        value_col="user_id",
+        out_col="mode_user_id",
+        count_col="mode_count",
+    )
+    return mode.join(nd, "event_type").select(
+        "event_type",
+        F.col("mode_user_id").cast("long").alias("mode_user_id"),
+        "mode_count",
+        "n_distinct_users",
+    )
+
+
+ORACLE_GROUPED_MODE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, gm_c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events_epoch GROUP BY event_type, user_id
+),
+gm_r AS (
+  SELECT event_type, user_id, c,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY c DESC, user_id ASC
+         ) AS rn
+  FROM gm_c
+),
+gm_nd AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+  FROM events_epoch GROUP BY event_type
+)
+SELECT r.event_type, CAST(r.user_id AS BIGINT) AS mode_user_id,
+       r.c AS mode_count, n.n_distinct_users
+FROM gm_r r JOIN gm_nd n USING (event_type)
+WHERE r.rn = 1
+"""
+)
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination via a Bloom membership sketch: the eval slice's
     shingle set compressed to <=16384 bit positions (constant-size state —
@@ -9550,6 +9727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "hll_distinct": q_hll_distinct,
+        "hll_sliding_distinct": q_hll_sliding_distinct,
+        "grouped_mode": q_grouped_mode,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -9755,6 +9934,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": ORACLE_TFIDF,
         "bm25_search": ORACLE_BM25_SEARCH,
         "hll_distinct": ORACLE_HLL_DISTINCT,
+        "hll_sliding_distinct": ORACLE_HLL_SLIDING_DISTINCT,
+        "grouped_mode": ORACLE_GROUPED_MODE,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

@@ -235,3 +235,47 @@ def grouped_topk(
         .where(F.col(rank_col) <= k)
         .drop("_salt", "_lr")
     )
+
+
+def grouped_mode(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "mode_value",
+    count_col: str = "mode_count",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact per-group mode (plurality winner) with a deterministic
+    tie-break: highest count wins, ties go to the smallest value.
+
+    Reference analog: the per-document categorical decisions the reference
+    takes by tallying observations and keeping the dominant outcome — the
+    hemisphere multiplier vote (``tasks/geo_referencing/geo_fencing.py:
+    65-74``) and the per-class extraction tallies
+    (``tasks/text_extraction/text_extraction.py:133-141``) — generalized
+    to the standard plurality aggregate.
+
+    Scale shape: one map-side-combinable count groupBy collapses the input
+    to the per-group DISTINCT value set; the winner is then picked by
+    :func:`grouped_topk`'s two-phase salted rank (k=1), so a group whose
+    distinct-value set is itself huge (per-source vocabularies) never
+    funnels through a single task — the same defense ``vocab_index`` and
+    ``value_deciles`` use.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    top = grouped_topk(
+        counts,
+        group_cols=group_cols,
+        order_exprs=[(F.col("_c"), True), (F.col(value_col), False)],
+        k=1,
+        n_salt=n_salt,
+        rank_col="_r",
+    )
+    return top.select(
+        *group_cols,
+        F.col(value_col).alias(out_col),
+        F.col("_c").alias(count_col),
+    )

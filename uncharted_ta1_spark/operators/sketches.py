@@ -74,6 +74,61 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+def hll_sliding_window(
+    registers: DataFrame,
+    *,
+    day_col: str = "day",
+    group_cols: list[str] | None = None,
+    window_days: int = 3,
+) -> DataFrame:
+    """Sliding-window registers from per-day partials: day d's window
+    merges the daily sketches of days ``d-window_days+1 .. d``.
+
+    This is the windowed-distinct story at 100 TB: the event stream is
+    scanned ONCE to build constant-size daily register partials
+    (:func:`hll_registers`), and every sliding window after that is a
+    register-table merge — each daily register row is replicated to the
+    ``window_days`` windows it contributes to (an explode over a literal
+    offset array, so the exploded table is |days| x 64 x window_days rows
+    — droplet-sized at any event volume) and merged by ``max``.  No
+    re-scan, no distinct over raw keys, no window over events.
+
+    Windows are emitted only for OBSERVED days (an inner join against the
+    distinct day list); a window's merge naturally covers however many of
+    its trailing days exist.  ``n_days_merged`` reports that count so the
+    partial-merge lineage is visible in the output.
+
+    Reference analog: the CDR replay windows the reference serves by
+    re-querying bounded ``created_date`` ranges (``cdr/server.py:311-319``)
+    — here the range query is answered from mergeable partials instead of
+    a rescan.
+    """
+    gcols = list(group_cols or [])
+    offs = F.array(*[F.lit(i) for i in range(window_days)])
+    expanded = registers.select(
+        *gcols,
+        F.col(day_col),
+        F.explode(offs).alias("_o"),
+        "bucket",
+        "m_reg",
+    ).withColumn("win_day", (F.col(day_col) + F.col("_o")).cast("long"))
+    days = (
+        registers.select(F.col(day_col).cast("long").alias("win_day"))
+        .distinct()
+    )
+    merged = (
+        expanded.join(days, "win_day")
+        .groupBy(*gcols, "win_day", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    n_days = (
+        expanded.join(days, "win_day")
+        .groupBy(*gcols, "win_day")
+        .agg(F.countDistinct(day_col).cast("long").alias("n_days_merged"))
+    )
+    return merged, n_days
+
+
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """Collapse registers to the HLL cardinality estimate per group.
 
