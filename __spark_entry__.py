@@ -75,7 +75,13 @@ from uncharted_ta1_spark.operators.groupfit import (
 from uncharted_ta1_spark.operators.spatial import grid_containment_join
 from uncharted_ta1_spark.operators.anchors import synthesize_anchors
 from uncharted_ta1_spark.operators.packing import pack_chunks
-from uncharted_ta1_spark.operators.ranking import bm25_topk
+from uncharted_ta1_spark.operators.ranking import (
+    bm25_ranked,
+    bm25_topk,
+    ndcg_at_k,
+    rrf_fuse,
+)
+from uncharted_ta1_spark.operators.graphstats import triangle_stats
 from uncharted_ta1_spark.operators.sketches import (
     bloom_bits,
     bloom_membership,
@@ -7903,6 +7909,270 @@ WHERE r.rn = 1
 )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/ranking.py::
+    rrf_fuse): the BM25 lexical top-50 for the fixed 3-term query fuses
+    with the dense cosine top-50 for query vector 0 over the doc-bridged
+    embedding slice (vec_id == doc_id), score = 1/(60+r_lex) + 1/(60+
+    r_dense).  The RAG-era hybrid search combiner: both inputs are bounded
+    top-k lists, so fusion is droplet-sized outer-join arithmetic — the
+    corpus-scale work stays in BM25's pruned scan and ANN's ranking.
+    Missing ranks surface as -1 sentinels."""
+    docs = _documents(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir).join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    lex = bm25_ranked(docs, BM25_TERMS, k=50).select("doc_id", "rank")
+    dense = cosine_topk(emb, query_pred=F.col("vec_id") == 0, k=50).select(
+        F.col("vid").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex, dense], topk=10)
+    return fused.select(
+        "doc_id",
+        "fused_rank",
+        "rrf_score",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("dense_rank"),
+    )
+
+
+# lexical leg: same contribution tree as ORACLE_BM25_SEARCH (shared
+# _BM25_CONTRIB fragment), cut at unrounded-score top-50 then ranked on
+# the rounded score exactly like bm25_ranked; dense leg: the cosine tree
+# over the doc-bridged slice; fusion: fixed-order 1/(60+r) adds
+ORACLE_HYBRID_RRF = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, hy_tc AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(words) AS word FROM doc_words)
+  WHERE word IN ('table', 'scan', 'merge')
+  GROUP BY doc_id, word
+),
+hy_dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM doc_words),
+hy_st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS tot_len
+  FROM doc_words
+),
+hy_df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM hy_tc GROUP BY word),
+hy_base AS (
+  SELECT tc.doc_id, tc.word, tc.tf, dl.dl, dft.df, st.n_docs, st.tot_len
+  FROM hy_tc tc
+  JOIN hy_dl dl USING (doc_id)
+  JOIN hy_df dft USING (word)
+  CROSS JOIN hy_st st
+),
+hy_piv AS (
+  SELECT doc_id,
+         max(CASE WHEN word = 'table' THEN {{c}} ELSE 0.0 END) AS c0,
+         max(CASE WHEN word = 'scan'  THEN {{c}} ELSE 0.0 END) AS c1,
+         max(CASE WHEN word = 'merge' THEN {{c}} ELSE 0.0 END) AS c2
+  FROM hy_base GROUP BY doc_id
+),
+hy_cut AS (
+  SELECT doc_id, round(0.0 + c0 + c1 + c2, 6) AS score
+  FROM hy_piv
+  QUALIFY row_number() OVER (
+    ORDER BY (0.0 + c0 + c1 + c2) DESC, doc_id ASC
+  ) <= 50
+),
+hy_lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS lr
+  FROM hy_cut
+),
+hy_emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+),
+hy_q AS (SELECT e AS qe, nrm AS qn FROM hy_emb WHERE vec_id = 0),
+hy_sims AS (
+  SELECT vec_id AS vid, list_dot_product(qe, e) / (qn * nrm) AS sim
+  FROM hy_emb CROSS JOIN hy_q WHERE vec_id != 0
+),
+hy_dense AS (
+  SELECT vid AS doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vid ASC) AS BIGINT) AS dr
+  FROM hy_sims
+  QUALIFY row_number() OVER (ORDER BY sim DESC, vid ASC) <= 50
+),
+hy_f AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lr, d.dr,
+         0.0 + (CASE WHEN l.lr IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(l.lr AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN d.dr IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(d.dr AS DOUBLE)) ELSE 0.0 END)
+           AS s
+  FROM hy_lex l FULL OUTER JOIN hy_dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT)
+         AS fused_rank,
+       round(s, 9) AS rrf_score,
+       COALESCE(lr, -1) AS lex_rank,
+       COALESCE(dr, -1) AS dense_rank
+FROM hy_f
+QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 10
+""".format(c=_BM25_CONTRIB)
+)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval evaluation: NDCG@10 of the exact cosine top-10
+    per query vector (vec_id % 50 == 0), relevance = same-label, n_rel
+    from a combinable per-label corpus count (never a queries x corpus
+    relevance materialization).  DCG terms are nano-floored integers so
+    the sums are order-free (operators/ranking.py::ndcg_at_k)."""
+    emb = _embeddings(spark, sf_dir)
+    ranking = cosine_topk(emb, query_pred=F.col("vec_id") % 50 == 0, k=10)
+    labels = emb.select("vec_id", "label")
+    graded = (
+        ranking.join(
+            labels.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("_qlab")
+            ),
+            "qid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("vid"), F.col("label").alias("_vlab")
+            ),
+            "vid",
+        )
+        .withColumn(
+            "rel",
+            F.when(F.col("_qlab") == F.col("_vlab"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    nrel = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("qid"), "label")
+        .join(F.broadcast(lc), "label")
+        .select("qid", (F.col("_c") - F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return ndcg_at_k(graded, nrel, k=10).orderBy("qid")
+
+
+ORACLE_NDCG_EVAL = """
+WITH nd_b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         label
+  FROM embeddings
+),
+nd_q AS (
+  SELECT vec_id AS qid, e AS qe, nrm AS qn, label AS qlab
+  FROM nd_b WHERE vec_id % 50 = 0
+),
+nd_rk AS (
+  SELECT qid, qlab, vec_id AS vid, label AS vlab,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, vec_id ASC
+         ) AS rank
+  FROM nd_q JOIN nd_b ON qid != vec_id
+  QUALIFY rank <= 10
+),
+nd_dcg AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN vlab = qlab THEN
+           CAST(floor(1000000000.0
+             / (ln(1.0 + CAST(rank AS DOUBLE)) / ln(2.0)) + 0.5) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_nano,
+         CAST(sum(CASE WHEN vlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_at_k
+  FROM nd_rk GROUP BY qid
+),
+nd_lc AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS c FROM embeddings GROUP BY label
+),
+nd_nrel AS (
+  SELECT q.qid, lc.c - 1 AS n_rel
+  FROM nd_q q JOIN nd_lc lc ON lc.label = q.qlab
+),
+nd_idcg AS (
+  SELECT n.qid, n.n_rel,
+         CAST(sum(CAST(floor(1000000000.0
+           / (ln(1.0 + CAST(s.i AS DOUBLE)) / ln(2.0)) + 0.5) AS BIGINT))
+           AS BIGINT) AS idcg_nano
+  FROM nd_nrel n
+  JOIN (SELECT unnest(range(1, 11)) AS i) s ON s.i <= least(10, n.n_rel)
+  GROUP BY n.qid, n.n_rel
+)
+SELECT d.qid, i.n_rel, d.hits_at_k,
+       round(CAST(d.dcg_nano AS DOUBLE) / CAST(i.idcg_nano AS DOUBLE), 9)
+         AS ndcg
+FROM nd_dcg d JOIN nd_idcg i USING (qid)
+"""
+
+
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle density audit of the embedding near-dup candidate graph
+    (operators/graphstats.py::triangle_stats): degree-ordered orientation
+    — one wedge equi-join + one closing semi-join, out-degree bounded
+    O(sqrt(m)) on hub-heavy graphs, zero pair-level distinct.  True dup
+    clusters are near-cliques (coeff -> 1); LSH-bucket false-positives
+    are low-coefficient spokes — the graph-shaped quality gate on the
+    dedup stack's candidate pairs.  The cosine threshold is NOT
+    transitive, so coefficients are informative (a transitive edge rule
+    like equal-sketch would make every component a trivial clique)."""
+    edges = embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), min_cosine=0.2
+    ).select(F.col("id1").alias("doc1"), F.col("id2").alias("doc2"))
+    return triangle_stats(edges)
+
+
+# edge set nests the embedding-near-dup oracle verbatim ({nd}); triangle
+# logic: degree-ordered orientation, wedge join, closing-edge semi join
+ORACLE_DEDUP_GRAPH_TRIANGLES_TPL = """
+WITH tg_e AS (SELECT id1 AS doc1, id2 AS doc2 FROM ({nd}) nd_pairs),
+tg_und AS (
+  SELECT doc1 AS node, doc2 AS other FROM tg_e
+  UNION ALL
+  SELECT doc2, doc1 FROM tg_e
+),
+tg_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM tg_und GROUP BY node
+),
+tg_ed AS (
+  SELECT CASE WHEN (da.degree, e.doc1) < (db.degree, e.doc2)
+              THEN e.doc1 ELSE e.doc2 END AS s,
+         CASE WHEN (da.degree, e.doc1) < (db.degree, e.doc2)
+              THEN e.doc2 ELSE e.doc1 END AS d
+  FROM tg_e e
+  JOIN tg_deg da ON da.node = e.doc1
+  JOIN tg_deg db ON db.node = e.doc2
+),
+tg_tri AS (
+  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+  FROM tg_ed e1
+  JOIN tg_ed e2 ON e2.s = e1.d
+  WHERE EXISTS (SELECT 1 FROM tg_ed e3 WHERE e3.s = e1.s AND e3.d = e2.d)
+),
+tg_pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tg_tri
+    UNION ALL SELECT b FROM tg_tri
+    UNION ALL SELECT c FROM tg_tri
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       round(2.0 * CAST(COALESCE(p.n_triangles, 0) AS DOUBLE)
+             / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)),
+             9) AS clustering_coeff
+FROM tg_deg d LEFT JOIN tg_pn p ON p.node = d.node
+WHERE d.degree >= 2
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination via a Bloom membership sketch: the eval slice's
     shingle set compressed to <=16384 bit positions (constant-size state —
@@ -8966,6 +9236,81 @@ FROM sv
 )
 
 
+def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time probe answering AGAINST THE SCD2 DIMENSION: probes
+    equi-hash-join their (doc_id, source) version history and keep the one
+    version whose [valid_from, valid_to) contains ts_epoch (open version =
+    -1 sentinel, so the predicate is 3VL-free).  This is the feature
+    store's second derivation of the as-of semantic — the warehouse-style
+    dimension lookup (fan-out bounded by versions per entity, the
+    low-churn plan) vs operators/asof.py's sort-merge union (the
+    high-churn plan); `tests/test_scd2_pit.py` proves the two agree row
+    for row, and the DuckDB oracle derives containment independently.
+    Zero-width versions (duplicate change epochs) are excluded by the
+    half-open predicate, so the lookup is unique by construction."""
+    versions = scd2_versions(
+        _sequences(spark, sf_dir),
+        keys=["doc_id", "source"],
+        ts="event_epoch",
+        order_tiebreak=["seq_no"],
+        payload_cols=["n_tok"],
+    ).select(
+        F.col("doc_id").alias("v_doc_id"),
+        F.col("source").alias("v_source"),
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("n_tok").alias("v_n_tok"),
+    )
+    probes = _probes(spark, sf_dir)
+    cond = (
+        (F.col("doc_id") == F.col("v_doc_id"))
+        & (F.col("source") == F.col("v_source"))
+        & (F.col("valid_from") <= F.col("ts_epoch"))
+        & ((F.col("valid_to") == -1) | (F.col("ts_epoch") < F.col("valid_to")))
+    )
+    out = probes.join(versions, cond, "left")
+    return out.select(
+        "probe_id",
+        "doc_id",
+        "source",
+        "ts_epoch",
+        F.coalesce(F.col("version"), F.lit(-1)).cast("long").alias("pit_version"),
+        F.coalesce(F.col("valid_from"), F.lit(-1))
+        .cast("long")
+        .alias("pit_valid_from"),
+        F.coalesce(F.col("v_n_tok"), F.lit(-1)).cast("long").alias("pit_n_tok"),
+        F.col("version").isNull().alias("fallback_used"),
+    )
+
+
+# independent containment derivation (NOT the ASOF-join oracle): versions
+# from the same lead() window as ORACLE_SCD2_VERSIONS, probe matched by
+# half-open interval containment
+ORACLE_SCD2_PIT_LOOKUP = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + """
+, pit_v AS (
+  SELECT doc_id, source, event_epoch, seq_no, n_tok,
+         lead(event_epoch) OVER w AS nxt,
+         row_number() OVER w AS ver
+  FROM sequences
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no)
+)
+SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+       CAST(coalesce(v.ver, -1) AS BIGINT) AS pit_version,
+       CAST(coalesce(v.event_epoch, -1) AS BIGINT) AS pit_valid_from,
+       CAST(coalesce(v.n_tok, -1) AS BIGINT) AS pit_n_tok,
+       (v.ver IS NULL) AS fallback_used
+FROM probes p
+LEFT JOIN pit_v v
+  ON v.doc_id = p.doc_id AND v.source = p.source
+ AND v.event_epoch <= p.ts_epoch
+ AND (v.nxt IS NULL OR p.ts_epoch < v.nxt)
+"""
+)
+
+
 def q_twap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average token mass per (doc, source): each observation
     is piecewise-constant until the next one, so its weight is that gap
@@ -9728,6 +10073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hll_distinct": q_hll_distinct,
         "hll_sliding_distinct": q_hll_sliding_distinct,
+        "hybrid_rrf": q_hybrid_rrf,
+        "scd2_pit_lookup": q_scd2_pit_lookup,
+        "ndcg_eval": q_ndcg_eval,
+        "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -9935,6 +10284,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": ORACLE_BM25_SEARCH,
         "hll_distinct": ORACLE_HLL_DISTINCT,
         "hll_sliding_distinct": ORACLE_HLL_SLIDING_DISTINCT,
+        "hybrid_rrf": ORACLE_HYBRID_RRF,
+        "scd2_pit_lookup": ORACLE_SCD2_PIT_LOOKUP,
+        "ndcg_eval": ORACLE_NDCG_EVAL,
+        "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,

@@ -89,3 +89,147 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def bm25_ranked(docs: DataFrame, terms: list[str], k: int = 50,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """``bm25_topk`` with an explicit 1-based ``rank`` column, computed on
+    the UNROUNDED score (rounding first could reorder near-ties) over the
+    <= k surviving rows — a droplet-sized window, no scale concern."""
+    from pyspark.sql.window import Window
+
+    top = bm25_topk(docs, terms, k=k, k1=k1, b=b)
+    # bm25_topk already rounds; recompute rank on (score desc, doc_id) —
+    # its output order key.  Ties at 6dp share the order the engine and
+    # the oracle both use (score desc, doc_id asc), so the rank is
+    # deterministic and engine-portable even across rounding.
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (public formula:
+    Cormack/Clarke/Buettcher, SIGIR 2009): fused(d) = sum_i 1/(k + rank_i)
+    over the lists containing d; absent lists contribute 0.
+
+    The hybrid lexical+dense retrieval combiner every RAG-era curation
+    pipeline runs.  Scale shape: each input is already a bounded top-k
+    list (droplet-sized), so the fusion is a cascade of outer joins +
+    fixed-order float adds over <= sum(k_i) rows — the heavy retrieval
+    work stays in the upstream operators (BM25's pruned scan, ANN's
+    bucketed search).  Missing ranks surface as -1 sentinels (never NULL)
+    so downstream hashing is stable.
+
+    Float determinism: each term is one division 1.0/(k + rank); terms
+    combine with a fixed-order ``+`` chain in list order — the same IEEE
+    tree the oracle evaluates.
+    """
+    from pyspark.sql.window import Window
+
+    if len(rankings) < 2:
+        raise ValueError("fusion needs at least two rankings")
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias(f"_r{i}")
+        )
+        fused = ri if fused is None else fused.join(ri, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.when(
+            F.col(f"_r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"_r{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+    w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("_s", score)
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= topk)
+        .select(
+            F.col(id_col),
+            F.col("fused_rank"),
+            F.round(F.col("_s"), 9).alias("rrf_score"),
+            *[
+                F.coalesce(F.col(f"_r{i}"), F.lit(-1))
+                .cast("long")
+                .alias(f"rank_{i}")
+                for i in range(len(rankings))
+            ],
+        )
+    )
+
+
+def ndcg_at_k(
+    graded_ranking: DataFrame,
+    nrel: DataFrame,
+    *,
+    query_col: str = "qid",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query for a binary-relevance ranking.
+
+    ``graded_ranking``: (query, rank<=k, rel in {0,1}) — the system's
+    top-k with relevance already joined on; ``nrel``: (query, n_rel) —
+    each query's TOTAL relevant count in the searched corpus.  Taking
+    n_rel as an input keeps the operator's shape right at scale: the
+    caller derives it from a combinable aggregate (e.g. per-label corpus
+    counts), never a |queries| x |corpus| relevance materialization.
+
+    DCG terms 1/log2(1+rank) are nano-floored to exact integers before
+    summing (the repo's order-free float-sum defense — a SUM over doubles
+    is order-dependent across engines), so dcg/idcg are exact BIGINTs and
+    only the final ratio is floating point.  IDCG is the closed-form
+    ideal: the first min(k, n_rel) terms, built from a k-row sequence.
+
+    Reference analog: the reference scores its extractions against ground
+    truth with rank-blind F1 (``eval/18month_eval/eval_utils.py:8-41``);
+    NDCG is the rank-aware upgrade a retrieval-quality gate needs.
+    """
+    def _term(pos_col):
+        return F.floor(
+            F.lit(1e9)
+            / (F.log(F.lit(1.0) + pos_col.cast("double")) / F.log(F.lit(2.0)))
+            + F.lit(0.5)
+        ).cast("long")
+
+    graded = graded_ranking.withColumn(
+        "_t",
+        F.when(F.col(rel_col) == 1, _term(F.col(rank_col))).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    dcg = graded.groupBy(query_col).agg(
+        F.sum("_t").cast("long").alias("dcg_nano"),
+        F.sum(F.col(rel_col).cast("long")).alias("hits_at_k"),
+    )
+    seq = (
+        nrel.select(
+            query_col,
+            "n_rel",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_i"),
+        )
+        .where(F.col("_i") <= F.least(F.lit(k).cast("long"), F.col("n_rel")))
+        .withColumn("_t", _term(F.col("_i")))
+        .groupBy(query_col, "n_rel")
+        .agg(F.sum("_t").cast("long").alias("idcg_nano"))
+    )
+    return dcg.join(seq, query_col).select(
+        query_col,
+        "n_rel",
+        "hits_at_k",
+        F.round(
+            F.col("dcg_nano").cast("double") / F.col("idcg_nano").cast("double"),
+            9,
+        ).alias("ndcg"),
+    )
