@@ -7573,6 +7573,41 @@ LIMIT 10
 )
 
 
+def q_weighted_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sample without replacement (Efraimidis-Spirakis
+    A-ES, operators/sampling.py::weighted_fixed_k_sample): top-20 documents
+    by ln(u)/w with u from the stable md5 key and w = quality_score — the
+    "k documents, proportional to quality" curation primitive that
+    complements the Poisson importance sampler (random size) and the
+    uniform fixed-k sampler (unweighted).  TakeOrdered partial top-k plan;
+    no RNG, rerun-stable."""
+    from uncharted_ta1_spark.operators.sampling import weighted_fixed_k_sample
+
+    q = text_quality(_documents(spark, sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+    return weighted_fixed_k_sample(
+        q, key_cols=["doc_id"], weight_col="quality_score", k=20
+    )
+
+
+# template: {tq} is ORACLE_TEXT_QUALITY nested verbatim (same rule as the
+# importance sampler — never fork the quality_score derivation); the A-ES
+# key is ranked by its log, ln(u)/w, so no cross-engine pow
+ORACLE_WEIGHTED_FIXED_K = """
+WITH wfk_q AS ({tq}),
+wfk_s AS (
+  SELECT doc_id, quality_score,
+         ln((CAST(""" + "{h}" + """ AS DOUBLE) + 1.0) / 1152921504606846976.0)
+           / greatest(quality_score, 0.01) AS s
+  FROM wfk_q
+)
+SELECT doc_id, quality_score, round(s, 6) AS aes_score
+FROM wfk_s
+QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 20
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct (user, day) per event_type, plus an
     'ALL' row built by MERGING the per-type registers (max on buckets) —
@@ -10051,6 +10086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "bigram_logprob": q_bigram_logprob,
         "importance_sample": q_importance_sample,
+        "weighted_fixed_k": q_weighted_fixed_k,
         "pii_redact": q_pii_redact,
         "url_domains": q_url_domains,
         "spatial_contain_join": q_spatial_contain_join,
@@ -10256,6 +10292,10 @@ def oracle_sql() -> dict[str, str]:
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
+        "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
+            tq=ORACLE_TEXT_QUALITY,
+            h=md5_i64_duck("concat_ws(chr(31), CAST(doc_id AS VARCHAR))", salt="aes"),
+        ),
         "corpus_curation": ORACLE_CORPUS_CURATION.format(
             tq=ORACLE_TEXT_QUALITY,
             we=ORACLE_WORD_ENTROPY,

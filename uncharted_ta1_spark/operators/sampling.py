@@ -136,3 +136,44 @@ def sample_bucket_expr(key_cols: Sequence[str], salt: str = "") -> F.Column:
     partition ONE hash into disjoint ranges instead of re-hashing per split."""
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     return md5_i64(key, salt=salt) % SCALE
+
+
+def weighted_fixed_k_sample(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    min_weight: float = 0.01,
+    salt: str = "aes",
+    score_col: str = "aes_score",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows, deterministic:
+    the Efraimidis–Spirakis A-ES scheme (public: "Weighted random sampling
+    with a reservoir", IPL 2006) — each row draws u in (0,1) and the k
+    largest u^(1/w) keys win, which is provably a weighted sample without
+    replacement.  Complements :func:`importance_sample` (Poisson keep/drop,
+    random size) and :func:`fixed_k_hash_sample` (uniform fixed-k): this is
+    the "exactly k documents, proportional-to-quality" curation primitive.
+
+    Determinism + portability: u derives from the stable md5 bucket of the
+    key (no RNG), and rows are ranked by ln(u)/w — the monotone log of the
+    A-ES key, so the order is identical but needs no cross-engine ``pow``.
+    Weights clamp to >= ``min_weight`` so zero-quality rows stay rankable
+    (ln(u)/0 would be -inf).
+
+    Scale shape: pure column math + ``orderBy().limit(k)`` — Spark plans a
+    distributed TakeOrdered partial top-k, never a global sort.
+    """
+    u = (md5_i64(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]),
+        salt=salt,
+    ).cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(float(min_weight)))
+    score = F.log(u) / w
+    return (
+        df.withColumn(score_col, score)
+        .orderBy(F.col(score_col).desc(), *[F.col(c) for c in key_cols])
+        .limit(k)
+        .withColumn(score_col, F.round(F.col(score_col), 6))
+    )
