@@ -345,3 +345,72 @@ def test_embedding_gram_single_aggregation_exchange(spark):
     n = plan.count("Exchange")
     assert n <= 1, f"{n} exchanges"
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_audit_has_no_bnl(spark):
+    """The triangle wedge/closing joins must stay equi hash joins — a BNL
+    here would be the all-pairs graph walk the orientation exists to
+    avoid.  (The only BNLs allowed are broadcast-scalar crossJoins from
+    the upstream LSH bucketing.)"""
+    plan = _plan(E.q_dedup_graph_triangles(spark, SF))
+    import re as _re
+    n_bnl = plan.count("BroadcastNestedLoopJoin")
+    n_cross = len(_re.findall(r"BroadcastNestedLoopJoin Build(?:Left|Right), Cross", plan))
+    assert n_bnl == n_cross, plan[:1500]
+    assert "CartesianProduct" not in plan
+    # the expensive pair-generation subplan must be materialized, not
+    # inlined once per reference: after the edge localCheckpoint the
+    # LSH bucket join appears ZERO times in the executed plan
+    assert "zip_with" not in plan
+
+
+def test_grouped_mode_windows_are_salted_or_droplet(spark):
+    """grouped_mode must never rank a group's whole distinct-value set in
+    one task: every row_number window is either salted (_salt) or runs
+    over the <= k*n_salt survivors."""
+    plan = _plan(E.q_grouped_mode(spark, SF))
+    wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, "expected row_number windows in the mode plan"
+    assert any("_salt" in w for w in wins), plan[:2000]
+
+
+def test_weighted_fixed_k_is_take_ordered(spark):
+    """A-ES top-k must plan as distributed TakeOrdered, not a global
+    sort."""
+    plan = _plan(E.q_weighted_fixed_k(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_pit_join_is_hash_on_keys(spark):
+    """The PIT containment lookup must hash-join on the (doc_id, source)
+    equi keys with the interval predicate as a post-filter — never a
+    nested loop over probes x versions."""
+    plan = _plan(E.q_scd2_pit_lookup(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_sliding_merge_is_register_sized(spark):
+    """The sliding-window distinct must aggregate REGISTERS, not events:
+    no distinct/countDistinct over raw keys appears after the daily
+    register groupBy — the only expand is the 3-offset explode."""
+    merged, _ = __import__(
+        "uncharted_ta1_spark.operators.sketches", fromlist=["hll_sliding_window"]
+    ).hll_sliding_window(
+        __import__(
+            "uncharted_ta1_spark.operators.sketches", fromlist=["hll_registers"]
+        ).hll_registers(
+            datagen.events_epoch_df(spark, SF).selectExpr(
+                "CAST(ts_us DIV 86400000000 AS LONG) AS day",
+                "CAST(user_id AS STRING) AS uk",
+            ),
+            ["day"],
+            "uk",
+        ),
+        day_col="day",
+        window_days=3,
+    )
+    plan = _plan(merged)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

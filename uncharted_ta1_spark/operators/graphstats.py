@@ -46,7 +46,14 @@ def triangle_stats(
 
     Returns one row per node of degree >= 2: (node, degree, n_triangles,
     clustering_coeff = 2T / (deg * (deg - 1))).
+
+    The edge list and the oriented edge list are MATERIALIZED
+    (localCheckpoint — the repo's CTE-inlining defense): the plan
+    references edges ~8 times (degree pass, orientation, both wedge
+    sides, the closing side), and without a checkpoint Spark would
+    re-evaluate the upstream pair-generation join for every reference.
     """
+    edges = edges.localCheckpoint()
     und = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("other")
     ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("other")))
@@ -71,7 +78,7 @@ def triangle_stats(
     ed = e.select(
         F.when(lower, F.col("_u")).otherwise(F.col("_v")).alias("s"),
         F.when(lower, F.col("_v")).otherwise(F.col("_u")).alias("d"),
-    )
+    ).localCheckpoint()
 
     wedges = (
         ed.alias("e1")
