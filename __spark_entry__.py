@@ -81,7 +81,10 @@ from uncharted_ta1_spark.operators.ranking import (
     ndcg_at_k,
     rrf_fuse,
 )
-from uncharted_ta1_spark.operators.graphstats import triangle_stats
+from uncharted_ta1_spark.operators.graphstats import (
+    kcore_membership,
+    triangle_stats,
+)
 from uncharted_ta1_spark.operators.sketches import (
     bloom_bits,
     bloom_membership,
@@ -7573,6 +7576,57 @@ LIMIT 10
 )
 
 
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-core of the banded-simhash candidate graph after a fixed 8-round
+    peel budget (operators/graphstats.py::kcore_membership): the
+    dense-subgraph quality filter — nodes kept only while they retain
+    >= 16 candidate neighbours among survivors, the standard peel that
+    strips the sparse fringe (banding false positives) and keeps the
+    near-clique dup cores.  Linear per round (degree groupBy + two
+    semi-joins) even on this deliberately dense graph — density is why
+    the CLOSURE-based ops avoid it, and why peeling doesn't care.  The
+    round budget is part of the semantic (the oracle replays the same
+    bounded chain, AS MATERIALIZED); the converged flag certifies the
+    fixpoint, making the output the true k-core."""
+    edges = simhash_pairs(
+        simhash16(_documents(spark, sf_dir)), max_hamming=3
+    ).select("doc1", "doc2")
+    return kcore_membership(edges, k=16, rounds=8)
+
+
+def _kcore_oracle_sql(nd_oracle: str, k: int = 16, rounds: int = 8) -> str:
+    """Bounded peeling chain as nested CTEs — one chain, same rounds as
+    the Spark operator's budget; converged = |e_{rounds-1}| == |e_rounds|
+    (peeling is idempotent at the fixpoint, so equality certifies it)."""
+    # AS MATERIALIZED: each round references its predecessor 3x — an
+    # inlining engine would otherwise expand the chain 3^rounds times
+    # (the same trap the Spark side answers with localCheckpoint)
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b"
+        f" FROM ({nd_oracle}) kc_nd)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT a AS node FROM e{r}"
+            f" UNION ALL SELECT b FROM e{r}),\n"
+            f"k{r} AS MATERIALIZED (SELECT node FROM u{r} GROUP BY node"
+            f" HAVING count(*) >= {k}),\n"
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r}"
+            f" WHERE a IN (SELECT node FROM k{r})"
+            f" AND b IN (SELECT node FROM k{r}))"
+        )
+    body = (
+        f"uf AS (SELECT a AS node FROM e{rounds}"
+        f" UNION ALL SELECT b FROM e{rounds}),\n"
+        f"cf AS (SELECT (SELECT count(*) FROM e{rounds - 1})"
+        f" = (SELECT count(*) FROM e{rounds}) AS converged)\n"
+        "SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_degree,\n"
+        "       (SELECT converged FROM cf) AS converged\n"
+        "FROM uf GROUP BY node"
+    )
+    return "WITH " + ",\n".join(parts) + ",\n" + body
+
+
 def q_weighted_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k weighted sample without replacement (Efraimidis-Spirakis
     A-ES, operators/sampling.py::weighted_fixed_k_sample): top-20 documents
@@ -10087,6 +10141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
+        "kcore_membership": q_kcore_membership,
         "pii_redact": q_pii_redact,
         "url_domains": q_url_domains,
         "spatial_contain_join": q_spatial_contain_join,
@@ -10294,8 +10349,11 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
-            h=md5_i64_duck("concat_ws(chr(31), CAST(doc_id AS VARCHAR))", salt="aes"),
+            h=md5_i64_duck(
+                'concat_ws(chr(31), CAST(doc_id AS VARCHAR))', salt="aes"
+            ),
         ),
+        "kcore_membership": _kcore_oracle_sql(ORACLE_SIMHASH_PAIRS),
         "corpus_curation": ORACLE_CORPUS_CURATION.format(
             tq=ORACLE_TEXT_QUALITY,
             we=ORACLE_WORD_ENTROPY,

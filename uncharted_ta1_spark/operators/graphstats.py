@@ -122,3 +122,63 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "doc1",
+    dst: str = "doc2",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Nodes surviving ``rounds`` rounds of k-core peeling (remove every
+    node of degree < k, restrict edges, repeat) + their residual degree
+    and whether the peel CONVERGED (a fixpoint was reached within the
+    round budget — when true, the output IS the k-core).
+
+    The dense-subgraph quality filter of web-graph curation (public
+    algorithm: Seidman 1983 cores; the standard iterative peel).  The
+    fixed round budget is part of the operator's SEMANTIC — it makes the
+    result engine-portable (the DuckDB oracle replays the same bounded
+    chain) while the convergence flag reports whether the budget bound
+    ever bit.  Peeling is idempotent at the fixpoint, so early exit on
+    convergence returns the identical result.
+
+    Scale shape: each round is one degree groupBy + two semi-joins, and
+    each round's edge set is MATERIALIZED (localCheckpoint — the linear
+    iterative chain, the repo's CTE-inlining defense); rounds never
+    re-evaluate their predecessors.
+    """
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    n_cur = cur.count()
+    converged = False
+    for _ in range(rounds):
+        und = cur.select(F.col("a").alias("node")).unionByName(
+            cur.select(F.col("b").alias("node"))
+        )
+        deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            converged = True
+            break
+        n_cur = n_nxt
+    und = cur.select(F.col("a").alias("node")).unionByName(
+        cur.select(F.col("b").alias("node"))
+    )
+    out = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    return out.select(
+        F.col("node").alias(out_id),
+        "core_degree",
+        F.lit(converged).alias("converged"),
+    )
