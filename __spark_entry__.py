@@ -7580,6 +7580,66 @@ LIMIT 10
 )
 
 
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine join (similarity.py::
+    sparse_cosine_pairs — Bayardo WWW'07 inverted-index candidates with a
+    df cap, milli-quantized integer weights so dot/norm sums are exact and
+    order-free): the LEXICAL sibling of the dense embedding near-dup path
+    — catches the id-shifted copy structure through shared rare terms, a
+    signal the dense join reaches through a completely different
+    representation."""
+    from uncharted_ta1_spark.operators.similarity import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _documents(spark, sf_dir), min_cosine=0.5, max_df_frac=0.5
+    )
+
+
+ORACLE_SPARSE_COSINE = """
+WITH spc_dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> length(w) > 0))
+           AS word
+  FROM documents
+),
+spc_tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM spc_dw GROUP BY doc_id, word
+),
+spc_df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM spc_tf GROUP BY word
+),
+spc_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+spc_w AS (
+  SELECT t.doc_id, t.word,
+         CAST(floor(CAST(t.tf AS DOUBLE)
+           * ln((n + 1.0) / (df + 1.0)) * 1000.0 + 0.5) AS BIGINT) AS wi
+  FROM spc_tf t JOIN spc_df USING (word) CROSS JOIN spc_n
+  WHERE df <= n / 2
+),
+spc_nrm AS (
+  SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS n2
+  FROM spc_w GROUP BY doc_id
+),
+spc_dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(sum(a.wi * b.wi) AS BIGINT) AS dot_milli
+  FROM spc_w a JOIN spc_w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+spc_cos AS (
+  SELECT d1 AS doc1, d2 AS doc2, dot_milli,
+         dot_milli / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+           AS c
+  FROM spc_dots
+  JOIN spc_nrm na ON na.doc_id = d1
+  JOIN spc_nrm nb ON nb.doc_id = d2
+)
+SELECT doc1, doc2, dot_milli, round(c, 9) AS cos_sim
+FROM spc_cos WHERE c >= 0.5
+"""
+
+
 def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-core of the banded-simhash candidate graph after a fixed 8-round
     peel budget (operators/graphstats.py::kcore_membership): the
@@ -10146,6 +10206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
+        "sparse_cosine_pairs": q_sparse_cosine_pairs,
         "pii_redact": q_pii_redact,
         "url_domains": q_url_domains,
         "spatial_contain_join": q_spatial_contain_join,
@@ -10358,6 +10419,7 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "kcore_membership": _kcore_oracle_sql(ORACLE_SIMHASH_PAIRS),
+        "sparse_cosine_pairs": ORACLE_SPARSE_COSINE,
         "corpus_curation": ORACLE_CORPUS_CURATION.format(
             tq=ORACLE_TEXT_QUALITY,
             we=ORACLE_WORD_ENTROPY,

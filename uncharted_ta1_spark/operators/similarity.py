@@ -484,3 +484,97 @@ def random_project(
             acc = t if acc is None else acc + t
         outs.append(acc.cast("long").alias(f"p{k}"))
     return q.select(id_col, *outs)
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    *,
+    min_cosine: float = 0.5,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs cosine similarity over SPARSE TF-IDF term vectors — the
+    lexical sibling of the dense-embedding near-dup join (public method:
+    Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search", WWW'07;
+    candidate generation via inverted index with a document-frequency cap).
+
+    Reference analog: the legend↔extraction fuzzy matching
+    (``tasks/point_extraction/legend_item_utils.py`` label similarity)
+    done corpus-wide instead of per-document-pair.
+
+    Scale shape: terms with df > max_df_frac * N are dropped from the
+    VECTORS (boilerplate carries no TF-IDF mass and would fan the inverted
+    index quadratically — same cap as the n-gram Jaccard join); candidates
+    come from one inverted-index equi-join on the surviving terms; each
+    pair's dot product is ONE combinable groupBy.
+
+    Float portability: weights tf * ln((N+1)/(df+1)) are milli-quantized
+    to BIGINT, so dot products and squared norms are EXACT integer sums
+    (order-free — a float SUM over shared terms would be order-dependent
+    across engines); the only floats are the final sqrt/divide tree.
+    Returns (doc1, doc2, dot_milli, cos_sim) for pairs >= min_cosine.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    dw = docs.select(F.col(id_col), F.explode(words).alias("word"))
+    tf = dw.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfx = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        tf.join(dfx, "word")
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") <= (F.col("n") / F.lit(int(round(1 / max_df_frac)))))
+        .select(
+            F.col(id_col),
+            "word",
+            F.floor(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wi"),
+        )
+    )
+    nrm = w.groupBy(id_col).agg(
+        F.sum(F.col("wi") * F.col("wi")).cast("long").alias("n2")
+    )
+    a = w.select(
+        F.col(id_col).alias("d1"), F.col("word"), F.col("wi").alias("wa")
+    )
+    b = w.select(
+        F.col(id_col).alias("d2"), F.col("word"), F.col("wi").alias("wb")
+    )
+    dots = (
+        a.join(b, "word")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot_milli"))
+    )
+    cos = (
+        dots.join(nrm.select(F.col(id_col).alias("d1"), F.col("n2").alias("_na")), "d1")
+        .join(nrm.select(F.col(id_col).alias("d2"), F.col("n2").alias("_nb")), "d2")
+        .select(
+            F.col("d1").alias("doc1"),
+            F.col("d2").alias("doc2"),
+            "dot_milli",
+            (
+                F.col("dot_milli").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                )
+            ).alias("_cos"),
+        )
+    )
+    return cos.where(F.col("_cos") >= F.lit(float(min_cosine))).select(
+        "doc1", "doc2", "dot_milli", F.round("_cos", 9).alias("cos_sim")
+    )
