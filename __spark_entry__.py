@@ -8005,6 +8005,143 @@ JOIN slw_exact x USING (win_day)
 )
 
 
+def q_cms_sliding_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-day heavy hitters from MERGED DAILY CMS PARTIALS — the
+    additive-merge counterpart of hll_sliding_distinct (HLL merges by
+    max, CMS by +): events are scanned once into per-day 4x256 counter
+    tables; every window is a constant-size counter sum, never an event
+    rescan.  Per window: the exact top-3 users (from the same daily-count
+    partials merged by +) with their CMS estimates and overcounts — the
+    sketch judged against truth per window."""
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
+        F.col("user_id").cast("string").alias("uk"),
+    )
+    daily = ev.groupBy("day", "uk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    counters = cms_counters(daily, word_col="uk", group_cols=["day"])
+
+    offs = F.array(F.lit(0), F.lit(1), F.lit(2))
+    days = ev.select(F.col("day").alias("win_day")).distinct()
+    win_counters = (
+        counters.select(
+            "day", "j", "bucket", "cnt", F.explode(offs).alias("_o")
+        )
+        .withColumn("win_day", (F.col("day") + F.col("_o")).cast("long"))
+        .join(days, "win_day")
+        .groupBy("win_day", "j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    win_exact = (
+        daily.select("day", "uk", "c", F.explode(offs).alias("_o"))
+        .withColumn("win_day", (F.col("day") + F.col("_o")).cast("long"))
+        .join(days, "win_day")
+        .groupBy("win_day", "uk")
+        .agg(F.sum("c").cast("long").alias("exact_count"))
+    )
+    w = Window.partitionBy("win_day").orderBy(
+        F.col("exact_count").desc(), F.col("uk").asc()
+    )
+    top = (
+        win_exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+    )
+    probes = []
+    for j in range(4):
+        bucket = (md5_i64(F.col("uk"), salt=f"cms{j}") % 256).cast("int")
+        probes.append(
+            top.select(
+                "win_day", "uk", F.lit(j).alias("j"), bucket.alias("bucket")
+            )
+        )
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionByName(p)
+    est = (
+        probe.join(F.broadcast(win_counters), ["win_day", "j", "bucket"])
+        .groupBy("win_day", "uk")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    return top.join(est, ["win_day", "uk"]).select(
+        "win_day",
+        "uk",
+        "rank",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+# same md5 buckets / additive merges as the Spark side; 4 hash legs
+# generated per salt cms0..cms3
+ORACLE_CMS_SLIDING = (
+    duck_with(EVENTS_DUCK)
+    + """
+, csl_keys AS (
+  SELECT ts_us // 86400000000 AS day, CAST(user_id AS VARCHAR) AS uk
+  FROM events_epoch
+),
+csl_days AS (SELECT DISTINCT day AS win_day FROM csl_keys),
+csl_daily AS (
+  SELECT day, uk, CAST(count(*) AS BIGINT) AS c
+  FROM csl_keys GROUP BY day, uk
+),
+csl_ctr AS (
+  SELECT day, j, bucket, CAST(sum(c) AS BIGINT) AS cnt FROM (
+  SELECT day, 0 AS j, CAST((('0x' || substr(md5('cms0' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket, c FROM csl_daily
+    UNION ALL
+  SELECT day, 1 AS j, CAST((('0x' || substr(md5('cms1' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket, c FROM csl_daily
+    UNION ALL
+  SELECT day, 2 AS j, CAST((('0x' || substr(md5('cms2' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket, c FROM csl_daily
+    UNION ALL
+  SELECT day, 3 AS j, CAST((('0x' || substr(md5('cms3' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket, c FROM csl_daily
+  ) raw GROUP BY day, j, bucket
+),
+csl_wctr AS (
+  SELECT d.win_day, c.j, c.bucket, CAST(sum(c.cnt) AS BIGINT) AS cnt
+  FROM csl_ctr c JOIN csl_days d ON c.day BETWEEN d.win_day - 2 AND d.win_day
+  GROUP BY d.win_day, c.j, c.bucket
+),
+csl_wexact AS (
+  SELECT d.win_day, x.uk, CAST(sum(x.c) AS BIGINT) AS exact_count
+  FROM csl_daily x JOIN csl_days d ON x.day BETWEEN d.win_day - 2 AND d.win_day
+  GROUP BY d.win_day, x.uk
+),
+csl_top AS (
+  SELECT win_day, uk, exact_count,
+         CAST(row_number() OVER (
+           PARTITION BY win_day ORDER BY exact_count DESC, uk ASC
+         ) AS INT) AS rank
+  FROM csl_wexact
+  QUALIFY rank <= 3
+),
+csl_probe AS (
+  SELECT win_day, uk, rank, exact_count, 0 AS j, CAST((('0x' || substr(md5('cms0' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket FROM csl_top
+    UNION ALL
+  SELECT win_day, uk, rank, exact_count, 1 AS j, CAST((('0x' || substr(md5('cms1' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket FROM csl_top
+    UNION ALL
+  SELECT win_day, uk, rank, exact_count, 2 AS j, CAST((('0x' || substr(md5('cms2' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket FROM csl_top
+    UNION ALL
+  SELECT win_day, uk, rank, exact_count, 3 AS j, CAST((('0x' || substr(md5('cms3' || uk), 1, 15))::BIGINT) % 256 AS INTEGER) AS bucket FROM csl_top
+),
+csl_est AS (
+  SELECT p.win_day, p.uk, CAST(min(w.cnt) AS BIGINT) AS cms_estimate
+  FROM csl_probe p
+  JOIN csl_wctr w ON w.win_day = p.win_day AND w.j = p.j AND w.bucket = p.bucket
+  GROUP BY p.win_day, p.uk
+)
+SELECT t.win_day, t.uk, t.rank, t.exact_count, e.cms_estimate,
+       CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overcount
+FROM csl_top t JOIN csl_est e ON e.win_day = t.win_day AND e.uk = t.uk
+"""
+)
+
+
 def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-event_type plurality winner (modal user_id, ties to the
     smallest id) via operators/aggregates.py::grouped_mode — a combinable
@@ -10234,6 +10371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
+        "cms_sliding_hitters": q_cms_sliding_hitters,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -10453,6 +10591,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,
+        "cms_sliding_hitters": ORACLE_CMS_SLIDING,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

@@ -98,3 +98,38 @@ def test_sliding_merge_day_lineage(spark):
     # day 0: only day 0; day 1: days 0,1; day 2: days 0,1,2;
     # day 5: only day 5 (days 3,4 have no partials)
     assert got == {0: 1, 1: 2, 2: 3, 5: 1}
+
+
+def test_cms_daily_merge_equals_direct_window(spark):
+    """CMS additive mergeability: summing per-day counters over days
+    d-2..d must be bit-identical to sketching the window's counts
+    directly."""
+    from pyspark.sql import functions as F2
+    from uncharted_ta1_spark.operators.sketches import cms_counters
+
+    ev = _day_events(spark, n=2000, days=6, users=150)
+    daily_counts = ev.groupBy("day", "uk").agg(
+        F2.count(F2.lit(1)).cast("long").alias("c")
+    )
+    daily_ctr = cms_counters(daily_counts, word_col="uk", group_cols=["day"])
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    for d in days:
+        merged = {
+            (r.j, r.bucket): r.cnt
+            for r in daily_ctr.where(
+                (F2.col("day") >= d - 2) & (F2.col("day") <= d)
+            )
+            .groupBy("j", "bucket")
+            .agg(F2.sum("cnt").cast("long").alias("cnt"))
+            .collect()
+        }
+        win_counts = (
+            ev.where((F2.col("day") >= d - 2) & (F2.col("day") <= d))
+            .groupBy("uk")
+            .agg(F2.count(F2.lit(1)).cast("long").alias("c"))
+        )
+        direct = {
+            (r.j, r.bucket): r.cnt
+            for r in cms_counters(win_counts, word_col="uk").collect()
+        }
+        assert merged == direct, f"window ending day {d}"

@@ -222,13 +222,17 @@ def bloom_membership(probes: DataFrame, bits: DataFrame,
 
 
 def cms_counters(word_counts: DataFrame, word_col: str = "word",
-                 count_col: str = "c") -> DataFrame:
-    """Count-min sketch counters: (j, bucket, cnt) for j in 0..3.
+                 count_col: str = "c",
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Count-min sketch counters: (group..., j, bucket, cnt) for j in 0..3.
 
     Input is a (word, count) table (itself one combinable groupBy over the
-    corpus); output is at most 4*256 = 1024 rows.  Counters for disjoint
-    corpora merge by summing cnt on (j, bucket).
+    corpus); output is at most |groups| * 4*256 rows.  Counters for
+    disjoint corpora (or adjacent time partitions) merge by summing cnt
+    on (group, j, bucket) — the additive-merge half of the sketch story
+    (HLL registers merge by max, CMS counters by +).
     """
+    gcols = list(group_cols or [])
     rows = []
     for j in range(CMS_DEPTH):
         bucket = (md5_i64(F.col(word_col), salt=f"cms{j}") % CMS_WIDTH).cast(
@@ -236,6 +240,7 @@ def cms_counters(word_counts: DataFrame, word_col: str = "word",
         )
         rows.append(
             word_counts.select(
+                *gcols,
                 F.lit(j).alias("j"),
                 bucket.alias("bucket"),
                 F.col(count_col).alias("c"),
@@ -245,7 +250,7 @@ def cms_counters(word_counts: DataFrame, word_col: str = "word",
     for r in rows[1:]:
         all_rows = all_rows.unionByName(r)
     return (
-        all_rows.groupBy("j", "bucket")
+        all_rows.groupBy(*gcols, "j", "bucket")
         .agg(F.sum("c").cast("long").alias("cnt"))
     )
 
