@@ -8208,13 +8208,41 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k lists, so fusion is droplet-sized outer-join arithmetic — the
     corpus-scale work stays in BM25's pruned scan and ANN's ranking.
     Missing ranks surface as -1 sentinels."""
+    from pyspark.sql.window import Window
+
+    from uncharted_ta1_spark.operators.similarity import _dot, with_norm
+
     docs = _documents(spark, sf_dir)
     emb = _embeddings(spark, sf_dir).join(
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
     lex = bm25_ranked(docs, BM25_TERMS, k=50).select("doc_id", "rank")
-    dense = cosine_topk(emb, query_pred=F.col("vec_id") == 0, k=50).select(
-        F.col("vid").alias("doc_id"), "rank"
+    # dense leg: ONE query vector -> cosine_topk's per-qid window would
+    # rank the whole bridged corpus in a single task; orderBy+limit plans
+    # as distributed TakeOrdered instead, with the rank window running
+    # over the 50 survivors only
+    base = with_norm(emb)
+    q0 = base.where(F.col("vec_id") == 0).select(
+        F.col("_emb_d").alias("_qe"), F.col("_norm").alias("_qn")
+    )
+    sims = (
+        base.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("_qe"), F.col("_emb_d"))
+                / (F.col("_qn") * F.col("_norm"))
+            ).alias("_sim"),
+        )
+    )
+    top50 = sims.orderBy(F.col("_sim").desc(), F.col("doc_id").asc()).limit(50)
+    dense = top50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_sim").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rank"),
     )
     fused = rrf_fuse([lex, dense], topk=10)
     return fused.select(

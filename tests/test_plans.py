@@ -414,3 +414,11 @@ def test_hll_sliding_merge_is_register_sized(spark):
     plan = _plan(merged)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_dense_leg_is_take_ordered(spark):
+    """The single-query dense leg must plan as distributed TakeOrdered —
+    a per-qid window with one query would rank the whole bridged corpus
+    in ONE task."""
+    plan = _plan(E.q_hybrid_rrf(spark, SF))
+    assert "TakeOrderedAndProject" in plan
