@@ -8020,8 +8020,6 @@ def q_cms_sliding_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("day", "uk").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    from pyspark.sql.window import Window
-
     counters = cms_counters(daily, word_col="uk", group_cols=["day"])
 
     offs = F.array(F.lit(0), F.lit(1), F.lit(2))
@@ -8042,12 +8040,17 @@ def q_cms_sliding_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_day", "uk")
         .agg(F.sum("c").cast("long").alias("exact_count"))
     )
-    w = Window.partitionBy("win_day").orderBy(
-        F.col("exact_count").desc(), F.col("uk").asc()
-    )
-    top = (
-        win_exact.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 3)
+    # per-window top-3 via the two-phase salted rank — a plain
+    # win_day-partitioned window would sort each window's ENTIRE distinct
+    # user set in one task at web scale
+    from uncharted_ta1_spark.operators.aggregates import grouped_topk
+
+    top = grouped_topk(
+        win_exact,
+        group_cols=["win_day"],
+        order_exprs=[(F.col("exact_count"), True), (F.col("uk"), False)],
+        k=3,
+        rank_col="rank",
     )
     probes = []
     for j in range(4):
