@@ -6153,17 +6153,47 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the size of the SMALLEST class by keeping the lowest deterministic
     hash ranks within each class — the rebalancing step before training on
     skewed label distributions, reproducible across engines and reruns
-    (df.sample is neither).  The per-class rank is a window on the class
-    key; the 1-row minimum class size broadcasts back.  Emits the per-
-    class manifest (kept counts equal everywhere + kept-hash checksum)."""
+    (df.sample is neither).
+
+    Rank plan (exact, bounded tasks): a plain class-partitioned window
+    would rank each class's ENTIRE row set in one task (the value_deciles
+    / vocab_index scale-killer).  The rank key here is a uniform md5
+    hash, so fixed hash-range bucketing (top 6 bits -> 64 buckets) is
+    monotone in the order key with no sketch needed: row_number runs per
+    (class, bucket) in parallel and a broadcast per-(class,bucket)
+    exclusive offset (droplet-sized counts table) restores the exact
+    global rank — bit-identical to the naive window.  The 1-row minimum
+    class size broadcasts back.  Emits the per-class manifest (kept
+    counts equal everywhere + kept-hash checksum)."""
     from pyspark.sql.window import Window
 
     ev = datagen.events_epoch_df(spark, sf_dir)
     h = md5_i64(
         F.concat_ws("|", F.col("event_id").cast("string"), F.lit("bal"))
     )
-    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
-    ranked = ev.withColumn("_h", h).withColumn("_rn", F.row_number().over(w))
+    hashed = ev.withColumn("_h", h).withColumn(
+        "_bkt", F.shiftright(F.col("_h"), 54).cast("int")
+    )
+    bcounts = hashed.groupBy("event_type", "_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "event_type",
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_off"),
+    )
+    wloc = Window.partitionBy("event_type", "_bkt").orderBy(
+        F.col("_h").asc(), F.col("event_id").asc()
+    )
+    ranked = (
+        hashed.join(F.broadcast(offsets), ["event_type", "_bkt"])
+        .withColumn("_rn", F.row_number().over(wloc) + F.col("_off"))
+    )
     sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
     min_n = sizes.agg(F.min("_n").alias("_min_n"))
     kept = ranked.join(F.broadcast(min_n)).where(F.col("_rn") <= F.col("_min_n"))

@@ -422,3 +422,14 @@ def test_hybrid_rrf_dense_leg_is_take_ordered(spark):
     in ONE task."""
     plan = _plan(E.q_hybrid_rrf(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_class_balance_rank_is_hash_bucketed(spark):
+    """class_balance's exact per-class rank must run per (class, hash
+    bucket) — never a class-only window that sorts a whole class in one
+    task."""
+    plan = _plan(E.q_class_balance(spark, SF))
+    wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins
+    for w in wins:
+        assert "_bkt" in w, w
