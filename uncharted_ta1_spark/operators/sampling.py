@@ -116,19 +116,23 @@ def fixed_k_hash_sample(
     symbol cap, template_match_point_extractor.py:49) as a reproducible
     sampler rather than an arbitrary head.
 
-    One window rank per stratum partition — rows beyond k are dropped
-    before any downstream shuffle.
+    Rank plan: the two-phase salted top-k (aggregates.grouped_topk) — a
+    plain stratum-partitioned window would sort a whole stratum's rows in
+    ONE task (the class-partitioned-rank scale-killer); the salted rank
+    keeps at most k rows per (stratum, salt) before the droplet-sized
+    final rank, bit-identical to the naive window.
     """
-    from pyspark.sql.window import Window
+    from uncharted_ta1_spark.operators.aggregates import grouped_topk
 
     h = sample_bucket_expr(key_cols, salt=salt)
-    order = [h.asc()] + [F.col(c).asc() for c in key_cols]
-    w = Window.partitionBy(*strata).orderBy(*order)
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    order_exprs = [(h, False)] + [(F.col(c), False) for c in key_cols]
+    return grouped_topk(
+        df,
+        group_cols=list(strata),
+        order_exprs=order_exprs,
+        k=k,
+        rank_col="_rk",
+    ).drop("_rk")
 
 
 def sample_bucket_expr(key_cols: Sequence[str], salt: str = "") -> F.Column:
