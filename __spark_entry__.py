@@ -8982,24 +8982,44 @@ def q_rect_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rect_union(rects, keys=["class_id"], cell=8)
 
 
+# components via the same bounded min-label propagation as
+# ORACLE_DEDUP_CLUSTERS (the recursive closure took 366 s at sf0.5)
 ORACLE_RECT_UNION = f"""
-WITH RECURSIVE rects AS ({RECTS_UNION_SQL}),
-pairs AS (
+WITH rects AS MATERIALIZED ({RECTS_UNION_SQL}),
+ru_pairs AS MATERIALIZED (
   SELECT a.rect_id AS r1, b.rect_id AS r2
   FROM rects a JOIN rects b
     ON a.class_id = b.class_id AND a.rect_id < b.rect_id
    AND a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
 ),
-sym AS (SELECT r1 AS a, r2 AS b FROM pairs UNION SELECT r2, r1 FROM pairs),
-reach(a, b) AS (
-  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+ru_nodes AS MATERIALIZED (
+  SELECT DISTINCT r1 AS n FROM ru_pairs UNION SELECT r2 FROM ru_pairs
 ),
-clusters AS (SELECT a AS rect_id, min(b) AS region_of FROM reach GROUP BY a),
+ru_sym AS MATERIALIZED (
+  SELECT r1 AS a, r2 AS b FROM ru_pairs
+  UNION ALL SELECT r2, r1 FROM ru_pairs
+  UNION ALL SELECT n, n FROM ru_nodes
+),
+ru_l0 AS MATERIALIZED (SELECT n AS node, n AS lab FROM ru_nodes),
+ru_l1 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l0 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l0 l JOIN ru_l0 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l2 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l1 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l1 l JOIN ru_l1 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l3 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l2 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l2 l JOIN ru_l2 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l4 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l3 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l3 l JOIN ru_l3 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l5 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l4 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l4 l JOIN ru_l4 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l6 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l5 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l5 l JOIN ru_l5 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l7 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l6 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l6 l JOIN ru_l6 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l8 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l7 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l7 l JOIN ru_l7 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l9 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l8 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l8 l JOIN ru_l8 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l10 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l9 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l9 l JOIN ru_l9 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l11 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l10 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l10 l JOIN ru_l10 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l12 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l11 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l11 l JOIN ru_l11 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l13 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l12 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l12 l JOIN ru_l12 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l14 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l13 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l13 l JOIN ru_l13 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l15 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l14 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l14 l JOIN ru_l14 l2 ON l2.node = l.lab) u GROUP BY node),
+ru_l16 AS MATERIALIZED (SELECT node, min(lab) AS lab FROM ( SELECT s.a AS node, l.lab FROM ru_sym s JOIN ru_l15 l ON l.node = s.b UNION ALL SELECT l.node, l2.lab FROM ru_l15 l JOIN ru_l15 l2 ON l2.node = l.lab) u GROUP BY node),
 labeled AS (
-  SELECT r.*, COALESCE(c.region_of, r.rect_id) AS region_id
-  FROM rects r LEFT JOIN clusters c ON c.rect_id = r.rect_id
+  SELECT r.*, COALESCE(c.lab, r.rect_id) AS region_id
+  FROM rects r LEFT JOIN ru_l16 c ON c.node = r.rect_id
 )
 SELECT class_id, CAST(region_id AS BIGINT) AS region_id,
        CAST(min(x0) AS BIGINT) AS region_x0,
