@@ -3585,6 +3585,91 @@ QUALIFY rank <= 3
 )
 
 
+def q_blob_cache_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 pull-through blob cache ON THE ORACLE GATE (previously
+    pytest-only): deterministic synthetic blobs ("BLOB:" + text, the
+    sandbox stand-in for the reference's S3 image store,
+    tasks/common/image_cache.py:17-69) are staged once per session to a
+    local "remote" dir; every probe row is then served THROUGH
+    sources.io.PullThroughBlobCache inside mapInPandas — workers share
+    one cache dir, exercising the atomic os.replace race path — and the
+    query emits each doc's served-blob md5 + byte length (n_served = 2:
+    the probe list is doubled so repeat keys traverse the cache-hit
+    path).  The DuckDB oracle derives the same md5/length from the text
+    column independently, so a truncated or corrupted served blob
+    hash-mismatches."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from uncharted_ta1_spark.sources.io import PullThroughBlobCache
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    skey = (sf_dir, "blob_remote")
+    remote = _STREAM_STAGE_CACHE.get(skey)
+    if remote is None or not os.path.isdir(remote):
+        root = tempfile.mkdtemp(prefix="sparkgraft_blobremote_")
+        remote = os.path.join(root, "store")
+        os.makedirs(remote)
+        for r in docs.collect():
+            blob = ("BLOB:" + r.text).encode("utf-8")
+            name = hashlib.sha256(str(r.doc_id).encode()).hexdigest()
+            with open(os.path.join(root, "store", name), "wb") as f:
+                f.write(blob)
+        if not _STREAM_STAGE_CACHE:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+                    for p in _STREAM_STAGE_CACHE.values()
+                ]
+            )
+        _STREAM_STAGE_CACHE[skey] = remote
+    cache_dir = os.path.join(os.path.dirname(remote), "cache")
+
+    remote_dir = remote
+
+    def serve(batches):
+        import hashlib as hl
+
+        import pandas as pd
+
+        def fetch(key: str) -> bytes:
+            name = hl.sha256(key.encode()).hexdigest()
+            with open(os.path.join(remote_dir, name), "rb") as f:
+                return f.read()
+
+        cache = PullThroughBlobCache(cache_dir, fetch)
+        for pdf in batches:
+            blobs = [cache.get(str(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "blob_md5": [hl.md5(b).hexdigest() for b in blobs],
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    doubled = docs.select("doc_id").unionByName(docs.select("doc_id"))
+    served = doubled.repartition(8).mapInPandas(
+        serve, "doc_id long, blob_md5 string, n_bytes long"
+    )
+    return served.groupBy("doc_id", "blob_md5", "n_bytes").agg(
+        F.count(F.lit(1)).cast("long").alias("n_served")
+    )
+
+
+# independent derivation: the blob IS "BLOB:" + text, so md5/byte-length
+# come straight from the documents table — any cache corruption mismatches
+ORACLE_BLOB_CACHE_SERVE = """
+SELECT doc_id,
+       md5('BLOB:' || text) AS blob_md5,
+       CAST(octet_length(encode('BLOB:' || text)) AS BIGINT) AS n_bytes,
+       CAST(2 AS BIGINT) AS n_served
+FROM documents
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload 'decode' via Arrow-batched mapInPandas (stub decoder)."""
     return multimodal_features(_documents(spark, sf_dir))
@@ -10397,6 +10482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_trend": q_first_last_trend,
         "rank_users_by_type": q_rank_users_by_type,
         "multimodal_decode": q_multimodal_decode,
+        "blob_cache_serve": q_blob_cache_serve,
         "image_decode": q_image_decode,
         "token_sum_pandas": q_token_sum_pandas,
         "feature_backfill": q_feature_backfill,
@@ -10603,6 +10689,7 @@ def oracle_sql() -> dict[str, str]:
         "first_last_trend": ORACLE_FIRST_LAST_TREND,
         "rank_users_by_type": ORACLE_RANK_USERS,
         "multimodal_decode": ORACLE_MULTIMODAL,
+        "blob_cache_serve": ORACLE_BLOB_CACHE_SERVE,
         "image_decode": _image_decode_oracle(),
         "token_sum_pandas": ORACLE_TOKEN_SUM,
         "feature_backfill": ORACLE_FEATURE_BACKFILL,
