@@ -60,3 +60,59 @@ def test_boilerplate_term_excluded(spark):
     )
     got = sparse_cosine_pairs(df, min_cosine=0.01, max_df_frac=0.5).collect()
     assert got == []
+
+
+def test_matches_bruteforce_random_corpora(spark):
+    """Randomized check: pairs and cosines must equal a brute-force
+    numpy/python computation of the same milli-quantized semantics."""
+    import itertools
+    import random
+
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc1, r.doc2): (r.dot_milli, r.cos_sim)
+        for r in sparse_cosine_pairs(
+            df, min_cosine=0.2, max_df_frac=0.5
+        ).collect()
+    }
+
+    n = len(docs)
+    tf = {}
+    dfc = {}
+    for i, text in docs:
+        counts = {}
+        for w in text.split():
+            counts[w] = counts.get(w, 0) + 1
+        tf[i] = counts
+        for w in counts:
+            dfc[w] = dfc.get(w, 0) + 1
+    vec = {}
+    for i, counts in tf.items():
+        v = {}
+        for w, t in counts.items():
+            if dfc[w] <= n / 2:
+                v[w] = math.floor(
+                    t * math.log((n + 1) / (dfc[w] + 1)) * 1000.0 + 0.5
+                )
+        vec[i] = v
+    expect = {}
+    for a, b in itertools.combinations(range(n), 2):
+        shared = set(vec[a]) & set(vec[b])
+        if not shared:
+            continue
+        dot = sum(vec[a][w] * vec[b][w] for w in shared)
+        na = math.sqrt(sum(x * x for x in vec[a].values()))
+        nb = math.sqrt(sum(x * x for x in vec[b].values()))
+        cos = dot / (na * nb)
+        if cos >= 0.2:
+            expect[(a, b)] = (dot, round(cos, 9))
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == expect[k][0], k
+        assert abs(got[k][1] - expect[k][1]) < 1e-9, k
