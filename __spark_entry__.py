@@ -8120,6 +8120,165 @@ JOIN slw_exact x USING (win_day)
 )
 
 
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) set-overlap estimation between the train and eval
+    shingle sets (operators/sketches.py::kmv_sketch — same doc_id % 10
+    split as q_decontaminate): 256-minimum-values sketches per set, union
+    sketch = k smallest of the merged sketches, jaccard = fraction of the
+    union sketch present in BOTH input sketches, intersection = jaccard x
+    union estimate.  The set-INTERSECTION estimator HLL cannot provide —
+    contamination sizing at 100 TB without an exact distinct join.  Exact
+    cardinalities ride along so every estimate is judged against truth."""
+    from uncharted_ta1_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    docs = _documents(spark, sf_dir)
+    tr = doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3).select(
+        F.lit("train").alias("setname"), "sh_hash"
+    )
+    ev = doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3).select(
+        F.lit("eval").alias("setname"), "sh_hash"
+    )
+    both = tr.unionByName(ev)
+    kmv = kmv_sketch(both, "setname").localCheckpoint()
+    est = kmv_estimate(kmv, "setname")
+
+    ka = kmv.where(F.col("setname") == "train").select("sh_hash")
+    kb = kmv.where(F.col("setname") == "eval").select("sh_hash")
+    ku = (
+        ka.unionByName(kb)
+        .distinct()
+        .orderBy("sh_hash")
+        .limit(KMV_K)
+        .select(F.lit("union").alias("setname"), "sh_hash")
+    )
+    est_u = kmv_estimate(ku, "setname").select(
+        F.col("kmv_est").alias("est_union")
+    )
+    inter_n = (
+        ku.select("sh_hash")
+        .join(ka, "sh_hash", "semi")
+        .join(kb, "sh_hash", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    # exact truths (the evaluation side; at production scale you run only
+    # the sketches)
+    ta = tr.select("sh_hash").distinct()
+    tb = ev.select("sh_hash").distinct()
+    exact = (
+        ta.agg(F.count(F.lit(1)).cast("long").alias("exact_train"))
+        .crossJoin(tb.agg(F.count(F.lit(1)).cast("long").alias("exact_eval")))
+        .crossJoin(
+            ta.unionByName(tb)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+        )
+        .crossJoin(
+            ta.join(tb, "sh_hash", "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        )
+    )
+    ea = est.where(F.col("setname") == "train").select(
+        F.col("kmv_est").alias("est_train")
+    )
+    eb = est.where(F.col("setname") == "eval").select(
+        F.col("kmv_est").alias("est_eval")
+    )
+    jac = F.col("n_both").cast("double") / F.lit(float(KMV_K))
+    return (
+        exact.crossJoin(ea)
+        .crossJoin(eb)
+        .crossJoin(est_u)
+        .crossJoin(inter_n)
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            "exact_train",
+            "exact_eval",
+            "exact_union",
+            "exact_intersection",
+            F.round("est_train", 6).alias("est_train"),
+            F.round("est_eval", 6).alias("est_eval"),
+            F.round("est_union", 6).alias("est_union"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * F.col("est_union"), 6).alias("est_intersection"),
+        )
+    )
+
+
+# same 60-bit shingle hashes; k smallest via QUALIFY; estimator tree
+# (k-1)*2^60/h_k with the <k collapse, shared with kmv_estimate
+ORACLE_KMV_SET_OVERLAP = (
+    duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+    + """
+, kmv_sets AS (
+  SELECT 'train' AS setname, sh_hash FROM doc_shingles WHERE doc_id % 10 != 3
+  UNION ALL
+  SELECT 'eval', sh_hash FROM doc_shingles WHERE doc_id % 10 = 3
+),
+kmv_d AS (SELECT DISTINCT setname, sh_hash FROM kmv_sets),
+kmv_k AS (
+  SELECT setname, sh_hash FROM kmv_d
+  QUALIFY row_number() OVER (
+    PARTITION BY setname ORDER BY sh_hash ASC
+  ) <= 256
+),
+kmv_est AS (
+  SELECT setname, count(*) AS n_kmv, max(sh_hash) AS h_k,
+         CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE 255.0 * 1152921504606846976.0
+                   / CAST(max(sh_hash) AS DOUBLE) END AS est
+  FROM kmv_k GROUP BY setname
+),
+kmv_u AS (
+  SELECT sh_hash FROM (SELECT DISTINCT sh_hash FROM kmv_k) kmv_ud
+  QUALIFY row_number() OVER (ORDER BY sh_hash ASC) <= 256
+),
+kmv_uest AS (
+  SELECT count(*) AS n_kmv, max(sh_hash) AS h_k,
+         CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE 255.0 * 1152921504606846976.0
+                   / CAST(max(sh_hash) AS DOUBLE) END AS est_union
+  FROM kmv_u
+),
+kmv_nboth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both FROM kmv_u u
+  WHERE u.sh_hash IN (SELECT sh_hash FROM kmv_k WHERE setname = 'train')
+    AND u.sh_hash IN (SELECT sh_hash FROM kmv_k WHERE setname = 'eval')
+),
+kmv_exact AS (
+  SELECT
+    (SELECT count(DISTINCT sh_hash) FROM kmv_sets WHERE setname = 'train')
+      AS exact_train,
+    (SELECT count(DISTINCT sh_hash) FROM kmv_sets WHERE setname = 'eval')
+      AS exact_eval,
+    (SELECT count(DISTINCT sh_hash) FROM kmv_sets) AS exact_union,
+    (SELECT count(*) FROM
+       (SELECT DISTINCT sh_hash FROM kmv_sets WHERE setname = 'train') a
+     WHERE a.sh_hash IN
+       (SELECT sh_hash FROM kmv_sets WHERE setname = 'eval'))
+      AS exact_intersection
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(x.exact_train AS BIGINT) AS exact_train,
+       CAST(x.exact_eval AS BIGINT) AS exact_eval,
+       CAST(x.exact_union AS BIGINT) AS exact_union,
+       CAST(x.exact_intersection AS BIGINT) AS exact_intersection,
+       round((SELECT est FROM kmv_est WHERE setname = 'train'), 6)
+         AS est_train,
+       round((SELECT est FROM kmv_est WHERE setname = 'eval'), 6)
+         AS est_eval,
+       round(u.est_union, 6) AS est_union,
+       round(CAST(b.n_both AS DOUBLE) / 256.0, 6) AS jaccard_est,
+       round(CAST(b.n_both AS DOUBLE) / 256.0 * u.est_union, 6)
+         AS est_intersection
+FROM kmv_exact x CROSS JOIN kmv_uest u CROSS JOIN kmv_nboth b
+"""
+)
+
+
 def q_cms_sliding_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 3-day heavy hitters from MERGED DAILY CMS PARTIALS — the
     additive-merge counterpart of hll_sliding_distinct (HLL merges by
@@ -10560,6 +10719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
         "cms_sliding_hitters": q_cms_sliding_hitters,
+        "kmv_set_overlap": q_kmv_set_overlap,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -10781,6 +10941,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,
         "cms_sliding_hitters": ORACLE_CMS_SLIDING,
+        "kmv_set_overlap": ORACLE_KMV_SET_OVERLAP,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

@@ -282,3 +282,48 @@ def cms_lookup(words: DataFrame, counters: DataFrame,
         .groupBy(word_col)
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
     )
+
+
+KMV_K = 256
+
+
+def kmv_sketch(hashes: DataFrame, set_col: str, hash_col: str = "sh_hash",
+               k: int = KMV_K) -> DataFrame:
+    """K-minimum-values (theta-style) sketch per set: the k SMALLEST
+    distinct 60-bit hashes (public method: Bar-Yossef et al. 2002 / the
+    Apache DataSketches theta family).  Unlike HLL, KMV sketches support
+    set INTERSECTION estimation — the "how much does train overlap eval"
+    question at 100 TB without an exact distinct-join.
+
+    Scale shape: one distinct per set, then the two-phase salted top-k
+    (ascending) — never a set-partitioned window over the whole hash
+    universe.  A sketch with fewer than k rows IS the exact set
+    (estimators must special-case it; see kmv_estimate).
+    """
+    from uncharted_ta1_spark.operators.aggregates import grouped_topk
+
+    distinct = hashes.select(set_col, hash_col).distinct()
+    return grouped_topk(
+        distinct,
+        group_cols=[set_col],
+        order_exprs=[(F.col(hash_col), False)],
+        k=k,
+        rank_col="_kr",
+    ).drop("_kr")
+
+
+def kmv_estimate(kmv: DataFrame, set_col: str, hash_col: str = "sh_hash",
+                 k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per set from its KMV sketch:
+    (k-1) * 2^60 / h_k, with the <k-rows sketch collapsing to the exact
+    count (the sketch IS the set)."""
+    agg = kmv.groupBy(set_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kmv"),
+        F.max(hash_col).cast("long").alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_kmv") < k, F.col("n_kmv").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("h_k").cast("double")
+    )
+    return agg.select(set_col, "n_kmv", est.alias("kmv_est"))
