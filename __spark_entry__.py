@@ -10565,6 +10565,119 @@ FROM probes
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: point-in-time novelty, int8 quantization, Benford audit
+# ---------------------------------------------------------------------------
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time token-3-gram novelty per sequence: the fraction of a
+    sequence's shingles whose FIRST corpus occurrence (strict event-time
+    order, fixed-width sortable key) is this sequence
+    (operators/novelty.py::shingle_novelty).  Zero windows: explode +
+    distinct + combinable min-ownership groupBy + equi-join."""
+    from uncharted_ta1_spark.operators.novelty import shingle_novelty
+
+    return shingle_novelty(_sequences(spark, sf_dir), n=3)
+
+
+ORACLE_SHINGLE_NOVELTY = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, nv_inst AS (
+  SELECT doc_id, source, seq_no, event_epoch,
+         lpad(CAST(event_epoch AS VARCHAR), 12, '0') || '|' || doc_id || '|'
+           || source || '|' || lpad(CAST(seq_no AS VARCHAR), 6, '0') AS k,
+         array_to_string(list_slice(tokens, i, i + 2), ',') AS shingle
+  FROM (SELECT *, unnest(range(1, len(tokens) - 1)) AS i
+        FROM sequences WHERE n_tok >= 3)
+),
+nv_d AS (
+  SELECT DISTINCT doc_id, source, seq_no, event_epoch, k, shingle FROM nv_inst
+),
+nv_own AS (SELECT shingle, min(k) AS first_k FROM nv_d GROUP BY 1)
+SELECT doc_id, source, seq_no, event_epoch,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN k = first_k THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN k = first_k THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM nv_d JOIN nv_own USING (shingle)
+GROUP BY 1, 2, 3, 4
+"""
+)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 scalar quantization of the embedding
+    corpus with midpoint-reconstruction error
+    (operators/quantize.py::quantize_embeddings): one combinable 64-row
+    calibration groupBy, then a broadcast-calibrated map-only encode —
+    zero shuffle on the corpus-sized pass."""
+    from uncharted_ta1_spark.operators.quantize import quantize_embeddings
+
+    return quantize_embeddings(_embeddings(spark, sf_dir), levels=256)
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH qz_flat AS (
+  SELECT vec_id, label,
+         unnest(embedding::DOUBLE[]) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+qz_dim AS (SELECT i, min(x) AS lo, max(x) AS hi FROM qz_flat GROUP BY i),
+qz_code AS (
+  SELECT f.vec_id, f.label, f.i, f.x, d.lo, d.hi,
+         CASE WHEN d.hi > d.lo
+              THEN least(255, CAST(floor((f.x - d.lo) * 256e0
+                                         / (d.hi - d.lo)) AS INT))
+              ELSE 0 END AS code
+  FROM qz_flat f JOIN qz_dim d USING (i)
+)
+SELECT vec_id, label,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes_csv,
+       max(abs(x - (lo + (CAST(code AS DOUBLE) + 0.5e0) * (hi - lo) / 256e0)))
+         AS max_err,
+       CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM qz_code GROUP BY vec_id, label
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit Benford audit of order totals
+    (operators/audit.py::benford_digit_audit): digit from exact integer
+    cents (never float log10), one combinable 9-group groupBy, per-digit
+    chi-square contributions."""
+    from uncharted_ta1_spark.operators.audit import benford_digit_audit
+
+    datagen.register_base_tables(spark, sf_dir)
+    return benford_digit_audit(
+        spark.table("orders"), amount_col="o_totalprice"
+    )
+
+
+ORACLE_BENFORD_AUDIT = """
+WITH bf_obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+bf_tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS _n FROM bf_obs)
+SELECT digit, n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(_n AS DOUBLE) AS p_obs,
+       round(ln(1e0 + 1e0 / CAST(digit AS DOUBLE)) / ln(10e0), 9) AS p_benford,
+       round(pow(CAST(n_obs AS DOUBLE)
+                 - CAST(_n AS DOUBLE) * (ln(1e0 + 1e0 / CAST(digit AS DOUBLE))
+                                         / ln(10e0)), 2)
+             / (CAST(_n AS DOUBLE) * (ln(1e0 + 1e0 / CAST(digit AS DOUBLE))
+                                      / ln(10e0))), 6) AS chisq_term
+FROM bf_obs CROSS JOIN bf_tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -10720,6 +10833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_mode": q_grouped_mode,
         "cms_sliding_hitters": q_cms_sliding_hitters,
         "kmv_set_overlap": q_kmv_set_overlap,
+        "shingle_novelty": q_shingle_novelty,
+        "embedding_quantize": q_embedding_quantize,
+        "benford_audit": q_benford_audit,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -10942,6 +11058,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mode": ORACLE_GROUPED_MODE,
         "cms_sliding_hitters": ORACLE_CMS_SLIDING,
         "kmv_set_overlap": ORACLE_KMV_SET_OVERLAP,
+        "shingle_novelty": ORACLE_SHINGLE_NOVELTY,
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "benford_audit": ORACLE_BENFORD_AUDIT,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),
