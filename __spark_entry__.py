@@ -10677,6 +10677,166 @@ FROM bf_obs CROSS JOIN bf_tot
 """
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the event value score against the
+    observed purchase rate over 20 equal-frequency bins
+    (operators/isotonic.py::isotonic_fit): corpus work is the GK-bucketed
+    ntile (never one global sort); PAV itself is the bounded relational
+    minimax over the 20-row bin table — no iteration, no UDF, no driver
+    loop."""
+    from uncharted_ta1_spark.operators.isotonic import isotonic_fit
+
+    ev = datagen.events_epoch_df(spark, sf_dir).withColumn("_g", F.lit(1))
+    d = ntile_equal_freq(
+        ev,
+        keys=["_g"],
+        col="value",
+        order_tiebreak=["event_id"],
+        k=20,
+        n_buckets=50,
+        out_col="bin",
+    )
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    return isotonic_fit(bins, order_col="bin", n_col="n", pos_col="n_pos")
+
+
+ORACLE_ISOTONIC_CALIBRATION = (
+    duck_with(EVENTS_DUCK)
+    + """
+, iso_d AS (
+  SELECT CAST(ntile(20) OVER (ORDER BY value ASC, event_id ASC) AS INT)
+           AS bin,
+         CAST(event_type = 'purchase' AS INT) AS pos
+  FROM events_epoch
+),
+iso_b AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM iso_d GROUP BY bin
+),
+iso_pre AS (
+  SELECT bin, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM iso_b
+),
+iso_pairs AS (
+  SELECT l.bin AS i, h.bin AS j,
+         CAST(h.cp - (l.cp - l.n_pos) AS DOUBLE)
+           / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS m
+  FROM iso_pre l JOIN iso_pre h ON l.bin <= h.bin
+),
+iso_inner AS (
+  SELECT k.bin AS kb, p.i, min(p.m) AS a
+  FROM iso_pairs p JOIN iso_pre k ON p.i <= k.bin AND p.j >= k.bin
+  GROUP BY 1, 2
+),
+iso_fit AS (SELECT kb, max(a) AS iso_rate FROM iso_inner GROUP BY kb)
+SELECT b.bin, b.n, b.n_pos,
+       CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate,
+       f.iso_rate AS iso_rate
+FROM iso_b b JOIN iso_fit f ON b.bin = f.kb
+"""
+)
+
+
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source split-conformal intervals for n_tok ~ a + b*seq_no with
+    measured test coverage (operators/conformal.py): train/calibration/
+    test disjoint in event time (3/5, 1/5, 1/5 of the epoch span by
+    integer arithmetic — zero temporal leakage), exact-integer normal
+    equations, micro-unit residual order statistic, integer coverage
+    comparison."""
+    from uncharted_ta1_spark.operators.conformal import (
+        split_conformal_coverage,
+    )
+
+    return split_conformal_coverage(_sequences(spark, sf_dir))
+
+
+ORACLE_CONFORMAL_COVERAGE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, cf_base AS (
+  SELECT source AS g, CAST(seq_no AS BIGINT) AS x, CAST(n_tok AS BIGINT) AS y,
+         CAST(event_epoch AS BIGINT) AS t
+  FROM sequences
+),
+cf_bounds AS (
+  SELECT CAST(min(t) AS BIGINT) AS t_lo, CAST(max(t) AS BIGINT) AS t_hi
+  FROM cf_base
+),
+cf_split AS (
+  SELECT b.*, t_lo + (t_hi - t_lo) * 3 // 5 AS c1,
+         t_lo + (t_hi - t_lo) * 4 // 5 AS c2
+  FROM cf_base b CROSS JOIN cf_bounds
+),
+cf_fit AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_train,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM cf_split WHERE t < c1 GROUP BY g
+),
+cf_ab AS (
+  SELECT g, n_train,
+         CAST(n_train * sxy - sx * sy AS DOUBLE)
+           / CAST(n_train * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n_train * sxy - sx * sy AS DOUBLE)
+             / CAST(n_train * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE) AS intercept
+  FROM cf_fit WHERE n_train * sxx - sx * sx != 0
+),
+cf_cal AS (
+  SELECT s.g,
+         CAST(floor(abs(CAST(y AS DOUBLE)
+                        - (intercept + slope * CAST(x AS DOUBLE))) * 1e6)
+              AS BIGINT) AS r
+  FROM cf_split s JOIN cf_ab USING (g) WHERE t >= c1 AND t < c2
+),
+cf_n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal FROM cf_cal GROUP BY g),
+cf_k AS (
+  SELECT g, n_cal,
+         CAST(least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS BIGINT) AS k,
+         ((n_cal + 1) * 9 + 9) // 10 > n_cal AS k_capped
+  FROM cf_n
+),
+cf_rk AS (
+  SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY r ASC) AS rk
+  FROM cf_cal
+),
+cf_q AS (
+  SELECT cf_rk.g, cf_k.n_cal, cf_k.k_capped, cf_rk.r AS q_hat_micro
+  FROM cf_rk JOIN cf_k ON cf_rk.g = cf_k.g AND cf_rk.rk = cf_k.k
+),
+cf_t AS (
+  SELECT s.g, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN
+               CAST(floor(abs(CAST(y AS DOUBLE)
+                              - (intercept + slope * CAST(x AS DOUBLE)))
+                          * 1e6) AS BIGINT) <= q.q_hat_micro
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM cf_split s JOIN cf_ab USING (g) JOIN cf_q q USING (g)
+  WHERE t >= c2 GROUP BY s.g
+)
+SELECT a.g AS source, a.n_train, a.slope, a.intercept,
+       q.n_cal, q.k_capped, q.q_hat_micro,
+       CAST(coalesce(t.n_test, 0) AS BIGINT) AS n_test,
+       CAST(coalesce(t.n_covered, 0) AS BIGINT) AS n_covered,
+       CASE WHEN coalesce(t.n_test, 0) > 0
+            THEN CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+            END AS coverage
+FROM cf_ab a JOIN cf_q q ON a.g = q.g LEFT JOIN cf_t t ON a.g = t.g
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -10836,6 +10996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "embedding_quantize": q_embedding_quantize,
         "benford_audit": q_benford_audit,
+        "isotonic_calibration": q_isotonic_calibration,
+        "conformal_coverage": q_conformal_coverage,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11061,6 +11223,8 @@ def oracle_sql() -> dict[str, str]:
         "shingle_novelty": ORACLE_SHINGLE_NOVELTY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "benford_audit": ORACLE_BENFORD_AUDIT,
+        "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
+        "conformal_coverage": ORACLE_CONFORMAL_COVERAGE,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),
