@@ -10837,6 +10837,133 @@ FROM cf_ab a JOIN cf_q q ON a.g = q.g LEFT JOIN cf_t t ON a.g = t.g
 )
 
 
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table of order priority vs
+    fulfilled status (operators/woe.py::woe_encode): one combinable
+    (category,label) groupBy + broadcast totals; zero cells NULL-reported,
+    never epsilon-smoothed."""
+    from uncharted_ta1_spark.operators.woe import woe_encode
+
+    datagen.register_base_tables(spark, sf_dir)
+    return woe_encode(
+        spark.table("orders"),
+        cat_col="o_orderpriority",
+        label=F.col("o_orderstatus") == "F",
+    )
+
+
+ORACLE_WOE_ENCODING = """
+WITH woe_c AS (
+  SELECT o_orderpriority AS category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos
+  FROM orders GROUP BY 1
+),
+woe_n AS (
+  SELECT category, n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg FROM woe_c
+),
+woe_t AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS pt, CAST(sum(n_neg) AS BIGINT) AS nt
+  FROM woe_n
+)
+SELECT category, n, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(ln(CAST(n_pos * nt AS DOUBLE)
+                          / CAST(n_neg * pt AS DOUBLE)), 9) END AS woe,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((CAST(n_pos AS DOUBLE) / CAST(pt AS DOUBLE)
+                        - CAST(n_neg AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * ln(CAST(n_pos * nt AS DOUBLE)
+                            / CAST(n_neg * pt AS DOUBLE)), 9) END AS iv_term
+FROM woe_n CROSS JOIN woe_t
+"""
+
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of session durations with right-censoring
+    (operators/survival.py::kaplan_meier): sessions whose last event sits
+    within one gap of the observation horizon are censored (possibly
+    still open), leaving the risk set without counting as deaths; KM
+    table windows run over the distinct-duration domain only."""
+    from uncharted_ta1_spark.operators.survival import kaplan_meier
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    sess = sessionize(ev, keys=["user_id"], ts="ts_us", gap=GAP_US)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("_s_min"), F.max("ts_us").alias("_s_max")
+    )
+    gmax = ev.agg(F.max("ts_us").alias("_g_max"))
+    sdf = per.join(F.broadcast(gmax)).select(
+        F.expr("(_s_max - _s_min) DIV 1000000").cast("long").alias("dur_sec"),
+        (F.col("_g_max") - F.col("_s_max") <= F.lit(GAP_US)).alias(
+            "censored"
+        ),
+    )
+    return kaplan_meier(sdf, dur_col="dur_sec", censored_col="censored")
+
+
+ORACLE_KM_SURVIVAL = (
+    duck_with(EVENTS_DUCK)
+    + f"""
+, marked AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
+         WHEN ts_us - lag(ts_us) OVER w > {GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM events_epoch
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
+  FROM marked
+),
+km_s AS (
+  SELECT user_id, session_id,
+         CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS dur_sec,
+         max(ts_us) AS s_max
+  FROM sess GROUP BY 1, 2
+),
+km_g AS (SELECT max(ts_us) AS g_max FROM events_epoch),
+km_sc AS (
+  SELECT dur_sec, (g_max - s_max) <= {GAP_US} AS censored
+  FROM km_s CROSS JOIN km_g
+),
+km_t AS (
+  SELECT dur_sec AS t_sec, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deaths,
+         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_censored_at_t
+  FROM km_sc GROUP BY 1
+),
+km_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM km_t),
+km_r AS (
+  SELECT *, CAST(tot - coalesce(CAST(sum(cnt) OVER (ORDER BY t_sec
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         AS BIGINT) AS n_at_risk
+  FROM km_t CROSS JOIN km_tot
+),
+km_k AS (
+  SELECT *,
+    CASE WHEN n_deaths < n_at_risk
+         THEN ln(CAST(n_at_risk - n_deaths AS DOUBLE)
+                 / CAST(n_at_risk AS DOUBLE)) END AS lnterm,
+    max(CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY t_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS dead
+  FROM km_r
+)
+SELECT t_sec, n_at_risk, n_deaths, n_censored_at_t,
+       CASE WHEN dead = 1 THEN 0.0e0
+            ELSE round(exp(sum(lnterm) OVER (ORDER BY t_sec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+            END AS survival
+FROM km_k WHERE n_deaths > 0
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -10998,6 +11125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "isotonic_calibration": q_isotonic_calibration,
         "conformal_coverage": q_conformal_coverage,
+        "woe_encoding": q_woe_encoding,
+        "km_survival": q_km_survival,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11225,6 +11354,8 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": ORACLE_BENFORD_AUDIT,
         "isotonic_calibration": ORACLE_ISOTONIC_CALIBRATION,
         "conformal_coverage": ORACLE_CONFORMAL_COVERAGE,
+        "woe_encoding": ORACLE_WOE_ENCODING,
+        "km_survival": ORACLE_KM_SURVIVAL,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),
