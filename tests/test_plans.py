@@ -433,3 +433,58 @@ def test_class_balance_rank_is_hash_bucketed(spark):
     assert wins
     for w in wins:
         assert "_bkt" in w, w
+
+
+def test_shingle_novelty_has_no_windows(spark):
+    """Novelty's ownership is a combinable min-groupBy, never a window:
+    a popular shingle must be absorbed by map-side partials, not sorted
+    in one task."""
+    plan = _plan(E.q_shingle_novelty(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_quantize_encode_is_broadcast_map_only(spark):
+    """The encode pass must join the 1-row calibration by broadcast and
+    carry no window/sort over the corpus; the only aggregation exchange
+    belongs to the 64-row calibration groupBy."""
+    plan = _plan(E.q_embedding_quantize(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_isotonic_pav_joins_stay_broadcast(spark):
+    """PAV's triple expansion runs over the bounded bin table: every join
+    in the plan must be broadcast (never a corpus-shuffling sort-merge),
+    and row_number windows (from the GK binning) stay bucketed."""
+    plan = _plan(E.q_isotonic_calibration(spark, SF))
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), m.group(0)
+
+
+def test_conformal_fit_is_combinable_no_global_sort(spark):
+    """Conformal's corpus-sized stages: the normal-equation fit is a
+    combinable groupBy (partial_count/partial_sum present) and the only
+    row_number window partitions by group — no unpartitioned sort."""
+    plan = _plan(E.q_conformal_coverage(spark, SF))
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_g" in m.group(1), m.group(0)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_km_survival_windows_only_over_duration_domain(spark):
+    """KM's unpartitioned cumulative windows must consume the
+    distinct-duration table (post-aggregation), never raw events: every
+    Window in the plan sits above the per-duration HashAggregate."""
+    df = E.q_km_survival(spark, SF)
+    plan = _plan(df)
+    # the session windows partition by user_id; the KM cumulative windows
+    # are the only unpartitioned ones and follow the duration groupBy
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

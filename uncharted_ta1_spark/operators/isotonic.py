@@ -103,7 +103,7 @@ def isotonic_fit(
     )
     fitted = inner.groupBy("_k").agg(F.max("_a").alias("iso_rate"))
     return (
-        bins.join(fitted, F.col(order_col) == F.col("_k"))
+        bins.join(F.broadcast(fitted), F.col(order_col) == F.col("_k"))
         .select(
             *bins.columns,
             (
