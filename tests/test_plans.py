@@ -467,13 +467,15 @@ def test_isotonic_pav_joins_stay_broadcast(spark):
         assert "_bkt" in m.group(1), m.group(0)
 
 
-def test_conformal_fit_is_combinable_no_global_sort(spark):
-    """Conformal's corpus-sized stages: the normal-equation fit is a
-    combinable groupBy (partial_count/partial_sum present) and the only
-    row_number window partitions by group — no unpartitioned sort."""
+def test_conformal_order_statistic_is_bucketed(spark):
+    """Conformal's calibration k-th order statistic must never sort a
+    whole group in one task: every row_number window runs inside GK
+    range buckets (_g, _bkt) — the binning.py template."""
     plan = _plan(E.q_conformal_coverage(spark, SF))
-    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
-        assert "_g" in m.group(1), m.group(0)
+    wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins
+    for w in wins:
+        assert "_g" in w and "_bkt" in w, w
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

@@ -22,10 +22,15 @@ Scale + exactness design:
   derivation test), a combinable groupBy;
 * residuals quantize to exact micro-units, so the calibration order
   statistic and the test-side coverage comparison are INTEGER operations
-  (engine-exact); the calibration rank is a per-group window — per-group
-  work is the calibration slice only, and the binning.py GK-bucket
-  pattern applies verbatim if a single group's calibration slice ever
-  outgrows a task.
+  (engine-exact);
+* the calibration k-th order statistic is GK-BUCKETED (the
+  operators/binning.py template): per-group ``percentile_approx``
+  boundaries split each group's residuals into ~100 monotone range
+  buckets, cumulative bucket counts (a groups x buckets droplet table)
+  locate the ONE bucket containing rank k, and ``row_number`` runs only
+  inside that bucket — never a whole-group sort.  Sketch error moves
+  bucket sizes, never the selected value, so the result is bit-identical
+  to the global-sort order statistic with max task ~ n_calib_group/100.
 """
 
 from __future__ import annotations
@@ -126,10 +131,55 @@ def split_conformal_coverage(
         F.least(F.expr(k_expr), F.col("n_cal")).cast("long").alias("_k"),
         (F.expr(k_expr) > F.col("n_cal")).alias("k_capped"),
     )
-    wr = Window.partitionBy("_g").orderBy(F.col("_r").asc())
+    # GK-bucketed k-th order statistic (binning.py template): locate the
+    # one range bucket holding rank k, rank only inside it.
+    n_buckets = 100
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = cal_r.groupBy("_g").agg(
+        F.percentile_approx(
+            F.col("_r"), F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("_bnds")
+    )
+    bucketed = (
+        cal_r.join(F.broadcast(bnds), "_g")
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("_r") >= b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+    bcounts = bucketed.groupBy("_g", "_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    woff = (
+        Window.partitionBy("_g")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # droplet table: groups x <=100 buckets
+    offsets = bcounts.select(
+        "_g",
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_off"),
+        F.col("_bn"),
+    )
+    target = (
+        offsets.join(ks, "_g")
+        .where(
+            (F.col("_k") > F.col("_off"))
+            & (F.col("_k") <= F.col("_off") + F.col("_bn"))
+        )
+        .select("_g", "_bkt", "_off", "_k", "n_cal", "k_capped")
+    )
+    wr = Window.partitionBy("_g", "_bkt").orderBy(F.col("_r").asc())
     q_hat = (
-        cal_r.withColumn("_rk", F.row_number().over(wr))
-        .join(ks, "_g")
+        bucketed.join(F.broadcast(target), ["_g", "_bkt"])
+        .withColumn("_rk", F.row_number().over(wr) + F.col("_off"))
         .where(F.col("_rk") == F.col("_k"))
         .select("_g", "n_cal", "k_capped", F.col("_r").alias("q_hat_micro"))
     )
