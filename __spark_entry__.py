@@ -10964,6 +10964,220 @@ FROM km_k WHERE n_deaths > 0
 )
 
 
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain/lift table of order fulfillment vs a totalprice
+    ranking (operators/lift.py::lift_table): the review-budget companion
+    to ranking_auc.  Decile 1 = highest scores; the ranking itself is the
+    scale-safe GK-bucketed ntile (never one corpus sort), everything
+    after runs on the 10-row summary.  The oracle stays the exact
+    single-sort ntile."""
+    from uncharted_ta1_spark.operators.lift import lift_table
+
+    datagen.register_base_tables(spark, sf_dir)
+    return lift_table(
+        spark.table("orders"),
+        score_col="o_totalprice",
+        label=F.col("o_orderstatus") == "F",
+        tiebreak="o_orderkey",
+        k=10,
+        n_buckets=50,
+    )
+
+
+ORACLE_DECILE_LIFT = """
+WITH lift_d AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+         AS INT) AS decile,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+lift_p AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM lift_d GROUP BY 1
+),
+lift_c AS (
+  SELECT decile, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_n,
+         CAST(sum(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos,
+         CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM lift_p
+)
+SELECT decile, n, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate,
+       cum_n, cum_pos,
+       CASE WHEN tot_pos > 0
+            THEN round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 9)
+            END AS cum_gain,
+       CASE WHEN tot_pos > 0
+            THEN round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                       / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 9)
+            END AS lift
+FROM lift_c
+"""
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected inter-annotator agreement per event class
+    (operators/agreement.py::cohen_kappa): two deterministic rule
+    annotators — a plain value threshold vs the same threshold over a
+    hash-perturbed value — scored with Cohen's kappa from one combinable
+    confusion-cell aggregation."""
+    from uncharted_ta1_spark.operators.agreement import cohen_kappa
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    rater_a = F.col("value") >= 50.0
+    rater_b = (
+        F.col("value")
+        + (F.pmod(F.col("event_id") * 7, F.lit(20)) - 10).cast("double")
+    ) >= 50.0
+    return cohen_kappa(ev, rater_a=rater_a, rater_b=rater_b, keys=["event_type"])
+
+
+ORACLE_COHEN_KAPPA = (
+    duck_with(EVENTS_DUCK)
+    + """
+, ck_r AS (
+  SELECT event_type,
+         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN value + CAST((event_id * 7) % 20 - 10 AS DOUBLE) >= 50.0
+              THEN 1 ELSE 0 END AS b
+  FROM events_epoch
+), ck_c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM ck_r GROUP BY 1
+), ck_f AS (
+  SELECT event_type, n, n11, n10, n01, n00,
+         (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE) AS po,
+         (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) / CAST(n AS DOUBLE) AS pa,
+         (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) / CAST(n AS DOUBLE) AS pb
+  FROM ck_c
+), ck_e AS (
+  SELECT *, pa * pb + (1.0e0 - pa) * (1.0e0 - pb) AS pe FROM ck_f
+)
+SELECT event_type, n, n11, n10, n01, n00,
+       round(po, 9) AS po,
+       CASE WHEN pe < 1.0e0
+            THEN round((po - pe) / (1.0e0 - pe), 9) END AS kappa
+FROM ck_e
+"""
+)
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix with row-normalized
+    probabilities (operators/markov.py::session_transitions): gap
+    sessionization and the lead() share one window sort; the transition
+    table is |types|^2 rows, so its normalization window is bounded by
+    the state alphabet."""
+    from uncharted_ta1_spark.operators.markov import session_transitions
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return session_transitions(
+        ev,
+        keys=["user_id"],
+        ts="ts_us",
+        gap=GAP_US,
+        state_col="event_type",
+        order_tiebreak=["event_id"],
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = (
+    duck_with(EVENTS_DUCK)
+    + f"""
+, marked AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
+         WHEN ts_us - lag(ts_us) OVER w > {GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM events_epoch
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
+  FROM marked
+), mk_p AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts_us, event_id) AS to_state
+  FROM sess
+), mk_c AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+  FROM mk_p WHERE to_state IS NOT NULL GROUP BY 1, 2
+), mk_f AS (
+  SELECT from_state, to_state, n_trans,
+         CAST(sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT) AS n_from
+  FROM mk_c
+)
+SELECT from_state, to_state, n_trans, n_from,
+       round(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE), 9) AS p
+FROM mk_f
+"""
+)
+
+
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the click and
+    view value distributions (operators/kstest.py::ks_two_sample): the
+    binning-free drift gate.  The global CDF walk is GK-bucketed prefix
+    sums — bounded per-task work where the textbook plan is one
+    corpus-wide sort; the numerator stays in exact BIGINT until the final
+    division.  The oracle is the textbook single-sort CDF walk."""
+    from uncharted_ta1_spark.operators.kstest import ks_two_sample
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return ks_two_sample(
+        ev,
+        value_col="value",
+        in_sample_1=F.col("event_type") == "click",
+        in_sample_2=F.col("event_type") == "view",
+        n_buckets=50,
+    )
+
+
+ORACLE_KS_STATISTIC = (
+    duck_with(EVENTS_DUCK)
+    + """
+, ks_v AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events_epoch WHERE event_type IN ('click', 'view') GROUP BY 1
+), ks_c AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS f2
+  FROM ks_v
+), ks_n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM ks_v
+)
+SELECT n1, n2,
+       CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS max_gap_scaled,
+       round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE), 9) AS ks_stat
+FROM ks_c CROSS JOIN ks_n
+GROUP BY n1, n2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -11127,6 +11341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_coverage": q_conformal_coverage,
         "woe_encoding": q_woe_encoding,
         "km_survival": q_km_survival,
+        "decile_lift": q_decile_lift,
+        "cohen_kappa": q_cohen_kappa,
+        "markov_transitions": q_markov_transitions,
+        "ks_statistic": q_ks_statistic,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11356,6 +11574,10 @@ def oracle_sql() -> dict[str, str]:
         "conformal_coverage": ORACLE_CONFORMAL_COVERAGE,
         "woe_encoding": ORACLE_WOE_ENCODING,
         "km_survival": ORACLE_KM_SURVIVAL,
+        "decile_lift": ORACLE_DECILE_LIFT,
+        "cohen_kappa": ORACLE_COHEN_KAPPA,
+        "markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+        "ks_statistic": ORACLE_KS_STATISTIC,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

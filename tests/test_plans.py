@@ -490,3 +490,48 @@ def test_km_survival_windows_only_over_duration_domain(spark):
     # are the only unpartitioned ones and follow the duration groupBy
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_prefix_sums_are_bucketed(spark):
+    """KS scale contract: the global CDF walk must never sort the
+    distinct-value domain in one task — every corpus-side running-sum
+    window runs inside GK range buckets (_bkt); the only unpartitioned
+    windows are the <=n_buckets-row offset table.  Offsets and totals
+    broadcast back (no SortMergeJoin)."""
+    plan = _plan(E.q_ks_statistic(spark, SF))
+    for m in re.finditer(r"Window \[[^\]]*_v[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), f"CDF window not bucketed: {m.group(0)}"
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decile_lift_rank_is_bucketed(spark):
+    """Lift table reuses the binning template: every row_number window is
+    bucketed; the cumulative/total windows run over the 10-row decile
+    summary (post-aggregation) only."""
+    plan = _plan(E.q_decile_lift(spark, SF))
+    assert "ntile(" not in plan
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), f"row_number window not bucketed: {m.group(0)}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_kappa_is_one_aggregation(spark):
+    """Cohen's kappa is a single combinable aggregation: exactly one
+    exchange (the groupBy), no joins, no windows, no Python."""
+    plan = _plan(E.q_cohen_kappa(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_transition_windows_are_user_partitioned_or_droplet(spark):
+    """Transition matrix: the sessionize+lead windows partition by
+    user_id (one shuffle, fused sort); the only other window is the
+    row-normalization over the |types|^2 summary (post-aggregation)."""
+    plan = _plan(E.q_markov_transitions(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every lead/lag window partitions by user_id
+    for m in re.finditer(r"Window \[(?:lead|lag)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "user_id" in m.group(1), m.group(0)
