@@ -11178,6 +11178,202 @@ GROUP BY n1, n2
 )
 
 
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group average precision (the mAP building block) of the
+    value signal predicting purchases, grouped by day-of-week — the PR
+    companion to ranking_auc (evalmetrics.py::grouped_average_precision):
+    both prefixes GK-bucketed, group totals broadcast back, every PR term
+    quantized to a 1e-12 integer grid before the order-free BIGINT sum."""
+    from uncharted_ta1_spark.operators.evalmetrics import (
+        grouped_average_precision,
+    )
+
+    ev = datagen.events_epoch_df(spark, sf_dir).select(
+        F.expr("CAST((ts_us DIV 86400000000 + 4) % 7 AS INT)").alias("dow"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+        F.expr("CAST(floor(value * 1e6) AS BIGINT)").alias("vm"),
+    )
+    return grouped_average_precision(
+        ev, group_cols=["dow"], label_col="is_pos", score_col="vm"
+    )
+
+
+ORACLE_AVERAGE_PRECISION = (
+    duck_with(EVENTS_DUCK)
+    + """
+, ap_v AS (
+  SELECT CAST((ts_us // 86400000000 + 4) % 7 AS INT) AS dow,
+         CAST(event_type = 'purchase' AS INT) AS pos,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events_epoch
+),
+ap_s AS (
+  SELECT dow, vm, CAST(sum(pos) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS t
+  FROM ap_v GROUP BY 1, 2
+),
+ap_g AS (
+  SELECT dow, CAST(sum(p) AS BIGINT) AS npos, CAST(sum(t) AS BIGINT) AS nt
+  FROM ap_s GROUP BY 1
+),
+ap_c AS (
+  SELECT s.dow, s.p,
+         g.npos, g.nt,
+         g.npos - CAST(coalesce(sum(s.p) OVER (
+           PARTITION BY s.dow ORDER BY s.vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tp,
+         g.nt - CAST(coalesce(sum(s.t) OVER (
+           PARTITION BY s.dow ORDER BY s.vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_t
+  FROM ap_s s JOIN ap_g g ON s.dow = g.dow
+),
+ap_a AS (
+  SELECT dow,
+         CAST(max(npos) AS BIGINT) AS n_pos,
+         CAST(max(nt) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN p > 0 AND npos > 0
+              THEN CAST(floor(CAST(p * tp AS DOUBLE)
+                              / CAST(npos * cum_t AS DOUBLE) * 1e12)
+                   AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS ap_e12
+  FROM ap_c GROUP BY dow
+)
+SELECT dow, n_pos, n_total, ap_e12,
+       CASE WHEN n_pos > 0 THEN CAST(ap_e12 AS DOUBLE) / 1e12 END AS ap
+FROM ap_a
+"""
+)
+
+
+# Dual-dialect synthetic "dirty file" for record linkage (the WEB_DOCS
+# convention: edit BOTH fragments identically).  From customer: the block
+# keys (nationkey, acctbal-floor mod 20) survive intact; the mktsegment is
+# smudged for 1/11 of records and the trailing name digit shifted for 1/13 —
+# so segment/digit agreement is informative but imperfect (m < 1) while
+# chance agreement across the 5-segment / 10-digit alphabets keeps u > 0.
+FS_PAIRS_SPARK = """
+fs_dirty AS (
+  SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+         pmod(CAST(floor(c_acctbal) AS BIGINT), 20) AS d_balblk,
+         CASE WHEN c_custkey % 11 = 0 THEN 'SMUDGED'
+              ELSE c_mktsegment END AS d_segment,
+         CASE WHEN c_custkey % 13 = 0
+              THEN pmod(CAST(right(c_name, 1) AS INT) + 1, 10)
+              ELSE CAST(right(c_name, 1) AS INT) END AS d_digit
+  FROM customer
+),
+fs_base AS (
+  SELECT c_custkey, c_nationkey,
+         pmod(CAST(floor(c_acctbal) AS BIGINT), 20) AS balblk,
+         c_mktsegment AS segment,
+         CAST(right(c_name, 1) AS INT) AS digit
+  FROM customer
+),
+fs_pairs AS (
+  SELECT CAST(segment = d_segment AS INT) AS seg,
+         CAST(digit = d_digit AS INT) AS dig,
+         CAST(c_custkey = d_custkey AS INT) AS is_true
+  FROM fs_base JOIN fs_dirty
+    ON c_nationkey = d_nationkey AND balblk = d_balblk
+)
+"""
+
+FS_PAIRS_DUCK = """
+fs_dirty AS (
+  SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+         ((CAST(floor(c_acctbal) AS BIGINT) % 20) + 20) % 20 AS d_balblk,
+         CASE WHEN c_custkey % 11 = 0 THEN 'SMUDGED'
+              ELSE c_mktsegment END AS d_segment,
+         CASE WHEN c_custkey % 13 = 0
+              THEN ((CAST(right(c_name, 1) AS INT) + 1) % 10 + 10) % 10
+              ELSE CAST(right(c_name, 1) AS INT) END AS d_digit
+  FROM customer
+),
+fs_base AS (
+  SELECT c_custkey, c_nationkey,
+         ((CAST(floor(c_acctbal) AS BIGINT) % 20) + 20) % 20 AS balblk,
+         c_mktsegment AS segment,
+         CAST(right(c_name, 1) AS INT) AS digit
+  FROM customer
+),
+fs_pairs AS (
+  SELECT CAST(segment = d_segment AS INT) AS seg,
+         CAST(digit = d_digit AS INT) AS dig,
+         CAST(c_custkey = d_custkey AS INT) AS is_true
+  FROM fs_base JOIN fs_dirty
+    ON c_nationkey = d_nationkey AND balblk = d_balblk
+)
+"""
+
+
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage (operators/linkage.py): customer
+    records vs a deterministically dirtied copy, blocked on
+    (nationkey, acctbal-bucket) — a hash equi join, never cartesian —
+    compared on segment + trailing name digit; m/u estimated from exact
+    true/false pair counts and each agreement pattern scored with the FS
+    log-likelihood weight."""
+    from uncharted_ta1_spark.operators.linkage import fs_pattern_weights
+
+    datagen.register_base_tables(spark, sf_dir)
+    pairs = spark.sql(
+        datagen.spark_with(FS_PAIRS_SPARK) + " SELECT * FROM fs_pairs"
+    )
+    return fs_pattern_weights(
+        pairs, agree_cols=["seg", "dig"], truth_col="is_true"
+    )
+
+
+ORACLE_FS_LINKAGE = (
+    duck_with(FS_PAIRS_DUCK)
+    + """
+, fs_pat AS (
+  SELECT seg, dig,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_true) AS BIGINT) AS n_true
+  FROM fs_pairs GROUP BY 1, 2
+),
+fs_tot AS (
+  SELECT CAST(sum(n_true) AS BIGINT) AS tt,
+         CAST(sum(n_pairs - n_true) AS BIGINT) AS tf,
+         CAST(sum(CASE WHEN seg = 1 THEN n_true ELSE 0 END) AS BIGINT)
+           AS mt_seg,
+         CAST(sum(CASE WHEN seg = 1 THEN n_pairs - n_true ELSE 0 END)
+           AS BIGINT) AS ut_seg,
+         CAST(sum(CASE WHEN dig = 1 THEN n_true ELSE 0 END) AS BIGINT)
+           AS mt_dig,
+         CAST(sum(CASE WHEN dig = 1 THEN n_pairs - n_true ELSE 0 END)
+           AS BIGINT) AS ut_dig
+  FROM fs_pat
+),
+fs_w AS (
+  SELECT seg, dig, n_pairs, n_true,
+         CAST(mt_seg AS DOUBLE) / CAST(tt AS DOUBLE) AS fm_seg,
+         CAST(ut_seg AS DOUBLE) / CAST(tf AS DOUBLE) AS fu_seg,
+         CAST(mt_dig AS DOUBLE) / CAST(tt AS DOUBLE) AS fm_dig,
+         CAST(ut_dig AS DOUBLE) / CAST(tf AS DOUBLE) AS fu_dig,
+         mt_seg, ut_seg, mt_dig, ut_dig, tt, tf
+  FROM fs_pat CROSS JOIN fs_tot
+)
+SELECT seg, dig, n_pairs, n_true,
+       round(fm_seg, 9) AS m_seg, round(fu_seg, 9) AS u_seg,
+       round(fm_dig, 9) AS m_dig, round(fu_dig, 9) AS u_dig,
+       round(
+         (CASE WHEN seg = 1 AND mt_seg > 0 AND ut_seg > 0
+               THEN ln(fm_seg / fu_seg)
+               WHEN seg = 0 AND mt_seg < tt AND ut_seg < tf
+               THEN ln((1.0e0 - fm_seg) / (1.0e0 - fu_seg)) END)
+         + (CASE WHEN dig = 1 AND mt_dig > 0 AND ut_dig > 0
+                 THEN ln(fm_dig / fu_dig)
+                 WHEN dig = 0 AND mt_dig < tt AND ut_dig < tf
+                 THEN ln((1.0e0 - fm_dig) / (1.0e0 - fu_dig)) END),
+         9) AS weight
+FROM fs_w
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -11345,6 +11541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohen_kappa": q_cohen_kappa,
         "markov_transitions": q_markov_transitions,
         "ks_statistic": q_ks_statistic,
+        "average_precision": q_average_precision,
+        "fs_linkage": q_fs_linkage,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11578,6 +11776,8 @@ def oracle_sql() -> dict[str, str]:
         "cohen_kappa": ORACLE_COHEN_KAPPA,
         "markov_transitions": ORACLE_MARKOV_TRANSITIONS,
         "ks_statistic": ORACLE_KS_STATISTIC,
+        "average_precision": ORACLE_AVERAGE_PRECISION,
+        "fs_linkage": ORACLE_FS_LINKAGE,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

@@ -535,3 +535,25 @@ def test_markov_transition_windows_are_user_partitioned_or_droplet(spark):
     # every lead/lag window partitions by user_id
     for m in re.finditer(r"Window \[(?:lead|lag)[^\]]*\], \[([^\]]*)\]", plan):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_average_precision_prefixes_are_bucketed(spark):
+    """AP scale contract (mirrors ranking_auc): both prefix sums run
+    inside GK buckets, group totals broadcast back — no whole-partition
+    window over the distinct-score table, no sort-merge join."""
+    plan = _plan(E.q_average_precision(spark, SF))
+    for m in re.finditer(r"Window \[[^\]]*sum\([^\]]*\], \[([^\]]*)\]", plan):
+        part = m.group(1)
+        assert "_bkt" in part or "dow" in part, m.group(0)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fs_linkage_block_join_is_hash_equi(spark):
+    """FS linkage: the blocked pair join is a hash equi join (never
+    BNL/cartesian); every window runs over the <=2^k pattern droplet
+    (post-aggregation)."""
+    plan = _plan(E.q_fs_linkage(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -298,3 +298,131 @@ def grouped_auc(
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def grouped_average_precision(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Exact per-group average precision (area under the step PR curve,
+    the mAP building block) from a BIGINT score column.
+
+    AP = sum over distinct thresholds v (descending) of
+    ``(p_v / n_pos) * (tp_v / cum_t_v)`` where ``p_v`` is the positives AT
+    score v, ``tp_v`` the positives at-or-above v, and ``cum_t_v`` the rows
+    at-or-above v — the step (non-interpolated) definition, ties resolved
+    at threshold granularity.
+
+    Scale shape mirrors :func:`grouped_auc`: one combinable groupBy to the
+    (group, score) frame, then BOTH ascending exclusive prefixes (positives
+    below, rows below) in one GK-bucketed pass — at-or-above counts follow
+    by complement, so no descending sort exists anywhere.  Each PR term is
+    quantized to an exact 1e-12 integer grid BEFORE the sum (floor of one
+    IEEE division — order-free BIGINT addition, the session_sum convention),
+    so the result hash-matches the naive single-window oracle bit for bit.
+    Groups with no positives report NULL (AP undefined).
+
+    Reference analog: the reference's detection eval integrates precision
+    over recall sweeps (``tasks/segmentation/ditod/table_evaluation/
+    evaluate.py:360-400``); AP is exactly that integral, the standard
+    ranked-retrieval quality score.
+    """
+    groups = list(group_cols)
+    s = df.groupBy(*groups, score_col).agg(
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = s.groupBy(*groups).agg(
+        F.percentile_approx(
+            F.col(score_col), F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("_bnds")
+    )
+    bucketed = (
+        s.join(F.broadcast(bounds), groups)
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(score_col) >= b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+    w_off = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(*groups, "_bkt")
+        .agg(
+            F.sum("p").cast("long").alias("_bp"),
+            F.sum("t").cast("long").alias("_bt"),
+        )
+        .select(
+            *groups,
+            "_bkt",
+            F.coalesce(F.sum("_bp").over(w_off), F.lit(0)).alias("_offp"),
+            F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_offt"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(*groups, "_bkt")
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # group totals via a combinable aggregate broadcast back — NEVER a
+    # whole-partition window over the distinct-score table (that is the
+    # single-task trap this module exists to avoid)
+    gtot = s.groupBy(*groups).agg(
+        F.sum("p").cast("long").alias("_npos"),
+        F.sum("t").cast("long").alias("_nt"),
+    )
+    c = (
+        bucketed.join(F.broadcast(offsets), groups + ["_bkt"])
+        .join(F.broadcast(gtot), groups)
+        .withColumn(
+            "_posbelow",
+            (F.col("_offp") + F.coalesce(F.sum("p").over(w_in), F.lit(0)))
+            .cast("long"),
+        )
+        .withColumn(
+            "_tbelow",
+            (F.col("_offt") + F.coalesce(F.sum("t").over(w_in), F.lit(0)))
+            .cast("long"),
+        )
+    )
+    # at-or-above counts by complement; 1e-12-grid exact term
+    tp = F.col("_npos") - F.col("_posbelow")
+    cum_t = F.col("_nt") - F.col("_tbelow")
+    term_e12 = F.when(
+        (F.col("p") > 0) & (F.col("_npos") > 0),
+        F.floor(
+            (F.col("p") * tp).cast("double")
+            / (F.col("_npos") * cum_t).cast("double")
+            * F.lit(1e12)
+        ),
+    ).otherwise(F.lit(0))
+    agg = c.groupBy(*groups).agg(
+        F.max("_npos").cast("long").alias("n_pos"),
+        F.max("_nt").cast("long").alias("n_total"),
+        F.sum(term_e12).cast("long").alias("ap_e12"),
+    )
+    return agg.select(
+        *groups,
+        "n_pos",
+        "n_total",
+        "ap_e12",
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("ap_e12").cast("double") / F.lit(1e12),
+        ).alias("ap"),
+    )
