@@ -11374,6 +11374,65 @@ FROM fs_w
 )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the click value distribution onto the view
+    distribution (operators/qnorm.py::quantile_normalize): each click
+    maps to the view order statistic at its empirical quantile
+    (k = ceil(r*n_ref/n), exact integer math).  Both rank passes are the
+    GK-bucket decomposition — no whole-group sort on either side; the
+    oracle stays two single-sort row_numbers joined on k."""
+    from uncharted_ta1_spark.operators.qnorm import quantile_normalize
+
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("event_id", "value")
+        .withColumn("_g", F.lit(1))
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("event_id", "value")
+        .withColumn("_g", F.lit(1))
+    )
+    out = quantile_normalize(
+        clicks,
+        views,
+        keys=["_g"],
+        col="value",
+        tiebreak=["event_id"],
+        ref_tiebreak=["event_id"],
+        n_buckets=50,
+    )
+    return out.select(
+        "event_id", "value", F.col("_r").alias("src_rank"), "q_value"
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = (
+    duck_with(EVENTS_DUCK)
+    + """
+, qn_s AS (
+  SELECT event_id, value,
+         CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM events_epoch WHERE event_type = 'click'
+),
+qn_r AS (
+  SELECT value AS q_value,
+         CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS k
+  FROM events_epoch WHERE event_type = 'view'
+),
+qn_n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nref
+  FROM events_epoch WHERE event_type = 'view'
+)
+SELECT s.event_id, s.value, s.r AS src_rank, r.q_value
+FROM qn_s s CROSS JOIN qn_n n
+JOIN qn_r r ON r.k = (s.r * n.nref + s.n - 1) // s.n
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -11543,6 +11602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_statistic": q_ks_statistic,
         "average_precision": q_average_precision,
         "fs_linkage": q_fs_linkage,
+        "quantile_normalize": q_quantile_normalize,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11778,6 +11838,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_statistic": ORACLE_KS_STATISTIC,
         "average_precision": ORACLE_AVERAGE_PRECISION,
         "fs_linkage": ORACLE_FS_LINKAGE,
+        "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

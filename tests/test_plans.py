@@ -557,3 +557,17 @@ def test_fs_linkage_block_join_is_hash_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_qnorm_both_rank_passes_are_bucketed(spark):
+    """Quantile normalization: every row_number window (source AND
+    reference rank pass) runs inside GK buckets; size tables broadcast
+    back; the final k-join is hash-equi."""
+    plan = _plan(E.q_quantile_normalize(spark, SF))
+    wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins
+    for part in wins:
+        assert "_bkt" in part, part
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
