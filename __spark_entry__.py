@@ -11433,6 +11433,106 @@ JOIN qn_r r ON r.k = (s.r * n.nref + s.n - 1) // s.n
 )
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer coverage audit: per-document out-of-vocabulary rate
+    against the top-64 corpus vocabulary (the go/no-go check before
+    freezing a tokenizer).  The vocabulary rank is the scale-safe
+    GK-bucketed vocab_index; the top-K slice is constant-size, so the
+    membership test is a broadcast left join — the corpus never
+    shuffles.  Oracle: single-sort row_number vocabulary."""
+    from uncharted_ta1_spark.operators.feathash import vocab_index
+
+    docs = _documents(spark, sf_dir)
+    vocab_top = (
+        vocab_index(docs)
+        .where(F.col("word_id") < 64)
+        .select("word", F.lit(1).alias("_inv"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    per = toks.join(F.broadcast(vocab_top), "word", "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tok").cast("double"), 9
+        ).alias("oov_rate"),
+    )
+
+
+ORACLE_OOV_RATE = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, ov_w AS (SELECT doc_id, unnest(words) AS word FROM doc_words),
+ov_c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM ov_w GROUP BY 1),
+ov_v AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY n DESC, word ASC) AS rk
+    FROM ov_c
+  ) WHERE rk <= 64
+),
+ov_f AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM ov_w w LEFT JOIN ov_v v ON w.word = v.word
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_tok, n_oov,
+       round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 9) AS oov_rate
+FROM ov_f
+"""
+)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py::hard_negatives): for each query vector, the
+    3 most-similar vectors of a DIFFERENT label — queries broadcast,
+    label-mismatch fused into the join, per-query rank window."""
+    from uncharted_ta1_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(
+        _embeddings(spark, sf_dir),
+        query_pred=F.col("vec_id") % 50 == 0,
+        k=3,
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH hn_base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+hn_q AS (
+  SELECT vec_id AS qid, label AS q_label, e AS qe, nrm AS qn
+  FROM hn_base WHERE vec_id % 50 = 0
+),
+hn_s AS (
+  SELECT qid, q_label, vec_id AS vid, label AS neg_label,
+         list_dot_product(qe, e) / (qn * nrm) AS sim
+  FROM hn_q JOIN hn_base ON qid != vec_id AND q_label != label
+)
+SELECT qid, q_label, vid, neg_label, round(sim, 9) + 0.0 AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vid ASC) AS INT) AS rank
+FROM hn_s
+QUALIFY rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -11603,6 +11703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_precision": q_average_precision,
         "fs_linkage": q_fs_linkage,
         "quantile_normalize": q_quantile_normalize,
+        "oov_rate": q_oov_rate,
+        "hard_negatives": q_hard_negatives,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11839,6 +11941,8 @@ def oracle_sql() -> dict[str, str]:
         "average_precision": ORACLE_AVERAGE_PRECISION,
         "fs_linkage": ORACLE_FS_LINKAGE,
         "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+        "oov_rate": ORACLE_OOV_RATE,
+        "hard_negatives": ORACLE_HARD_NEGATIVES,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

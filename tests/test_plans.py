@@ -571,3 +571,23 @@ def test_qnorm_both_rank_passes_are_bucketed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_oov_membership_is_broadcast_left_join(spark):
+    """OOV audit: the top-K vocab membership test must broadcast (the
+    corpus token stream never shuffles for the join); vocab rank windows
+    stay GK-bucketed."""
+    plan = _plan(E.q_oov_rate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), m.group(0)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_queries_broadcast(spark):
+    """Hard negatives: the query side broadcasts; the label-mismatch join
+    is the only non-equi predicate and rides the broadcast join (no
+    cartesian product)."""
+    plan = _plan(E.q_hard_negatives(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

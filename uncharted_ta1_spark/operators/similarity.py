@@ -578,3 +578,74 @@ def sparse_cosine_pairs(
     return cos.where(F.col("_cos") >= F.lit(float(min_cosine))).select(
         "doc1", "doc2", "dot_milli", F.round("_cos", 9).alias("cos_sim")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    *,
+    query_pred: Column,
+    label_col: str = "label",
+    k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors carrying a DIFFERENT label —
+    the negatives a metric-learning loss learns the most from (the public
+    in-batch/ANN hard-negative recipe, here exact).
+
+    Same scale shape as :func:`cosine_topk` — queries broadcast, corpus
+    streams once, per-query rank window — with the label-mismatch
+    predicate fused into the join so excluded pairs never materialize.
+
+    Reference analog: the reference's legend matching keeps the best
+    candidate that is NOT the already-assigned class
+    (``tasks/point_extraction/legend_analyzer.py:202-300`` skip/keep
+    logic); mining near-misses of the wrong class is that rule's
+    training-data form.
+    """
+    base = with_norm(emb)
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("q_label"),
+        F.col("_emb_d").alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("neg_label"),
+        "_emb_d",
+        "_norm",
+    )
+    sims = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qid") != F.col("vid"))
+            & (F.col("q_label") != F.col("neg_label")),
+        )
+        .select(
+            "qid",
+            "q_label",
+            "vid",
+            "neg_label",
+            (
+                _dot(F.col("_q_emb"), F.col("_emb_d"))
+                / (F.col("_q_norm") * F.col("_norm"))
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_sim").desc(), F.col("vid").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "q_label",
+            "vid",
+            "neg_label",
+            (F.round(F.col("_sim"), 9) + F.lit(0.0)).alias("cos_sim"),
+            "rank",
+        )
+    )
