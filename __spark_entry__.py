@@ -11533,6 +11533,181 @@ QUALIFY rank <= 3
 """
 
 
+def q_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the en and non-en unigram
+    distributions — the symmetric bounded corpus-drift metric (PSI's
+    information-theoretic sibling, binning-free over the token alphabet).
+    One conditional (word) groupBy + broadcast totals; each word's JSD
+    contribution is floor-quantized to the 1e-12 grid BEFORE the
+    order-free BIGINT sum (the session_sum/AP convention), so the scalar
+    hash-matches the oracle bit for bit.  Zero-count sides contribute
+    only through the mixture (0*ln0 := 0), never a ln(0)."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(words_col(F.col("text"))).alias("word"),
+    )
+    per = toks.groupBy("word").agg(
+        F.sum(F.col("is_en").cast("long")).cast("long").alias("a"),
+        F.sum((~F.col("is_en")).cast("long")).cast("long").alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    j = per.join(F.broadcast(tot))
+    p = F.col("a").cast("double") / F.col("na").cast("double")
+    q = F.col("b").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("a") > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("b") > 0, q * F.log(q / m) / F.lit(2.0)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    agg = j.select(
+        F.col("na"), F.col("nb"), F.floor(term * F.lit(1e12)).alias("_t")
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum("_t").cast("long").alias("jsd_e12"),
+    )
+    return agg.select(
+        "n_words",
+        "na",
+        "nb",
+        "jsd_e12",
+        (F.col("jsd_e12").cast("double") / F.lit(1e12)).alias("jsd"),
+    )
+
+
+ORACLE_TOKEN_JSD = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, js_w AS (
+  SELECT lang = 'en' AS is_en, unnest(words) AS word FROM doc_words
+),
+js_c AS (
+  SELECT word,
+         CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM js_w GROUP BY 1
+),
+js_n AS (
+  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+  FROM js_c
+),
+js_t AS (
+  SELECT na, nb,
+         CAST(floor((
+           CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                * ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                     / (((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                         + (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0e0))
+                / 2.0e0 ELSE 0.0e0 END
+           + CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+                * ln((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+                     / (((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                         + (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0e0))
+                / 2.0e0 ELSE 0.0e0 END
+         ) * 1e12) AS BIGINT) AS t
+  FROM js_c CROSS JOIN js_n
+)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(max(na) AS BIGINT) AS na,
+       CAST(max(nb) AS BIGINT) AS nb,
+       CAST(sum(t) AS BIGINT) AS jsd_e12,
+       CAST(sum(t) AS BIGINT) / 1e12 AS jsd
+FROM js_t
+"""
+)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law audit: grid-quantized OLS slope of ln(frequency) vs
+    ln(rank) over the corpus vocabulary — the sanity check that synthetic
+    or scraped text still follows the expected rank-frequency law.  The
+    rank is the scale-safe GK-bucketed vocab_index; each regression
+    moment is floor-quantized to a 1e-6 grid per word and summed as exact
+    BIGINT (order-free; fits 2^63 up to ~1e17 vocabulary entries), then
+    slope/intercept come from one fixed double tree over the five
+    sums."""
+    from uncharted_ta1_spark.operators.feathash import vocab_index
+
+    v = vocab_index(_documents(spark, sf_dir))
+    x = F.log((F.col("word_id") + 1).cast("double"))
+    y = F.log(F.col("n_occurrences").cast("double"))
+    qz = v.select(
+        F.floor(x * F.lit(1e6)).cast("long").alias("_x"),
+        F.floor(y * F.lit(1e6)).cast("long").alias("_y"),
+        F.floor(x * y * F.lit(1e6)).cast("long").alias("_xy"),
+        F.floor(x * x * F.lit(1e6)).cast("long").alias("_xx"),
+    )
+    s = qz.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum("_xy").cast("long").alias("sxy"),
+        F.sum("_xx").cast("long").alias("sxx"),
+    )
+    n = F.col("n_words").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e6)
+    sxx = F.col("sxx").cast("double") / F.lit(1e6)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n_words",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+ORACLE_ZIPF_SLOPE = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, zf_w AS (SELECT unnest(words) AS word FROM doc_words),
+zf_c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM zf_w GROUP BY 1),
+zf_r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS DOUBLE))
+           AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM zf_c
+),
+zf_q AS (
+  SELECT CAST(floor(x * 1e6) AS BIGINT) AS qx,
+         CAST(floor(y * 1e6) AS BIGINT) AS qy,
+         CAST(floor(x * y * 1e6) AS BIGINT) AS qxy,
+         CAST(floor(x * x * 1e6) AS BIGINT) AS qxx
+  FROM zf_r
+),
+zf_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qxy) AS BIGINT) AS sxy, CAST(sum(qxx) AS BIGINT) AS sxx
+  FROM zf_q
+)
+SELECT n_words,
+       round((CAST(n_words AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+              - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+             / (CAST(n_words AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+                - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)),
+             6) AS slope,
+       round(((CAST(sy AS DOUBLE) / 1e6)
+              - ((CAST(n_words AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                 / (CAST(n_words AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+                    - (CAST(sx AS DOUBLE) / 1e6)
+                      * (CAST(sx AS DOUBLE) / 1e6)))
+                * (CAST(sx AS DOUBLE) / 1e6))
+             / CAST(n_words AS DOUBLE), 6) AS intercept
+FROM zf_s
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -11705,6 +11880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "oov_rate": q_oov_rate,
         "hard_negatives": q_hard_negatives,
+        "token_jsd": q_token_jsd,
+        "zipf_slope": q_zipf_slope,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "textrank": q_textrank,
@@ -11943,6 +12120,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
         "oov_rate": ORACLE_OOV_RATE,
         "hard_negatives": ORACLE_HARD_NEGATIVES,
+        "token_jsd": ORACLE_TOKEN_JSD,
+        "zipf_slope": ORACLE_ZIPF_SLOPE,
         "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
         "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
         "textrank": _oracle_textrank(),

