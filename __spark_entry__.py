@@ -155,6 +155,7 @@ from uncharted_ta1_spark.operators.textstats import (
     token_counts,
     word_entropy,
 )
+from uncharted_ta1_spark.operators.skipgram import skipgram_pairs
 from uncharted_ta1_spark.operators.windows import (
     dedup_latest,
     ewma,
@@ -1874,6 +1875,53 @@ SELECT w1, w2, c12, c1, c2, pmi,
        CAST(row_number() OVER (ORDER BY pmi DESC, c12 DESC, w1, w2) AS INT) AS rank
 FROM pm_sc
 QUALIFY rank <= 100
+"""
+)
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec skip-gram training pairs (window ±2, min pair count 2,
+    top-200 by count) with 3 deterministic hash-sampled negatives each
+    (operators/skipgram.py): array-slice pair emission (no position
+    self-join), one combinable pair-count groupBy, TakeOrdered top-N,
+    negatives content-addressed into the GK-bucketed vocab_index."""
+    return skipgram_pairs(_documents(spark, sf_dir))
+
+
+# nests ORACLE_VOCAB_INDEX via .format(vx=...) at oracle_sql() build —
+# the negative-sampling slot table IS the vocab_index contract
+ORACLE_SKIPGRAM_PAIRS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, sg_voc AS ({vx}),
+sg_pr AS (
+  SELECT unnest(flatten(list_transform(range(1, len(words) + 1), i ->
+           list_transform(
+             list_filter(range(greatest(i - 2, 1), least(i + 2, len(words)) + 1),
+                         j -> j != i),
+             j -> words[i] || ' ' || words[j])))) AS pr
+  FROM doc_words WHERE len(words) > 0
+),
+sg_pc AS (
+  SELECT string_split(pr, ' ')[1] AS center, string_split(pr, ' ')[2] AS context,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM sg_pr GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sg_top AS (
+  SELECT center, context, n_pairs,
+         CAST(row_number() OVER (ORDER BY n_pairs DESC, center, context) AS INT) AS rank
+  FROM sg_pc QUALIFY rank <= 200
+),
+sg_v AS (SELECT CAST(count(*) AS BIGINT) AS _v FROM sg_voc),
+sg_neg AS (
+  SELECT t.center, t.context, t.n_pairs, t.rank, CAST(u.r AS INT) AS neg_rank,
+         ((('0x' || substr(md5('sgneg' || (t.center || '|' || t.context || '#' || CAST(u.r AS VARCHAR))), 1, 15))::BIGINT) % _v) AS _slot
+  FROM sg_top t
+  CROSS JOIN sg_v
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) u
+)
+SELECT n.center, n.context, n.n_pairs, n.rank, n.neg_rank, w.word AS neg_word
+FROM sg_neg n JOIN sg_voc w ON w.word_id = n._slot
 """
 )
 
@@ -11848,6 +11896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "token_bigrams": q_token_bigrams,
         "pmi_collocations": q_pmi_collocations,
+        "skipgram_pairs": q_skipgram_pairs,
         "frequency_spectrum": q_frequency_spectrum,
         "winnow_fingerprints": q_winnow_fingerprints,
         "keyword_logodds": q_keyword_logodds,
@@ -12088,6 +12137,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "token_bigrams": ORACLE_TOKEN_BIGRAMS,
         "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+        "skipgram_pairs": ORACLE_SKIPGRAM_PAIRS.format(vx=ORACLE_VOCAB_INDEX),
         "frequency_spectrum": ORACLE_FREQUENCY_SPECTRUM,
         "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
         "keyword_logodds": ORACLE_KEYWORD_LOGODDS,
