@@ -6058,6 +6058,111 @@ FROM masked
 )
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span corruption over the token payload
+    (operators/packing.py::span_corruption): hash-masked positions collapse
+    into spans; the corrupted input carries one sentinel per span, the
+    target carries sentinel-delimited original tokens plus a closing
+    sentinel — the seq2seq denoising pair layout, bit-reproducible in any
+    engine.  Pure JVM array HOFs, zero shuffle, zero Python; arrays
+    csv-serialized at the contract surface as usual."""
+    from uncharted_ta1_spark.operators.packing import span_corruption
+
+    out = span_corruption(_sequences(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "source",
+        "seq_no",
+        "event_epoch",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        _csv("corrupted_tokens").alias("corrupted_csv"),
+        _csv("target_tokens").alias("target_csv"),
+        "n_spans",
+        "n_masked",
+    )
+
+
+ORACLE_SPAN_CORRUPTION = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, sc1 AS (
+  SELECT doc_id, source, seq_no, event_epoch,
+         CAST(n_tok AS BIGINT) AS n_tok, tokens,
+         list_transform(range(len(tokens)), i ->
+           (('0x' || substr(md5('t5' || '|' || doc_id || '|'
+             || CAST(seq_no AS VARCHAR) || '|'
+             || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 100 < 15) AS flags
+  FROM sequences
+),
+sc2 AS (
+  SELECT *, list_transform(range(len(tokens)), i ->
+           flags[i + 1] AND (i = 0 OR NOT flags[i])) AS starts
+  FROM sc1
+),
+sc3 AS (
+  SELECT *, list_transform(range(len(tokens)), i ->
+           len(list_filter(list_slice(starts, 1, i + 1), s -> s))) AS spanidx,
+         coalesce(len(list_filter(starts, s -> s)), 0) AS n_spans
+  FROM sc2
+)
+SELECT doc_id, source, seq_no, event_epoch, n_tok,
+  coalesce(array_to_string(
+    list_filter(list_transform(range(len(tokens)), i ->
+      CASE WHEN NOT flags[i + 1] THEN tokens[i + 1]
+           WHEN starts[i + 1] THEN -(100 + spanidx[i + 1])
+           ELSE NULL END), x -> x IS NOT NULL), ','), '') AS corrupted_csv,
+  coalesce(array_to_string(
+    flatten(list_transform(range(len(tokens)), i ->
+      CASE WHEN NOT flags[i + 1] THEN CAST([] AS INT[])
+           WHEN starts[i + 1] THEN [CAST(-(100 + spanidx[i + 1]) AS INT),
+                                    tokens[i + 1]]
+           ELSE [tokens[i + 1]] END))
+    || [CAST(-(100 + n_spans + 1) AS INT)], ','), '') AS target_csv,
+  CAST(n_spans AS BIGINT) AS n_spans,
+  CAST(coalesce(len(list_filter(flags, s -> s)), 0) AS BIGINT) AS n_masked
+FROM sc3
+"""
+)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (p^alpha, alpha=0.3) per-source corpus mixing
+    weights and integer draw quotas (operators/mixing.py::temperature_mix,
+    the XLM-R/mT5 sampling rule): one combinable groupBy over the corpus,
+    the alpha-weighting on the #sources-row table, exp/ln floored to
+    micro-units so every downstream share and quota is integer-exact."""
+    from uncharted_ta1_spark.operators.mixing import temperature_mix
+
+    return temperature_mix(_sequences(spark, sf_dir))
+
+
+ORACLE_TEMPERATURE_MIX = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, tmix_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_seq,
+         CAST(sum(n_tok) AS BIGINT) AS token_mass
+  FROM sequences GROUP BY source
+),
+tmix_w AS (
+  SELECT *, CAST(floor(exp(0.3 * ln(CAST(token_mass AS DOUBLE))) * 1e6)
+                 AS BIGINT) AS w_micro
+  FROM tmix_src
+),
+tmix_tot AS (
+  SELECT CAST(sum(w_micro) AS BIGINT) AS tw,
+         CAST(sum(token_mass) AS BIGINT) AS tm
+  FROM tmix_w
+)
+SELECT source, n_seq, token_mass,
+  round(CAST(token_mass AS DOUBLE) / CAST(tm AS DOUBLE), 9) + 0.0 AS raw_share,
+  round(CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE), 9) + 0.0 AS mix_weight,
+  CAST((1000000 * w_micro) // tw AS BIGINT) AS expected_draws
+FROM tmix_w, tmix_tot
+"""
+)
+
+
 def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared feature-selection statistic: association of the
     event_type feature with a deterministic binary label (micro-unit value
@@ -11953,6 +12058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_balance": q_class_balance,
         "chi2_feature_select": q_chi2_feature_select,
         "mask_tokens": q_mask_tokens,
+        "span_corruption": q_span_corruption,
+        "temperature_mix": q_temperature_mix,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12193,6 +12300,8 @@ def oracle_sql() -> dict[str, str]:
         "class_balance": ORACLE_CLASS_BALANCE,
         "chi2_feature_select": ORACLE_CHI2_FEATURE_SELECT,
         "mask_tokens": ORACLE_MASK_TOKENS,
+        "span_corruption": ORACLE_SPAN_CORRUPTION,
+        "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,

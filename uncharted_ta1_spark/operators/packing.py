@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -121,4 +121,127 @@ def mask_tokens(
         F.size(
             F.filter(F.col("masked_tokens"), lambda x: x == F.lit(mask_id))
         ).cast("long"),
+    )
+
+
+def span_corruption(
+    seq: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    rate_pct: int = 15,
+    sentinel_base: int = 100,
+    salt: str = "t5",
+) -> DataFrame:
+    """Deterministic T5-style span corruption (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    JMLR 2020 — public method): positions are masked by the same portable
+    per-position hash rule as :func:`mask_tokens`, then CONSECUTIVE masked
+    positions collapse into one span.  The corrupted input replaces each
+    span with a single sentinel id ``-(sentinel_base + span_idx)`` and the
+    target emits ``sentinel, original tokens...`` per span plus a closing
+    sentinel — the exact seq2seq denoising pair layout.
+
+    Reference analog: the mask-token handling of the vendored tokenizer
+    (``tasks/segmentation/layoutlmft/models/layoutlmv3/
+    tokenization_layoutlmv3.py``), generalized from single-token MLM to
+    span denoising.
+
+    Determinism/portability: every decision is a pure function of
+    ``(salt, doc_id, seq_no, position)`` via the md5 kernel, so the pair
+    set is bit-reproducible across engines, reruns and repartitions.
+
+    Scale shape: pure JVM array HOFs over each row — zero shuffle, zero
+    Python, map-side only.  The span-index prefix count is O(len^2) in
+    boolean ops per row, bounded by the corpus max sequence length (a
+    constant), so per-row work is O(1) at any corpus scale.
+
+    Output adds ``corrupted_tokens``, ``target_tokens`` (arrays — callers
+    csv-serialize at contract surfaces), ``n_spans``, ``n_masked``.
+    """
+
+    from uncharted_ta1_spark.functions.portable import md5_i64
+
+    def _h(i: Column) -> Column:
+        return md5_i64(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("doc_id"),
+                F.col("seq_no").cast("string"),
+                i.cast("string"),
+            )
+        )
+
+    def _flag(i: Column) -> Column:
+        return _h(i) % 100 < rate_pct
+
+    # start-of-span: masked here, not masked at i-1 (recompute the i-1 hash
+    # instead of self-referencing the flags array: 2 md5/position, branch-free)
+    def _start(i: Column) -> Column:
+        return _flag(i) & ((i == 0) | ~_flag(i - 1))
+
+    tok = F.col(tokens_col)
+    flags = F.transform(tok, lambda x, i: _flag(i))
+    starts = F.transform(tok, lambda x, i: _start(i))
+    out = (
+        seq.withColumn("_flags", flags)
+        .withColumn("_starts", starts)
+        # 1-based span index at each position = #starts in positions 0..i
+        .withColumn(
+            "_spanidx",
+            F.transform(
+                F.col("_starts"),
+                lambda x, i: F.size(
+                    F.filter(
+                        F.slice(F.col("_starts"), F.lit(1), i + 1),
+                        lambda s: s,
+                    )
+                ),
+            ),
+        )
+    )
+    sent = lambda k: -(F.lit(sentinel_base) + k)  # noqa: E731
+    corrupted = F.filter(
+        F.transform(
+            tok,
+            lambda x, i: F.when(~F.element_at(F.col("_flags"), i + 1), x)
+            .when(
+                F.element_at(F.col("_starts"), i + 1),
+                sent(F.element_at(F.col("_spanidx"), i + 1)),
+            )
+            .otherwise(F.lit(None).cast("int")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_spans = F.element_at(
+        F.concat(F.array(F.lit(0)), F.col("_spanidx")), -1
+    )
+    target = F.concat(
+        F.flatten(
+            F.transform(
+                tok,
+                lambda x, i: F.when(
+                    ~F.element_at(F.col("_flags"), i + 1),
+                    F.array().cast("array<int>"),
+                )
+                .when(
+                    F.element_at(F.col("_starts"), i + 1),
+                    F.array(
+                        sent(F.element_at(F.col("_spanidx"), i + 1)), x
+                    ),
+                )
+                .otherwise(F.array(x)),
+            )
+        ),
+        F.array(sent(n_spans + 1)),
+    )
+    return (
+        out.withColumn("corrupted_tokens", corrupted)
+        .withColumn("target_tokens", target)
+        .withColumn("n_spans", n_spans.cast("long"))
+        .withColumn(
+            "n_masked",
+            F.size(F.filter(F.col("_flags"), lambda s: s)).cast("long"),
+        )
+        .drop("_flags", "_starts", "_spanidx")
     )
