@@ -6163,6 +6163,23 @@ FROM tmix_w, tmix_tot
 )
 
 
+def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment-sketch distribution profile (operators/moments.py):
+    per-source mean/variance/skewness/excess-kurtosis of the sequence token
+    counts from five exact BIGINT power-sum registers — ONE combinable
+    groupBy over the corpus, registers mergeable by addition, the doubles
+    derived through a fixed IEEE tree shared textually with the oracle."""
+    from uncharted_ta1_spark.operators.moments import moment_profile
+
+    return moment_profile(_sequences(spark, sf_dir))
+
+
+def _moment_profile_oracle() -> str:
+    from uncharted_ta1_spark.operators.moments import moments_oracle_select
+
+    return duck_with(SEQUENCES_DUCK) + moments_oracle_select("sequences")
+
+
 def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared feature-selection statistic: association of the
     event_type feature with a deterministic binary label (micro-unit value
@@ -12060,6 +12077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_tokens": q_mask_tokens,
         "span_corruption": q_span_corruption,
         "temperature_mix": q_temperature_mix,
+        "moment_profile": q_moment_profile,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12302,6 +12320,7 @@ def oracle_sql() -> dict[str, str]:
         "mask_tokens": ORACLE_MASK_TOKENS,
         "span_corruption": ORACLE_SPAN_CORRUPTION,
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
+        "moment_profile": _moment_profile_oracle(),
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,
