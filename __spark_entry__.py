@@ -6163,6 +6163,24 @@ FROM tmix_w, tmix_tot
 )
 
 
+def q_bleu_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 of a deterministic word-dropout candidate against each
+    original sequence (operators/bleu.py): clipped uni/bigram matches are
+    per-row JVM array HOFs; the only corpus-sized reduction is one
+    combinable groupBy over six BIGINT registers per source; brevity
+    penalty and geometric mean run on the #sources-row table through a
+    fixed IEEE tree shared textually with the oracle."""
+    from uncharted_ta1_spark.operators.bleu import bleu_dropout_eval
+
+    return bleu_dropout_eval(_sequences(spark, sf_dir))
+
+
+def _bleu_dropout_oracle() -> str:
+    from uncharted_ta1_spark.operators.bleu import bleu_oracle_select
+
+    return duck_with(SEQUENCES_DUCK) + bleu_oracle_select()
+
+
 def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moment-sketch distribution profile (operators/moments.py):
     per-source mean/variance/skewness/excess-kurtosis of the sequence token
@@ -12078,6 +12096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "temperature_mix": q_temperature_mix,
         "moment_profile": q_moment_profile,
+        "bleu_dropout": q_bleu_dropout,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12321,6 +12340,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": ORACLE_SPAN_CORRUPTION,
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "moment_profile": _moment_profile_oracle(),
+        "bleu_dropout": _bleu_dropout_oracle(),
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,
