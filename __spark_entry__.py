@@ -1567,6 +1567,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication by asymmetric Broder containment
+    |A∩B|/min(|A|,|B|) >= 0.6 over the same df-capped 3-gram inverted
+    index as the Jaccard pass (operators/dedup.py::containment_pairs) —
+    catches a short doc pasted inside a long one, which Jaccard
+    structurally misses because the union is dominated by the long side."""
+    from uncharted_ta1_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        doc_shingles(_documents(spark, sf_dir), n=3),
+        min_containment=0.6,
+        max_df=JACCARD_MAX_DF,
+    )
+
+
+def _containment_oracle() -> str:
+    return (
+        duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
+        + f"""
+, pruned AS (
+  SELECT doc_id, sh_hash FROM doc_shingles
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {JACCARD_MAX_DF}
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM pruned GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_common
+  FROM pruned a
+  JOIN pruned b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, n_common, ca.n_sh AS n1, cb.n_sh AS n2,
+       round(n_common / least(ca.n_sh, cb.n_sh), 9) AS containment,
+       round(n_common / (ca.n_sh + cb.n_sh - n_common), 9) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc1
+JOIN cnt cb ON cb.doc_id = doc2
+WHERE round(n_common / least(ca.n_sh, cb.n_sh), 9) >= 0.6
+"""
+    )
+
+
 ORACLE_DEDUP_JACCARD = (
     duck_with(DOC_WORDS_DUCK, DOC_SHINGLES_DUCK)
     + f"""
@@ -12097,6 +12138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "moment_profile": q_moment_profile,
         "bleu_dropout": q_bleu_dropout,
+        "containment_pairs": q_containment_pairs,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12341,6 +12383,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "moment_profile": _moment_profile_oracle(),
         "bleu_dropout": _bleu_dropout_oracle(),
+        "containment_pairs": _containment_oracle(),
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,

@@ -431,25 +431,13 @@ def exact_dedup(docs: DataFrame, *, prefix_words: int | None = None) -> DataFram
     )
 
 
-def jaccard_pairs(
-    shingles: DataFrame, *, min_jaccard: float = 0.5, max_df: int | None = 256
+def overlap_pair_counts(
+    shingles: DataFrame, *, max_df: int | None = 256
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard over the shingle inverted index.
-
-    |A∩B| via the self-equi-join on sh_hash (docs meet only where they share
-    a shingle); |A|,|B| via a grouped count joined back (broadcast — the
-    per-doc count table is tiny relative to the pair stream).
-
-    ``max_df`` caps the document frequency of a shingle before the self-join:
-    a shingle shared by d documents yields d^2/2 join rows, so one viral
-    boilerplate trigram (df=10^6 at corpus scale) would otherwise produce
-    10^12 rows in a single hot bucket.  Shingles with df > max_df carry
-    almost no similarity signal (they're corpus boilerplate) and are dropped
-    from BOTH the intersection and the per-doc sizes — the standard
-    MinHashLSH-era document-frequency cut.  The hot-shingle set is tiny by
-    construction, so the prune is a broadcast anti-join, and the df count
-    itself is a map-side-combinable aggregate.
-    """
+    """(doc1, doc2, n_common, n1, n2) for every document pair sharing at
+    least one surviving shingle — the shared inverted-index core of
+    :func:`jaccard_pairs` and :func:`containment_pairs` (see the former's
+    docstring for the max_df rationale and scale notes)."""
     # materialize the shingle index ONCE: four consumers branch off it (the
     # df count, the anti-join, and both self-join legs), and without the
     # checkpoint each branch re-runs the upstream explode+hash+distinct —
@@ -476,9 +464,68 @@ def jaccard_pairs(
     )
     ca = counts.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
     cb = counts.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    return common.join(F.broadcast(ca), "doc1").join(F.broadcast(cb), "doc2")
+
+
+def containment_pairs(
+    shingles: DataFrame, *, min_containment: float = 0.8, max_df: int | None = 256
+) -> DataFrame:
+    """Sub-document duplication by asymmetric shingle containment:
+    ``C(A,B) = |A∩B| / min(|A|,|B|)`` — the Broder containment coefficient
+    ("On the resemblance and containment of documents", SEQUENCES 1997 —
+    public method).  A short document pasted inside a much longer one has
+    tiny Jaccard (the union is dominated by the long side) but containment
+    ≈ 1; this is the screen that catches quote-farms and wrapper pages a
+    Jaccard/MinHash pass structurally misses.
+
+    Reference analog: the tile fan-in dedup keeps the MOST-contained
+    extraction when tiles overlap (``tasks/text_extraction/tile.py``
+    fan-in); this is the corpus-level generalization.
+
+    Same inverted-index shape as :func:`jaccard_pairs` (shingles meet only
+    on equal hashes, df-capped) — no new shuffle beyond the shared core.
+    Emits the Jaccard alongside so downstream policy can distinguish
+    "near-identical" from "one-contains-the-other"."""
     out = (
-        common.join(F.broadcast(ca), "doc1")
-        .join(F.broadcast(cb), "doc2")
+        overlap_pair_counts(shingles, max_df=max_df)
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least(F.col("n1"), F.col("n2")), 9),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 9
+            ),
+        )
+        .where(F.col("containment") >= min_containment)
+    )
+    return out.select(
+        "doc1", "doc2", "n_common", "n1", "n2", "containment", "jaccard"
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, *, min_jaccard: float = 0.5, max_df: int | None = 256
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over the shingle inverted index.
+
+    |A∩B| via the self-equi-join on sh_hash (docs meet only where they share
+    a shingle); |A|,|B| via a grouped count joined back (broadcast — the
+    per-doc count table is tiny relative to the pair stream).
+
+    ``max_df`` caps the document frequency of a shingle before the self-join:
+    a shingle shared by d documents yields d^2/2 join rows, so one viral
+    boilerplate trigram (df=10^6 at corpus scale) would otherwise produce
+    10^12 rows in a single hot bucket.  Shingles with df > max_df carry
+    almost no similarity signal (they're corpus boilerplate) and are dropped
+    from BOTH the intersection and the per-doc sizes — the standard
+    MinHashLSH-era document-frequency cut.  The hot-shingle set is tiny by
+    construction, so the prune is a broadcast anti-join, and the df count
+    itself is a map-side-combinable aggregate.
+    """
+    out = (
+        overlap_pair_counts(shingles, max_df=max_df)
         .withColumn(
             "jaccard",
             F.round(
