@@ -597,3 +597,38 @@ def test_hard_negatives_queries_broadcast(spark):
     plan = _plan(E.q_hard_negatives(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_corruption_and_bleu_are_pure_map(spark):
+    """The round-6 token transforms stay JVM-side map work: no Python
+    stage; span corruption has NO Exchange at all (per-row HOFs), and the
+    BLEU reduction's only Exchange is the single per-source hash
+    aggregation (plus AQE reads) — never a sort or a join shuffle."""
+    plan = _plan(E.q_span_corruption(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+    plan = _plan(E.q_bleu_dropout(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_moment_profile_is_one_aggregation(spark):
+    """Five power-sum registers ride ONE combinable groupBy: exactly one
+    hash-partitioning Exchange, partial aggregation present, no window,
+    no join."""
+    plan = _plan(E.q_moment_profile(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial" in plan.lower()
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_containment_pairs_join_is_equi_only(spark):
+    """The containment self-join must meet only on sh_hash (inverted
+    index): no nested-loop, no cartesian; the per-doc size join-backs
+    broadcast."""
+    plan = _plan(E.q_containment_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
