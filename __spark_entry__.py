@@ -2914,6 +2914,37 @@ GROUP BY ROLLUP (event_type, day_bucket)
 )
 
 
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day): all four grouping sets — cell,
+    per-type, per-day, grand total — in ONE shuffle via partial-agg
+    expansion (the grouping-sets physical plan); the day-only marginal is
+    the slice ROLLUP cannot produce.  Four separate groupBys would scan
+    the corpus four times; at 100 TB the expansion factor (#sets) is paid
+    map-side against combinable partials, not as extra scans."""
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    return ev.cube(
+        F.col("event_type"), F.expr("ts_us DIV 86400000000").alias("day_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(F.floor(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+ORACLE_CUBE_PROFILE = (
+    duck_with(EVENTS_DUCK)
+    + """
+SELECT event_type,
+       ts_us // 86400000000 AS day_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value,
+       CAST(GROUPING(event_type, day_bucket) AS BIGINT) AS gid
+FROM events_epoch
+GROUP BY CUBE (event_type, day_bucket)
+"""
+)
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured (not guessed) sketch-dedup quality: MinHash-LSH candidate
     pairs scored against exact 3-gram-Jaccard>=0.5 truth — corpus-level
@@ -12139,6 +12170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moment_profile": q_moment_profile,
         "bleu_dropout": q_bleu_dropout,
         "containment_pairs": q_containment_pairs,
+        "cube_profile": q_cube_profile,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12384,6 +12416,7 @@ def oracle_sql() -> dict[str, str]:
         "moment_profile": _moment_profile_oracle(),
         "bleu_dropout": _bleu_dropout_oracle(),
         "containment_pairs": _containment_oracle(),
+        "cube_profile": ORACLE_CUBE_PROFILE,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,
