@@ -6253,6 +6253,44 @@ def _bleu_dropout_oracle() -> str:
     return duck_with(SEQUENCES_DUCK) + bleu_oracle_select()
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-1/distinct-2 diversity ratios over the token
+    stream (operators/textstats.py::ngram_diversity, the NAACL'16
+    mode-collapse audit): bigrams via per-row zip_with, two combinable
+    count/partial-distinct aggregations, broadcast join of the two
+    #sources-row tables."""
+    from uncharted_ta1_spark.operators.textstats import ngram_diversity
+
+    return ngram_diversity(_sequences(spark, sf_dir))
+
+
+ORACLE_NGRAM_DIVERSITY_TAIL = """
+, div_uni AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS t1,
+         CAST(count(DISTINCT g) AS BIGINT) AS d1
+  FROM (SELECT source, unnest(tokens) AS g FROM sequences) GROUP BY source
+),
+div_bi AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS t2,
+         CAST(count(DISTINCT g) AS BIGINT) AS d2
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(greatest(len(tokens) - 1, 0)),
+             i -> CAST(tokens[i + 1] AS VARCHAR) || '_'
+                  || CAST(tokens[i + 2] AS VARCHAR))) AS g
+    FROM sequences
+  ) GROUP BY source
+)
+SELECT u.source, u.t1, u.d1,
+       CAST(coalesce(b.t2, 0) AS BIGINT) AS t2,
+       CAST(coalesce(b.d2, 0) AS BIGINT) AS d2,
+       round(CAST(d1 AS DOUBLE) / CAST(t1 AS DOUBLE), 9) + 0.0 AS distinct1,
+       round(CAST(d2 AS DOUBLE) / nullif(CAST(coalesce(b.t2, 0) AS DOUBLE), 0.0), 9)
+         + 0.0 AS distinct2
+FROM div_uni u LEFT JOIN div_bi b ON u.source = b.source
+"""
+
+
 def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moment-sketch distribution profile (operators/moments.py):
     per-source mean/variance/skewness/excess-kurtosis of the sequence token
@@ -12171,6 +12209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_dropout": q_bleu_dropout,
         "containment_pairs": q_containment_pairs,
         "cube_profile": q_cube_profile,
+        "ngram_diversity": q_ngram_diversity,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12417,6 +12456,7 @@ def oracle_sql() -> dict[str, str]:
         "bleu_dropout": _bleu_dropout_oracle(),
         "containment_pairs": _containment_oracle(),
         "cube_profile": ORACLE_CUBE_PROFILE,
+        "ngram_diversity": duck_with(SEQUENCES_DUCK) + ORACLE_NGRAM_DIVERSITY_TAIL,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,

@@ -404,3 +404,58 @@ def pmi_collocations(
     return top.withColumn(
         "rank", F.row_number().over(w_rank).cast("int")
     )
+
+
+def ngram_diversity(seq: DataFrame, *, tokens_col: str = "tokens") -> DataFrame:
+    """Per-source distinct-1/distinct-2 generation-diversity ratios (Li et
+    al., "A Diversity-Promoting Objective Function for Neural Conversation
+    Models", NAACL 2016 — public metric): #distinct n-grams / #n-grams over
+    the source's token stream.  A mode-collapsed or template-heavy source
+    shows a low ratio; the audit every synthetic-data pipeline runs.
+
+    Reference analog: the repetition screens of the metadata-extraction
+    text filters (consecutive-number noise, tasks/metadata_extraction);
+    this is the corpus-level n-gram generalization.
+
+    Scale shape: bigrams are per-row JVM ``zip_with`` (zero Python); the
+    corpus reduces through TWO combinable aggregations (count + two-phase
+    partial-distinct count per (source, gram)) whose outputs are
+    #sources-row tables joined by broadcast.  No window, no sort.
+    """
+    from uncharted_ta1_spark.operators.bleu import _bigrams
+
+    uni = (
+        seq.select("source", F.explode(F.col(tokens_col)).alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t1"),
+            F.countDistinct("g").cast("long").alias("d1"),
+        )
+    )
+    bi = (
+        seq.withColumn("_bg", F.expr(_bigrams(tokens_col)))
+        .select("source", F.explode("_bg").alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t2"),
+            F.countDistinct("g").cast("long").alias("d2"),
+        )
+    )
+    return (
+        uni.join(F.broadcast(bi), "source", "left")
+        .select(
+            "source",
+            "t1",
+            "d1",
+            F.coalesce("t2", F.lit(0)).cast("long").alias("t2"),
+            F.coalesce("d2", F.lit(0)).cast("long").alias("d2"),
+            F.round(
+                F.col("d1").cast("double") / F.col("t1").cast("double"), 9
+            ).alias("distinct1"),
+            F.round(
+                F.col("d2").cast("double")
+                / F.nullif(F.col("t2").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("distinct2"),
+        )
+    )
