@@ -6253,6 +6253,42 @@ def _bleu_dropout_oracle() -> str:
     return duck_with(SEQUENCES_DUCK) + bleu_oracle_select()
 
 
+def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1M-draw budget
+    across sources by token mass (operators/mixing.py::quota_allocation):
+    pure BIGINT floor+remainder arithmetic, quotas sum to EXACTLY the
+    budget; one combinable groupBy, remainder ranking on the #sources-row
+    droplet table."""
+    from uncharted_ta1_spark.operators.mixing import quota_allocation
+
+    return quota_allocation(_sequences(spark, sf_dir))
+
+
+ORACLE_QUOTA_ALLOCATION_TAIL = """
+, qa_w AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS token_mass
+  FROM sequences GROUP BY source
+),
+qa_tot AS (SELECT CAST(sum(token_mass) AS BIGINT) AS tm FROM qa_w),
+qa_base AS (
+  SELECT source, token_mass,
+         CAST((1000000 * token_mass) // tm AS BIGINT) AS floor_quota,
+         CAST((1000000 * token_mass) % tm AS BIGINT) AS remainder
+  FROM qa_w, qa_tot
+),
+qa_rk AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY remainder DESC, source ASC)
+                 AS BIGINT) AS rem_rank,
+         CAST(1000000 - sum(floor_quota) OVER () AS BIGINT) AS leftover
+  FROM qa_base
+)
+SELECT source, token_mass, floor_quota, remainder, rem_rank,
+       CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM qa_rk
+"""
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-1/distinct-2 diversity ratios over the token
     stream (operators/textstats.py::ngram_diversity, the NAACL'16
@@ -12210,6 +12246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cube_profile": q_cube_profile,
         "ngram_diversity": q_ngram_diversity,
+        "quota_allocation": q_quota_allocation,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12457,6 +12494,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_oracle(),
         "cube_profile": ORACLE_CUBE_PROFILE,
         "ngram_diversity": duck_with(SEQUENCES_DUCK) + ORACLE_NGRAM_DIVERSITY_TAIL,
+        "quota_allocation": duck_with(SEQUENCES_DUCK) + ORACLE_QUOTA_ALLOCATION_TAIL,
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,

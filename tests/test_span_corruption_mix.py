@@ -105,3 +105,22 @@ def test_temperature_mix_exact_math(spark):
     assert out.loc["s_big"].mix_weight < out.loc["s_big"].raw_share
     # quotas never exceed the budget
     assert out.expected_draws.sum() <= 1_000_000
+
+
+def test_quota_allocation_exact_budget(spark):
+    from uncharted_ta1_spark.operators.mixing import quota_allocation
+
+    rows = [("s%d" % k, 1) for k in range(7) for _ in range(k + 3)]
+    df = spark.createDataFrame(rows, ["source", "n_tok"])
+    out = quota_allocation(df, budget=100).toPandas()
+    # Hamilton invariants: quotas sum EXACTLY to the budget, each quota is
+    # floor or floor+1, and the +1s go to the largest remainders
+    assert out.quota.sum() == 100
+    assert ((out.quota - out.floor_quota).isin((0, 1))).all()
+    bumped = out[out.quota == out.floor_quota + 1]
+    if len(bumped) and len(bumped) < len(out):
+        assert bumped.remainder.min() >= out[out.quota == out.floor_quota].remainder.max()
+    # proportionality: W=42 (sum of masses 3..9) -> floor(100*m/42)
+    for r in out.itertuples():
+        m = int(r.source[1:]) + 3
+        assert r.floor_quota == (100 * m) // 42 and r.remainder == (100 * m) % 42

@@ -84,3 +84,61 @@ def temperature_mix(
             .alias("expected_draws"),
         )
     )
+
+
+def quota_allocation(
+    seq: DataFrame,
+    *,
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+    budget: int = MIX_BUDGET,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer sampling
+    budget across sources by token mass — the standard exact-quota method
+    (public: Hamilton/Vinton apportionment; used where
+    :func:`temperature_mix`'s floor quotas must instead sum to EXACTLY the
+    budget, e.g. fixed-size eval-set assembly).
+
+    ``quota_i = floor(B*w_i/W) + 1`` for the L strata with the largest
+    remainders ``(B*w_i) mod W`` (ties by source asc), where
+    ``L = B - Σ floor`` — pure BIGINT arithmetic end-to-end, bit-exact in
+    any engine.
+
+    Scale shape: ONE combinable groupBy over the corpus; the ranking
+    window runs on the #sources-row droplet table (bounded by the source
+    cardinality, documented — never corpus-sized).
+    """
+    from pyspark.sql.window import Window
+
+    w = seq.groupBy(source_col).agg(
+        F.sum(ntok_col).cast("long").alias("token_mass")
+    )
+    tot = w.agg(F.sum("token_mass").cast("long").alias("_tm"))
+    base = w.join(F.broadcast(tot)).select(
+        source_col,
+        "token_mass",
+        F.expr(f"({budget}L * token_mass) div _tm").cast("long").alias("floor_quota"),
+        F.expr(f"({budget}L * token_mass) % _tm").cast("long").alias("remainder"),
+    )
+    # droplet-sized window: #sources rows
+    rk = Window.orderBy(F.col("remainder").desc(), F.col(source_col).asc())
+    leftover = base.agg(
+        (F.lit(budget) - F.sum("floor_quota")).cast("long").alias("_left")
+    )
+    return (
+        base.withColumn("rem_rank", F.row_number().over(rk).cast("long"))
+        .join(F.broadcast(leftover))
+        .select(
+            source_col,
+            "token_mass",
+            "floor_quota",
+            "remainder",
+            "rem_rank",
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rem_rank") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
