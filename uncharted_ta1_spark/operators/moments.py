@@ -49,7 +49,10 @@ def moment_profile(
         F.sum(x * x * x).cast("long").alias("s3"),
         F.sum(x * x * x * x).cast("long").alias("s4"),
     )
-    # fixed IEEE tree — textually mirrored in the DuckDB oracle
+    # fixed IEEE tree — textually mirrored in the DuckDB oracle.  The
+    # `+ 0.0` collapses IEEE -0.0 to +0.0 on BOTH sides (a zero-variance
+    # group's m2/m3 can float-round to -0.0, which the driver's value-hash
+    # distinguishes): same collapse appears in the oracle fragments.
     return regs.select(
         group_col,
         "n",
@@ -57,10 +60,10 @@ def moment_profile(
         "s2",
         "s3",
         "s4",
-        F.expr("round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)").alias("mean"),
-        F.expr(_VAR_EXPR).alias("variance"),
-        F.expr(_SKEW_EXPR).alias("skewness"),
-        F.expr(_KURT_EXPR).alias("kurtosis_excess"),
+        F.expr("round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0").alias("mean"),
+        F.expr(_VAR_EXPR + " + 0.0").alias("variance"),
+        F.expr(_SKEW_EXPR + " + 0.0").alias("skewness"),
+        F.expr(_KURT_EXPR + " + 0.0").alias("kurtosis_excess"),
     )
 
 
