@@ -6253,6 +6253,97 @@ def _bleu_dropout_oracle() -> str:
     return duck_with(SEQUENCES_DUCK) + bleu_oracle_select()
 
 
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match (WordPiece/maximal-munch) subword segmentation
+    of every DISTINCT corpus word against a df-thresholded substring
+    vocabulary (operators/wordpiece.py): candidate fan-out, vocabulary
+    membership and longest-match reduction are joins/groupBys on the
+    distinct-word table (vocabulary-sized, never the token stream); the
+    greedy cover is a per-row JVM aggregate fold.  Complements BPE: merge-
+    learning vs longest-prefix inference."""
+    from uncharted_ta1_spark.operators.wordpiece import wordpiece_encode
+
+    return wordpiece_encode(_documents(spark, sf_dir))
+
+
+def _wordpiece_oracle() -> str:
+    from uncharted_ta1_spark.operators.wordpiece import (
+        GREEDY_ROUNDS,
+        MAX_PIECE,
+        MIN_DF,
+    )
+
+    # bounded materialized round chain (the repo's iterative-oracle
+    # convention): round j selects the j-th greedy piece per word; rounds
+    # beyond the longest word are empty.  GREEDY_ROUNDS > max word length.
+    rounds = []
+    for j in range(1, GREEDY_ROUNDS):
+        rounds.append(
+            f"""wp_sel_{j} AS MATERIALIZED (
+  SELECT s.word, CAST(s.pos + l.match_len AS INT) AS pos
+  FROM wp_sel_{j - 1} s
+  JOIN wp_lens l ON l.word = s.word AND l.pos = s.pos
+  WHERE s.pos + l.match_len < length(s.word)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT word, pos FROM wp_sel_{j}" for j in range(GREEDY_ROUNDS)
+    )
+    rounds_sql = ",\n".join(rounds)
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + f"""
+, wp_words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM (SELECT unnest(words) AS word FROM doc_words) GROUP BY word
+),
+wp_pos AS (
+  SELECT word, CAST(unnest(range(length(word))) AS INT) AS pos FROM wp_words
+),
+wp_k AS (
+  SELECT word, pos, CAST(unnest(range(1, {MAX_PIECE + 1})) AS INT) AS k
+  FROM wp_pos
+),
+wp_cands AS MATERIALIZED (
+  SELECT word, pos, k, substr(word, pos + 1, k) AS piece
+  FROM wp_k WHERE pos + k <= length(word)
+),
+wp_vocab AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, count(DISTINCT word) AS df FROM wp_cands GROUP BY piece
+  ) WHERE length(piece) = 1 OR df >= {MIN_DF}
+),
+wp_lens AS MATERIALIZED (
+  SELECT word, pos, CAST(max(k) AS INT) AS match_len
+  FROM wp_cands JOIN wp_vocab USING (piece)
+  GROUP BY word, pos
+),
+wp_sel_0 AS MATERIALIZED (
+  SELECT word, CAST(0 AS INT) AS pos FROM wp_words
+),
+{rounds_sql},
+wp_selected AS MATERIALIZED (
+{union}
+),
+wp_out AS (
+  SELECT s.word,
+         CAST(count(*) AS BIGINT) AS n_pieces,
+         string_agg(substr(s.word, s.pos + 1, l.match_len), ' ' ORDER BY s.pos)
+           AS pieces_csv
+  FROM wp_selected s
+  JOIN wp_lens l ON l.word = s.word AND l.pos = s.pos
+  GROUP BY s.word
+)
+SELECT w.word, w.n_occurrences,
+       CAST(length(w.word) AS BIGINT) AS n_chars,
+       o.n_pieces, o.pieces_csv,
+       round(CAST(o.n_pieces AS DOUBLE) / CAST(length(w.word) AS DOUBLE), 9)
+         + 0.0 AS fertility
+FROM wp_words w JOIN wp_out o ON o.word = w.word
+"""
+    )
+
+
 def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a 1M-draw budget
     across sources by token mass (operators/mixing.py::quota_allocation):
@@ -12247,6 +12338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_profile": q_cube_profile,
         "ngram_diversity": q_ngram_diversity,
         "quota_allocation": q_quota_allocation,
+        "wordpiece_encode": q_wordpiece_encode,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -12495,6 +12587,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_profile": ORACLE_CUBE_PROFILE,
         "ngram_diversity": duck_with(SEQUENCES_DUCK) + ORACLE_NGRAM_DIVERSITY_TAIL,
         "quota_allocation": duck_with(SEQUENCES_DUCK) + ORACLE_QUOTA_ALLOCATION_TAIL,
+        "wordpiece_encode": _wordpiece_oracle(),
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,
