@@ -2376,6 +2376,60 @@ GROUP BY doc_id
 )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023) vs the 'en'
+    target slice over hashed bigram features (operators/dsir.py): the
+    model tables are constant-size (256 buckets) broadcasts; the one
+    corpus-sized shuffle is the per-(doc, bucket) combinable count."""
+    from uncharted_ta1_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_documents(spark, sf_dir), target_lang="en")
+
+
+ORACLE_DSIR_WEIGHTS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, dsir_bgi AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(words), 1)),
+                i -> words[i] || ' ' || words[i+1])) AS bg
+  FROM doc_words
+),
+dsir_db AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST((('0x' || substr(md5('dsir' || bg), 1, 15))::BIGINT) % 256 AS INT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS k
+  FROM dsir_bgi GROUP BY 1, 2, 3
+),
+dsir_model AS MATERIALIZED (
+  SELECT bucket, CAST(sum(k) AS BIGINT) AS c_r,
+         CAST(coalesce(sum(k) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS c_t
+  FROM dsir_db GROUP BY bucket
+),
+dsir_tot AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS r_tot,
+         CAST(sum(c_t) AS BIGINT) AS t_tot
+  FROM dsir_model
+),
+dsir_doc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(sum(d.k) AS BIGINT) AS n_feat,
+         round(sum(CAST(d.k AS DOUBLE)
+                   * ln(CAST(m.c_t + 1 AS DOUBLE) / CAST(m.c_r + 1 AS DOUBLE)))
+               + CAST(sum(d.k) AS DOUBLE)
+                 * ln(CAST(t.r_tot + 256 AS DOUBLE)
+                      / CAST(t.t_tot + 256 AS DOUBLE)), 6) + 0.0 AS logw
+  FROM dsir_db d
+  JOIN dsir_model m USING (bucket)
+  CROSS JOIN dsir_tot t
+  GROUP BY d.doc_id, d.lang, t.r_tot, t.t_tot
+)
+SELECT doc_id, lang, n_feat, logw, logw > 0.0 AS selected FROM dsir_doc
+"""
+)
+
+
 def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: keep probability =
     clamp(quality_score, 0.1, 1.0) over the stable doc_id hash bucket."""
@@ -12256,6 +12310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy": q_word_entropy,
         "corpus_curation": q_corpus_curation,
         "bigram_logprob": q_bigram_logprob,
+        "dsir_weights": q_dsir_weights,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -12495,6 +12550,7 @@ def oracle_sql() -> dict[str, str]:
         "span_scrub": ORACLE_SPAN_SCRUB,
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
