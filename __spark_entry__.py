@@ -6307,6 +6307,23 @@ def _bleu_dropout_oracle() -> str:
     return duck_with(SEQUENCES_DUCK) + bleu_oracle_select()
 
 
+def q_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-level WER vs a deterministically corrupted
+    candidate (operators/editdist.py): the exact Levenshtein DP runs as a
+    per-row JVM aggregate fold (bounded by the context length, zero
+    shuffle, zero Python, no vocab table); the only corpus reduction is
+    one combinable groupBy over four BIGINT registers per source."""
+    from uncharted_ta1_spark.operators.editdist import wer_eval
+
+    return wer_eval(_sequences(spark, sf_dir))
+
+
+def _wer_eval_oracle() -> str:
+    from uncharted_ta1_spark.operators.editdist import wer_oracle_select
+
+    return duck_with(SEQUENCES_DUCK) + wer_oracle_select()
+
+
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match (WordPiece/maximal-munch) subword segmentation
     of every DISTINCT corpus word against a df-thresholded substring
@@ -12389,6 +12406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "moment_profile": q_moment_profile,
         "bleu_dropout": q_bleu_dropout,
+        "wer_eval": q_wer_eval,
         "containment_pairs": q_containment_pairs,
         "cube_profile": q_cube_profile,
         "ngram_diversity": q_ngram_diversity,
@@ -12639,6 +12657,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "moment_profile": _moment_profile_oracle(),
         "bleu_dropout": _bleu_dropout_oracle(),
+        "wer_eval": _wer_eval_oracle(),
         "containment_pairs": _containment_oracle(),
         "cube_profile": ORACLE_CUBE_PROFILE,
         "ngram_diversity": duck_with(SEQUENCES_DUCK) + ORACLE_NGRAM_DIVERSITY_TAIL,

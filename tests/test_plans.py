@@ -632,3 +632,36 @@ def test_containment_pairs_join_is_equi_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_wer_eval_is_one_arrow_stage_one_reduction(spark):
+    """The WER DP rides ONE Arrow-batched MapInPandas stage (the
+    north-star vectorized-UDF contract — never row-at-a-time
+    BatchEvalPython) and the only shuffle is the single per-source
+    register aggregation; no join, no window, no sort."""
+    plan = _plan(E.q_wer_eval(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_wordpiece_all_work_on_distinct_word_table(spark):
+    """WordPiece segmentation never shuffles the token stream: every
+    groupBy/join keys on the distinct-word or piece tables, the greedy
+    cover is a JVM fold (no Python stage), and no nested-loop join
+    appears."""
+    plan = _plan(E.q_wordpiece_encode(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_model_tables_broadcast(spark):
+    """DSIR's model join must be a broadcast (the 256-bucket stat table),
+    never a shuffled join of the corpus against the model; no Python
+    stage anywhere."""
+    plan = _plan(E.q_dsir_weights(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
