@@ -10443,6 +10443,64 @@ LEFT JOIN pit_v v
 )
 
 
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal (event-time x ingest-time) point-in-time lookup
+    (operators/bitemporal.py): each sequence row gets a deterministic
+    ingestion delay (0-899 s), probes are answered under the
+    only-what-had-arrived knowledge cut, and `late_leak` flags exactly
+    the probes where a naive event-time as-of would have used a row that
+    had not yet arrived — the training/serving-skew audit.  One
+    entity-key equi join, two conditional argmax reductions in one
+    combinable groupBy, integer-only math."""
+    from uncharted_ta1_spark.operators.bitemporal import bitemporal_asof
+
+    seq = datagen.sequences_df(spark, sf_dir).withColumn(
+        "ingest_epoch",
+        (
+            F.col("event_epoch")
+            + F.pmod(F.col("doc_num") * 13 + F.col("seq_no") * 29, F.lit(900))
+        ).cast("long"),
+    )
+    return bitemporal_asof(seq, _probes(spark, sf_dir))
+
+
+ORACLE_BITEMPORAL_ASOF = (
+    duck_with(SEQUENCES_DUCK, PROBES_DUCK)
+    + """
+, bt_ev AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(event_epoch AS BIGINT) AS e_event,
+         CAST(event_epoch * 1024 + seq_no AS BIGINT) AS e_ord,
+         CAST(event_epoch + (doc_num * 13 + seq_no * 29) % 900 AS BIGINT)
+           AS e_ingest,
+         CAST(n_tok AS BIGINT) AS e_payload
+  FROM sequences
+),
+bt_agg AS MATERIALIZED (
+  SELECT p.probe_id, p.doc_id, p.source, p.ts_epoch,
+         max(e.e_ord) AS naive_ord,
+         max(CASE WHEN e.e_ingest <= p.ts_epoch THEN e.e_ord END) AS bt_ord
+  FROM probes p
+  LEFT JOIN bt_ev e
+    ON e.doc_id = p.doc_id AND e.source = p.source
+   AND e.e_event <= p.ts_epoch
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a.probe_id, a.doc_id, a.source, CAST(a.ts_epoch AS BIGINT) AS ts_epoch,
+       CAST(coalesce(a.bt_ord // 1024, -1) AS BIGINT) AS bt_event_epoch,
+       CAST(coalesce(a.bt_ord % 1024, -1) AS BIGINT) AS bt_tiebreak,
+       CAST(coalesce(b.e_payload, -1) AS BIGINT) AS bt_payload,
+       CAST(coalesce(a.naive_ord // 1024, -1) AS BIGINT) AS naive_event_epoch,
+       a.bt_ord IS NULL AS fallback_used,
+       (a.naive_ord IS NOT NULL
+        AND (a.bt_ord IS NULL OR a.naive_ord <> a.bt_ord)) AS late_leak
+FROM bt_agg a
+LEFT JOIN bt_ev b
+  ON b.doc_id = a.doc_id AND b.source = a.source AND b.e_ord = a.bt_ord
+"""
+)
+
+
 def q_twap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average token mass per (doc, source): each observation
     is piecewise-constant until the next one, so its weight is that gap
@@ -12357,6 +12415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding_distinct": q_hll_sliding_distinct,
         "hybrid_rrf": q_hybrid_rrf,
         "scd2_pit_lookup": q_scd2_pit_lookup,
+        "bitemporal_asof": q_bitemporal_asof,
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
@@ -12609,6 +12668,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sliding_distinct": ORACLE_HLL_SLIDING_DISTINCT,
         "hybrid_rrf": ORACLE_HYBRID_RRF,
         "scd2_pit_lookup": ORACLE_SCD2_PIT_LOOKUP,
+        "bitemporal_asof": ORACLE_BITEMPORAL_ASOF,
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,

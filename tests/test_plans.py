@@ -665,3 +665,14 @@ def test_dsir_model_tables_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bitemporal_asof_is_hash_join_no_window(spark):
+    """Both argmax reductions ride one entity-key hash join + one
+    combinable groupBy: no nested-loop/cartesian, no window, no Python
+    stage; the payload join-back is also an equi hash join."""
+    plan = _plan(E.q_bitemporal_asof(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
