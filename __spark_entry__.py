@@ -10501,6 +10501,91 @@ LEFT JOIN bt_ev b
 )
 
 
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar / cyclical seasonality encodings of each sequence's event
+    epoch (operators/timefeat.py::calendar_features): div/mod integer
+    parts (UTC-pinned, timezone-function-free) plus sin/cos circle
+    embeddings over the <=24-value integer domain through a fixed IEEE
+    tree (9-dp boundary safety proven exhaustively in tests).  Pure map
+    work — zero shuffle."""
+    from uncharted_ta1_spark.operators.timefeat import calendar_features
+
+    return calendar_features(_sequences(spark, sf_dir))
+
+
+_CAL_TWO_PI = "6.283185307179586"
+
+ORACLE_CALENDAR_FEATURES = (
+    duck_with(SEQUENCES_DUCK)
+    + f"""
+, cal AS (
+  SELECT doc_id, source, CAST(seq_no AS BIGINT) AS seq_no,
+         CAST(event_epoch AS BIGINT) AS event_epoch,
+         CAST((event_epoch // 3600) % 24 AS BIGINT) AS hour_of_day,
+         CAST((event_epoch // 86400 + 4) % 7 AS BIGINT) AS day_of_week
+  FROM sequences
+)
+SELECT doc_id, source, seq_no, event_epoch, hour_of_day, day_of_week,
+       (day_of_week = 0 OR day_of_week = 6) AS is_weekend,
+       round(sin({_CAL_TWO_PI} * CAST(hour_of_day AS DOUBLE) / 24.0), 9) + 0.0
+         AS hour_sin,
+       round(cos({_CAL_TWO_PI} * CAST(hour_of_day AS DOUBLE) / 24.0), 9) + 0.0
+         AS hour_cos,
+       round(sin({_CAL_TWO_PI} * CAST(day_of_week AS DOUBLE) / 7.0), 9) + 0.0
+         AS dow_sin,
+       round(cos({_CAL_TWO_PI} * CAST(day_of_week AS DOUBLE) / 7.0), 9) + 0.0
+         AS dow_cos
+FROM cal
+"""
+)
+
+
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row OLS trend slope of n_tok per (doc_id, source)
+    (operators/timefeat.py::rolling_slope): normal-equation registers as
+    exact BIGINT window sums over the epoch-origin-shifted time axis
+    (shift-invariant, overflow-proof), numerator/denominator emitted to
+    pin the integer algebra, one rounded division; one hash shuffle +
+    one window pass on the as-of partitioning."""
+    from uncharted_ta1_spark.operators.timefeat import rolling_slope
+
+    return rolling_slope(
+        _sequences(spark, sf_dir), keys=["doc_id", "source"], window=5
+    )
+
+
+ORACLE_ROLLING_SLOPE = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, rs AS (
+  SELECT doc_id, source,
+         CAST(event_epoch AS BIGINT) AS event_epoch,
+         CAST(seq_no AS BIGINT) AS seq_no,
+         CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(count(*) OVER w AS BIGINT) AS k,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(n_tok) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * n_tok) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM (
+    SELECT *, CAST(event_epoch - 1704067200 AS BIGINT) AS x FROM sequences
+  )
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY event_epoch, seq_no
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, source, event_epoch, seq_no, n_tok,
+       k AS n_window,
+       CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN k * sxx - sx * sx <> 0
+            THEN round(CAST(k * sxy - sx * sy AS DOUBLE)
+                       / CAST(k * sxx - sx * sx AS DOUBLE), 9) + 0.0
+       END AS slope
+FROM rs
+"""
+)
+
+
 def q_twap_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average token mass per (doc, source): each observation
     is piecewise-constant until the next one, so its weight is that gap
@@ -12416,6 +12501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "scd2_pit_lookup": q_scd2_pit_lookup,
         "bitemporal_asof": q_bitemporal_asof,
+        "calendar_features": q_calendar_features,
+        "rolling_slope": q_rolling_slope,
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
@@ -12669,6 +12756,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": ORACLE_HYBRID_RRF,
         "scd2_pit_lookup": ORACLE_SCD2_PIT_LOOKUP,
         "bitemporal_asof": ORACLE_BITEMPORAL_ASOF,
+        "calendar_features": ORACLE_CALENDAR_FEATURES,
+        "rolling_slope": ORACLE_ROLLING_SLOPE,
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,

@@ -229,3 +229,104 @@ def resample_locf(
         .alias("staleness_buckets"),
     )
     return filled
+
+
+TWO_PI = "6.283185307179586"  # shared literal — identical text in the oracle
+EPOCH0_SHIFT = 1704067200  # datagen.EPOCH0: slope is shift-invariant
+
+
+def calendar_features(df: DataFrame, *, ts: str = "event_epoch") -> DataFrame:
+    """Calendar / cyclical encodings of an epoch column — the standard
+    seasonality features (hour-of-day, day-of-week, weekend flag, and the
+    sin/cos circle embeddings that keep hour 23 adjacent to hour 0).
+
+    Integer parts derive from the epoch by pure div/mod arithmetic (UTC
+    pinned — no timezone functions, so the derivation is engine-portable
+    by construction; 1970-01-01 was a Thursday, hence the +4).  The trig
+    pair is computed from a <=24-value integer domain through a fixed
+    IEEE tree and rounded at 9 dp (libm ulp differences cannot move a
+    9-dp boundary on this domain — verified exhaustively in tests).
+    Pure map work: zero shuffle, zero Python.
+
+    Reference analog: the reference buckets events by wall-clock day for
+    its eval cohorts (``eval/18month_eval/eval_utils.py``); cyclical
+    encodings are the model-side form of the same calendar signal.
+    """
+    epoch = F.col(ts)
+    day = F.expr(f"{ts} div 86400")
+    hour = F.expr(f"{ts} div 3600") % 24
+    dow = (day + 4) % 7  # 0 = Sunday
+    out = df.select(
+        "doc_id",
+        "source",
+        F.col("seq_no").cast("long").alias("seq_no"),
+        epoch.cast("long").alias(ts),
+        hour.cast("long").alias("hour_of_day"),
+        dow.cast("long").alias("day_of_week"),
+        ((dow == 0) | (dow == 6)).alias("is_weekend"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            f"round(sin({TWO_PI} * CAST(hour_of_day AS DOUBLE) / 24.0), 9) + 0.0"
+        ).alias("hour_sin"),
+        F.expr(
+            f"round(cos({TWO_PI} * CAST(hour_of_day AS DOUBLE) / 24.0), 9) + 0.0"
+        ).alias("hour_cos"),
+        F.expr(
+            f"round(sin({TWO_PI} * CAST(day_of_week AS DOUBLE) / 7.0), 9) + 0.0"
+        ).alias("dow_sin"),
+        F.expr(
+            f"round(cos({TWO_PI} * CAST(day_of_week AS DOUBLE) / 7.0), 9) + 0.0"
+        ).alias("dow_cos"),
+    )
+
+
+def rolling_slope(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts: str = "event_epoch",
+    order_tiebreak: list[str] = ("seq_no",),
+    value: str = "n_tok",
+    window: int = 5,
+) -> DataFrame:
+    """Trailing ``window``-row OLS slope of ``value`` against time per
+    key — the trend feature of a rolling feature matrix (least-squares
+    slope = (k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²), Gauss normal equations).
+
+    The time axis is shifted by the corpus epoch origin before squaring
+    (slope is shift-invariant) so every register fits in BIGINT exactly;
+    the numerator/denominator are emitted alongside the one rounded
+    division, pinning the integer algebra in the oracle hash.  NULL slope
+    when the frame's timestamps are all equal (den = 0).  One hash
+    shuffle on the key, one window pass — same partitioning as the as-of
+    join.
+    """
+    x = (F.col(ts) - F.lit(EPOCH0_SHIFT)).cast("long")
+    y = F.col(value).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, *order_tiebreak)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    k = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum(x).over(w).cast("long")
+    sy = F.sum(y).over(w).cast("long")
+    sxy = F.sum(x * y).over(w).cast("long")
+    sxx = F.sum(x * x).over(w).cast("long")
+    num = (k * sxy - sx * sy).cast("long")
+    den = (k * sxx - sx * sx).cast("long")
+    return df.select(
+        *keys,
+        F.col(ts).cast("long").alias(ts),
+        F.col("seq_no").cast("long").alias("seq_no"),
+        y.alias(value),
+        k.alias("n_window"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 9) + F.lit(0.0),
+        ).alias("slope"),
+    )
