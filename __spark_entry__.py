@@ -10501,6 +10501,88 @@ LEFT JOIN bt_ev b
 )
 
 
+def q_eb_smoothed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial smoothing of per-user click rates
+    (operators/ebayes.py): micro-quantized per-entity rates make the
+    method-of-moments registers exact BIGINTs; the fitted prior is a
+    single broadcast row; all floats ride one IEEE tree shared verbatim
+    with the oracle."""
+    from uncharted_ta1_spark.operators.ebayes import eb_smoothed_rate
+
+    datagen.register_base_tables(spark, sf_dir)
+    return eb_smoothed_rate(
+        spark.table("events").select("user_id", "event_type"),
+        key="user_id",
+        hit=F.col("event_type") == "click",
+    )
+
+
+def _eb_smoothed_rate_oracle() -> str:
+    from uncharted_ta1_spark.operators.ebayes import eb_oracle_select
+
+    return (
+        "WITH eb_src AS (SELECT user_id, event_type FROM events)"
+        + eb_oracle_select(
+            src_cte="eb_src", key="user_id", hit_sql="event_type = 'click'"
+        )
+    )
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality constraint report over the
+    raw driver tables (operators/audit.py::dq_constraint_report): six
+    constraints — completeness, uniqueness, range, set membership, epoch
+    floor (exact integer microseconds), and lineitem→orders referential
+    integrity via an anti-join count — each a combinable aggregate;
+    constant-size output at any scale."""
+    from uncharted_ta1_spark.operators.audit import dq_constraint_report
+
+    datagen.register_base_tables(spark, sf_dir)
+    return dq_constraint_report(
+        spark.table("events"), spark.table("orders"), spark.table("lineitem")
+    )
+
+
+ORACLE_DQ_REPORT = """
+WITH dq_base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_null_props,
+         CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup_event_id,
+         CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_value_range,
+         CAST(sum(CASE WHEN event_type NOT IN
+                       ('click', 'view', 'purchase', 'error', 'signup')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_event_type,
+         CAST(sum(CASE WHEN epoch_us(ts) < 1704067200000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_floor
+  FROM events
+),
+dq_ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_orphan
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+dq_nli AS (SELECT CAST(count(*) AS BIGINT) AS n_li FROM lineitem),
+dq_wide AS (SELECT * FROM dq_base CROSS JOIN dq_ref CROSS JOIN dq_nli)
+SELECT 'completeness_events_props' AS constraint_name, n AS n_checked,
+       v_null_props AS n_violations, v_null_props = 0 AS passed FROM dq_wide
+UNION ALL
+SELECT 'uniqueness_events_event_id', n, v_dup_event_id,
+       v_dup_event_id = 0 FROM dq_wide
+UNION ALL
+SELECT 'range_events_value_0_1000', n, v_value_range,
+       v_value_range = 0 FROM dq_wide
+UNION ALL
+SELECT 'set_events_event_type', n, v_event_type, v_event_type = 0 FROM dq_wide
+UNION ALL
+SELECT 'floor_events_ts_epoch0', n, v_ts_floor, v_ts_floor = 0 FROM dq_wide
+UNION ALL
+SELECT 'referential_lineitem_orderkey', n_li, v_orphan,
+       v_orphan = 0 FROM dq_wide
+"""
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar / cyclical seasonality encodings of each sequence's event
     epoch (operators/timefeat.py::calendar_features): div/mod integer
@@ -12503,6 +12585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitemporal_asof": q_bitemporal_asof,
         "calendar_features": q_calendar_features,
         "rolling_slope": q_rolling_slope,
+        "eb_smoothed_rate": q_eb_smoothed_rate,
+        "dq_report": q_dq_report,
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
@@ -12758,6 +12842,8 @@ def oracle_sql() -> dict[str, str]:
         "bitemporal_asof": ORACLE_BITEMPORAL_ASOF,
         "calendar_features": ORACLE_CALENDAR_FEATURES,
         "rolling_slope": ORACLE_ROLLING_SLOPE,
+        "eb_smoothed_rate": _eb_smoothed_rate_oracle(),
+        "dq_report": ORACLE_DQ_REPORT,
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,
