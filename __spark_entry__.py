@@ -3290,6 +3290,88 @@ FROM shl
 )
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-5 from a 20-candidate
+    cosine pool per query vector (operators/similarity.py::mmr_topk,
+    Carbonell & Goldstein 1998): after the broadcast-query relevance
+    stage everything is bounded by |queries| x pool^2; per-round argmax
+    windows run over <= 20 rows; rounds localCheckpoint-materialized."""
+    from uncharted_ta1_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(
+        _embeddings(spark, sf_dir),
+        query_pred=F.col("vec_id") % 50 == 0,
+        pool=20,
+        k=5,
+    )
+
+
+def _mmr_oracle(pool: int = 20, k: int = 5) -> str:
+    from uncharted_ta1_spark.operators.similarity import MMR_SCORE_EXPR
+
+    head = f"""
+WITH mmr_base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+mmr_q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn
+          FROM mmr_base WHERE vec_id % 50 = 0),
+mmr_rels AS MATERIALIZED (
+  SELECT qid, vec_id AS vid,
+         round(list_dot_product(qe, e) / (qn * nrm), 9) + 0.0 AS rel, e, nrm
+  FROM mmr_q, mmr_base WHERE vec_id <> qid
+),
+mmr_cands AS MATERIALIZED (
+  SELECT qid, vid, rel, e, nrm FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid) AS rn
+    FROM mmr_rels
+  ) WHERE rn <= {pool}
+),
+mmr_psims AS MATERIALIZED (
+  SELECT a.qid, a.vid AS vid_a, b.vid AS vid_b,
+         round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9) + 0.0 AS psim
+  FROM mmr_cands a JOIN mmr_cands b ON a.qid = b.qid AND a.vid <> b.vid
+),
+mmr_sel_1 AS MATERIALIZED (
+  SELECT qid, vid, rel, rel AS score, CAST(1 AS BIGINT) AS mmr_rank FROM (
+    SELECT qid, vid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid) AS rn
+    FROM mmr_cands
+  ) WHERE rn = 1
+),
+mmr_acc_1 AS MATERIALIZED (SELECT * FROM mmr_sel_1)"""
+    rounds = []
+    for j in range(2, k + 1):
+        rounds.append(f""",
+mmr_sel_{j} AS MATERIALIZED (
+  SELECT qid, vid, rel, score, CAST({j} AS BIGINT) AS mmr_rank FROM (
+    SELECT qid, vid, rel, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+    FROM (
+      SELECT d.qid, d.vid, d.rel, {MMR_SCORE_EXPR} AS score
+      FROM (
+        SELECT p.qid, p.vid_a AS vid, c.rel, max(p.psim) AS maxd
+        FROM mmr_psims p
+        JOIN mmr_acc_{j - 1} s ON s.qid = p.qid AND s.vid = p.vid_b
+        JOIN mmr_cands c ON c.qid = p.qid AND c.vid = p.vid_a
+        LEFT JOIN mmr_acc_{j - 1} x ON x.qid = p.qid AND x.vid = p.vid_a
+        WHERE x.vid IS NULL
+        GROUP BY 1, 2, 3
+      ) d
+    )
+  ) WHERE rn = 1
+),
+mmr_acc_{j} AS MATERIALIZED (
+  SELECT * FROM mmr_acc_{j - 1} UNION ALL SELECT * FROM mmr_sel_{j}
+)""")
+    return (
+        head
+        + "".join(rounds)
+        + f"\nSELECT qid, vid, rel, score, mmr_rank FROM mmr_acc_{k}\n"
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 per query vector (vec_id % 50 = 0)."""
     return cosine_topk(
@@ -12587,6 +12669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_slope": q_rolling_slope,
         "eb_smoothed_rate": q_eb_smoothed_rate,
         "dq_report": q_dq_report,
+        "mmr_topk": q_mmr_topk,
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
@@ -12844,6 +12927,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_slope": ORACLE_ROLLING_SLOPE,
         "eb_smoothed_rate": _eb_smoothed_rate_oracle(),
         "dq_report": ORACLE_DQ_REPORT,
+        "mmr_topk": _mmr_oracle(),
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,

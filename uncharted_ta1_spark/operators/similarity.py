@@ -649,3 +649,146 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+# MMR score fragment — textually shared with the oracle (dual-dialect
+# invariant).  rel and maxd are ALREADY 9-dp-rounded, bit-identical
+# doubles in both engines; with lambda = 0.5 the score is computed as
+# (rel - maxd) / 2.0 — subtraction is deterministic IEEE and halving is
+# EXACT (exponent decrement), so the score needs NO further rounding.
+# (Rounding here would be a bug: 0.5 * a 9-dp value lands exactly on a
+# .5 tie at the 10th digit ~10% of the time, and the engines break
+# rounding ties differently — caught by the sf0.1 oracle sweep.)
+MMR_SCORE_EXPR = "(rel - maxd) / 2.0 + 0.0"
+
+
+def mmr_topk(
+    emb: DataFrame,
+    *,
+    query_pred: Column,
+    pool: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998 — public method): greedily pick ``k`` of the
+    ``pool`` most-relevant candidates per query, each round maximizing
+    ``0.5*rel - 0.5*max_sim_to_already_selected`` (computed exactly as
+    ``(rel - maxd)/2``) — the diverse few-shot
+    / eval-set selection step plain cosine top-k cannot express (it
+    returns near-duplicates of each other).
+
+    Scale design (100 TB): relevance reuses the broadcast-query cosine
+    stage; everything AFTER the pool cut operates on query x pool rows
+    (bounded: |queries| * pool, with pool a small constant) — the
+    pairwise-sim table is |queries| * pool^2 and every per-round argmax
+    is a window over <= pool rows.  Rounds are localCheckpoint-
+    materialized (the repo's iterative convention) so the plan stays
+    linear.  Ordering is fully deterministic: every float is 9-dp
+    rounded before any comparison, ties break by vid asc.
+    """
+    base = with_norm(emb)
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col("_emb_d").alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+    )
+    c = base.select(F.col(id_col).alias("vid"), "_emb_d", "_norm")
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            "_emb_d",
+            "_norm",
+            (
+                F.round(
+                    _dot(F.col("_q_emb"), F.col("_emb_d"))
+                    / (F.col("_q_norm") * F.col("_norm")),
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("rel"),
+        )
+    )
+    w_pool = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vid").asc()
+    )
+    cands = (
+        sims.withColumn("_rn", F.row_number().over(w_pool))
+        .where(F.col("_rn") <= pool)
+        .select("qid", "vid", "rel", "_emb_d", "_norm")
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(
+        "qid",
+        F.col("vid").alias("vid_a"),
+        F.col("_emb_d").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = cands.select(
+        "qid",
+        F.col("vid").alias("vid_b"),
+        F.col("_emb_d").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "qid")
+        .where(F.col("vid_a") != F.col("vid_b"))
+        .select(
+            "qid",
+            "vid_a",
+            "vid_b",
+            (
+                F.round(
+                    _dot(F.col("_ea"), F.col("_eb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("psim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = cands.select("qid", "vid", "rel")
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vid").asc()
+    )
+    first = (
+        slim.withColumn("score", F.col("rel"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select("qid", "vid", "rel", "score", F.lit(1).cast("long").alias("mmr_rank"))
+    )
+    selected = first.localCheckpoint(eager=True)
+    remaining = slim.join(selected.select("qid", "vid"), ["qid", "vid"], "left_anti")
+    for j in range(2, k + 1):
+        sel_b = selected.select(
+            F.col("qid").alias("_s_qid"), F.col("vid").alias("_s_vid")
+        )
+        d = (
+            pairs.join(
+                sel_b,
+                (F.col("qid") == F.col("_s_qid"))
+                & (F.col("vid_b") == F.col("_s_vid")),
+            )
+            .select("qid", F.col("vid_a").alias("vid"), "psim")
+            .join(remaining, ["qid", "vid"])
+            .groupBy("qid", "vid", "rel")
+            .agg(F.max("psim").alias("maxd"))
+        )
+        pick = (
+            d.withColumn("score", F.expr(MMR_SCORE_EXPR))
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .where(F.col("_rn") == 1)
+            .select(
+                "qid", "vid", "rel", "score",
+                F.lit(j).cast("long").alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+        remaining = slim.join(
+            selected.select("qid", "vid"), ["qid", "vid"], "left_anti"
+        )
+    return selected
