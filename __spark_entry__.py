@@ -2587,20 +2587,34 @@ def _bpe_encode_oracle() -> str:
     )
 
 
+def _split_col() -> F.Column:
+    """The 80/10/10 train/val/test assignment — ONE shared derivation for
+    every split-aware query (never fork a copy; DuckDB twin:
+    _SPLIT_CASE_DUCK)."""
+    bucket = sample_bucket_expr(["doc_id"], salt="split")
+    return (
+        F.when(bucket < 800_000, F.lit("train"))
+        .when(bucket < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_CASE_DUCK = """CASE
+           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1000000 < 800000 THEN 'train'
+           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1000000 < 900000 THEN 'val'
+           ELSE 'test' END"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split from ONE stable hash bucket partitioned into
     disjoint ranges (80/10/10) — re-hashing per split would correlate
     membership; range-partitioning one hash cannot overlap or leak.  Emits
     per-split doc counts and token sums (the split manifest)."""
     docs = _documents(spark, sf_dir)
-    bucket = sample_bucket_expr(["doc_id"], salt="split")
-    split = (
-        F.when(bucket < 800_000, F.lit("train"))
-        .when(bucket < 900_000, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.withColumn("split", split)
+        docs.withColumn("split", _split_col())
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2613,19 +2627,74 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DATASET_SPLIT = (
     duck_with(DOC_WORDS_DUCK)
-    + """
+    + f"""
 , ds AS (
-  SELECT CASE
-           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
-                % 1000000 < 800000 THEN 'train'
-           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
-                % 1000000 < 900000 THEN 'val'
-           ELSE 'test' END AS split,
+  SELECT {_SPLIT_CASE_DUCK} AS split,
          CAST(len(words) AS BIGINT) AS nw
   FROM doc_words
 )
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
 FROM ds GROUP BY split
+"""
+)
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate contamination audit — the leakage check
+    a train/val/test split must pass: every 3-gram-Jaccard>=0.5 near-dup
+    pair (the SAME inverted-index machinery as dedup_ngram_jaccard) is
+    labeled with its members' split assignments (the SAME shared hash
+    derivation as dataset_split — never a fork); a pair straddling two
+    splits means the held-out member is effectively in training.  Output
+    is the per-(split_a, split_b) pair census with the cross flag.
+
+    Scale: the pair set is the df-capped inverted-index join (linear in
+    shingle postings); the split label join-backs are equi hash joins on
+    doc_id; final census is a combinable groupBy over <=6 rows."""
+    docs = _documents(spark, sf_dir)
+    pairs = jaccard_pairs(
+        doc_shingles(docs, n=3), min_jaccard=0.5, max_df=JACCARD_MAX_DF
+    ).select("doc1", "doc2")
+    s = docs.select("doc_id", _split_col().alias("split"))
+    lab = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc1"), F.col("split").alias("_s1")),
+            "doc1",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc2"), F.col("split").alias("_s2")),
+            "doc2",
+        )
+        .select(
+            F.least("_s1", "_s2").alias("split_a"),
+            F.greatest("_s1", "_s2").alias("split_b"),
+        )
+    )
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("is_cross", F.col("split_a") != F.col("split_b"))
+    )
+
+
+# template: {jc} is ORACLE_DEDUP_JACCARD nested verbatim (never fork the
+# pair derivation) — formatted in oracle_sql()
+ORACLE_SPLIT_CONTAMINATION = (
+    """
+WITH jcp AS ({jc}),
+spl AS (SELECT doc_id, """
+    + _SPLIT_CASE_DUCK
+    + """ AS split FROM documents),
+lab AS (
+  SELECT least(s1.split, s2.split) AS split_a,
+         greatest(s1.split, s2.split) AS split_b
+  FROM jcp
+  JOIN spl s1 ON s1.doc_id = jcp.doc1
+  JOIN spl s2 ON s2.doc_id = jcp.doc2
+)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS is_cross
+FROM lab GROUP BY 1, 2
 """
 )
 
@@ -12670,6 +12739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_smoothed_rate": q_eb_smoothed_rate,
         "dq_report": q_dq_report,
         "mmr_topk": q_mmr_topk,
+        "split_contamination": q_split_contamination,
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
@@ -12928,6 +12998,9 @@ def oracle_sql() -> dict[str, str]:
         "eb_smoothed_rate": _eb_smoothed_rate_oracle(),
         "dq_report": ORACLE_DQ_REPORT,
         "mmr_topk": _mmr_oracle(),
+        "split_contamination": ORACLE_SPLIT_CONTAMINATION.format(
+            jc=ORACLE_DEDUP_JACCARD
+        ),
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,
