@@ -6488,33 +6488,13 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_encode(_documents(spark, sf_dir))
 
 
-def _wordpiece_oracle() -> str:
-    from uncharted_ta1_spark.operators.wordpiece import (
-        GREEDY_ROUNDS,
-        MAX_PIECE,
-        MIN_DF,
-    )
+def _wp_vocab_head() -> str:
+    """Shared wordpiece vocabulary head (distinct words → candidate
+    substrings → df-thresholded vocab → per-pos longest match) — used by
+    BOTH the greedy and the optimal-segmentation oracles; never fork."""
+    from uncharted_ta1_spark.operators.wordpiece import MAX_PIECE, MIN_DF
 
-    # bounded materialized round chain (the repo's iterative-oracle
-    # convention): round j selects the j-th greedy piece per word; rounds
-    # beyond the longest word are empty.  GREEDY_ROUNDS > max word length.
-    rounds = []
-    for j in range(1, GREEDY_ROUNDS):
-        rounds.append(
-            f"""wp_sel_{j} AS MATERIALIZED (
-  SELECT s.word, CAST(s.pos + l.match_len AS INT) AS pos
-  FROM wp_sel_{j - 1} s
-  JOIN wp_lens l ON l.word = s.word AND l.pos = s.pos
-  WHERE s.pos + l.match_len < length(s.word)
-)"""
-        )
-    union = "\nUNION ALL\n".join(
-        f"SELECT word, pos FROM wp_sel_{j}" for j in range(GREEDY_ROUNDS)
-    )
-    rounds_sql = ",\n".join(rounds)
-    return (
-        duck_with(DOC_WORDS_DUCK)
-        + f"""
+    return f"""
 , wp_words AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
   FROM (SELECT unnest(words) AS word FROM doc_words) GROUP BY word
@@ -6539,7 +6519,33 @@ wp_lens AS MATERIALIZED (
   SELECT word, pos, CAST(max(k) AS INT) AS match_len
   FROM wp_cands JOIN wp_vocab USING (piece)
   GROUP BY word, pos
-),
+)"""
+
+
+def _wordpiece_oracle() -> str:
+    from uncharted_ta1_spark.operators.wordpiece import GREEDY_ROUNDS
+
+    # bounded materialized round chain (the repo's iterative-oracle
+    # convention): round j selects the j-th greedy piece per word; rounds
+    # beyond the longest word are empty.  GREEDY_ROUNDS > max word length.
+    rounds = []
+    for j in range(1, GREEDY_ROUNDS):
+        rounds.append(
+            f"""wp_sel_{j} AS MATERIALIZED (
+  SELECT s.word, CAST(s.pos + l.match_len AS INT) AS pos
+  FROM wp_sel_{j - 1} s
+  JOIN wp_lens l ON l.word = s.word AND l.pos = s.pos
+  WHERE s.pos + l.match_len < length(s.word)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT word, pos FROM wp_sel_{j}" for j in range(GREEDY_ROUNDS)
+    )
+    rounds_sql = ",\n".join(rounds)
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + _wp_vocab_head()
+        + f""",
 wp_sel_0 AS MATERIALIZED (
   SELECT word, CAST(0 AS INT) AS pos FROM wp_words
 ),
@@ -6562,6 +6568,74 @@ SELECT w.word, w.n_occurrences,
        round(CAST(o.n_pieces AS DOUBLE) / CAST(length(w.word) AS DOUBLE), 9)
          + 0.0 AS fertility
 FROM wp_words w JOIN wp_out o ON o.word = w.word
+"""
+    )
+
+
+def q_optimal_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact minimum-piece segmentation per distinct word against the
+    SAME df-thresholded vocabulary as wordpiece_encode (operators/
+    wordpiece.py::optimal_segmentation): valid piece lengths pack into a
+    per-position bitmask, the DP is a per-row JVM fold with a constant-
+    width inner min, and the output pairs greedy vs optimal counts —
+    exposing exactly where maximal munch over-fragments.  Vocabulary-
+    sized work, exact integers end to end."""
+    from uncharted_ta1_spark.operators.wordpiece import optimal_segmentation
+
+    return optimal_segmentation(_documents(spark, sf_dir))
+
+
+def _optimal_segmentation_oracle() -> str:
+    from uncharted_ta1_spark.operators.wordpiece import MAX_PIECE
+
+    big = 1 << 40
+    dp_terms = ",\n         ".join(
+        f"CASE WHEN e[1] >= {k} AND (masks[e[1] - {k} + 1] >> {k - 1}) & 1 = 1 "
+        f"THEN acc[e[1] - {k} + 1] + 1 ELSE {big} END"
+        for k in range(1, MAX_PIECE + 1)
+    )
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + _wp_vocab_head()
+        + f""",
+wp_masks AS MATERIALIZED (
+  SELECT word, pos, CAST(sum(1 << (k - 1)) AS BIGINT) AS mask
+  FROM wp_cands JOIN wp_vocab USING (piece)
+  GROUP BY word, pos
+),
+wp_marr AS MATERIALIZED (
+  SELECT word, list(mask ORDER BY pos) AS masks FROM wp_masks GROUP BY word
+),
+wp_larr AS MATERIALIZED (
+  SELECT word, list(CAST(match_len AS BIGINT) ORDER BY pos) AS lens
+  FROM wp_lens GROUP BY word
+),
+wp_opt AS MATERIALIZED (
+  SELECT m.word,
+    list_reduce(
+      list_prepend([CAST(0 AS BIGINT)],
+                   list_transform(range(1, length(m.word) + 1),
+                                  i -> [i::BIGINT])),
+      (acc, e) -> list_append(acc, least(
+         {dp_terms}))
+    )[length(m.word) + 1] AS min_pieces,
+    -- greedy cover count: fold (cur_pos, count) over positions
+    list_reduce(
+      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                   list_transform(range(length(m.word)), i -> [i::BIGINT, 0])),
+      (acc, e) -> CASE WHEN e[1] = acc[1]
+                  THEN [acc[1] + l.lens[CAST(e[1] AS INT) + 1], acc[2] + 1]
+                  ELSE acc END
+    )[2] AS greedy_pieces
+  FROM wp_marr m JOIN wp_larr l ON l.word = m.word
+)
+SELECT w.word, w.n_occurrences,
+       CAST(length(w.word) AS BIGINT) AS n_chars,
+       CAST(o.greedy_pieces AS BIGINT) AS greedy_pieces,
+       CAST(o.min_pieces AS BIGINT) AS min_pieces,
+       o.greedy_pieces = o.min_pieces AS greedy_is_optimal,
+       CAST(o.greedy_pieces - o.min_pieces AS BIGINT) AS saved_pieces
+FROM wp_words w JOIN wp_opt o ON o.word = w.word
 """
     )
 
@@ -12795,6 +12869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "quota_allocation": q_quota_allocation,
         "wordpiece_encode": q_wordpiece_encode,
+        "optimal_segmentation": q_optimal_segmentation,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -13055,6 +13130,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_diversity": duck_with(SEQUENCES_DUCK) + ORACLE_NGRAM_DIVERSITY_TAIL,
         "quota_allocation": duck_with(SEQUENCES_DUCK) + ORACLE_QUOTA_ALLOCATION_TAIL,
         "wordpiece_encode": _wordpiece_oracle(),
+        "optimal_segmentation": _optimal_segmentation_oracle(),
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,

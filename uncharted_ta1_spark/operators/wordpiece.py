@@ -132,3 +132,121 @@ def wordpiece_encode(
             F.size("_sel").cast("double") / F.length("word").cast("double"), 9
         ).alias("fertility"),
     )
+
+
+def optimal_segmentation(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_piece: int = MAX_PIECE,
+    min_df: int = MIN_DF,
+) -> DataFrame:
+    """Minimum-piece segmentation per distinct word against the SAME
+    df-thresholded vocabulary as :func:`wordpiece_encode` — the exact DP
+    lower bound (unigram-LM Viterbi with unit piece costs; Kudo 2018's
+    segmentation lattice specialized to min-pieces) that greedy maximal
+    munch only approximates.  Emitting both exposes exactly where the
+    greedy tokenizer over-fragments (`greedy_is_optimal` = false rows).
+
+    dp[i] = 1 + min over k<=max_piece with word[i-k:i] in vocab of
+    dp[i-k]; per-position valid piece lengths are packed into a BITMASK
+    column (one combinable groupBy over the candidate table — shared
+    shape with the greedy path), and the DP runs as a per-row JVM
+    ``aggregate`` fold over positions with a constant-width (max_piece)
+    inner min.  Everything is the distinct-word table — vocabulary-sized
+    — and exact integers end to end.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (local clarity)
+
+    from uncharted_ta1_spark.functions.portable import words_col
+
+    words = (
+        docs.select(F.explode(words_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    cands = (
+        words.select(
+            "word",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("pos"),
+        )
+        .select(
+            "word",
+            "pos",
+            F.explode(F.sequence(F.lit(1), F.lit(max_piece))).alias("k"),
+        )
+        .where(F.col("pos") + F.col("k") <= F.length("word"))
+        .withColumn("piece", F.expr("substring(word, pos + 1, k)"))
+    )
+    vocab = (
+        cands.groupBy("piece")
+        .agg(F.countDistinct("word").cast("long").alias("df"))
+        .where((F.length("piece") == 1) | (F.col("df") >= min_df))
+        .select("piece")
+    )
+    # (word, pos, k) rows are unique by construction, so the mask is a
+    # plain sum of bit values
+    masks = (
+        cands.join(vocab, "piece")
+        .groupBy("word", "pos")
+        .agg(F.sum(F.expr("shiftleft(1, k - 1)")).cast("long").alias("mask"))
+    )
+    masks_arr = masks.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mask"))),
+            lambda s: s.mask,
+        ).alias("masks")
+    )
+    big = F.lit(1 << 40).cast("long")
+
+    def step(acc, i):
+        # dp value for position i (1-based): min over k of acc[i-k] + 1
+        # where piece word[i-k:i] (mask bit k at 0-based pos i-k) is in-vocab
+        opts = [
+            F.when(
+                (i >= F.lit(kk))
+                & (
+                    F.shiftright(
+                        F.element_at(F.col("masks"), i - kk + 1), kk - 1
+                    ).bitwiseAND(F.lit(1))
+                    == 1
+                ),
+                F.element_at(acc, i - kk + 1) + 1,
+            ).otherwise(big)
+            for kk in range(1, max_piece + 1)
+        ]
+        return F.concat(acc, F.array(F.least(*opts)))
+
+    folded = words.join(masks_arr, "word").withColumn(
+        "_dp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.array(F.lit(0).cast("long")),
+            step,
+        ),
+    )
+    greedy = wordpiece_encode(
+        docs, text_col=text_col, max_piece=max_piece, min_df=min_df
+    ).select("word", F.col("n_pieces").alias("greedy_pieces"))
+    return (
+        folded.select(
+            "word",
+            "n_occurrences",
+            F.length("word").cast("long").alias("n_chars"),
+            F.element_at("_dp", -1).cast("long").alias("min_pieces"),
+        )
+        .join(greedy, "word")
+        .select(
+            "word",
+            "n_occurrences",
+            "n_chars",
+            "greedy_pieces",
+            "min_pieces",
+            (F.col("greedy_pieces") == F.col("min_pieces")).alias(
+                "greedy_is_optimal"
+            ),
+            (F.col("greedy_pieces") - F.col("min_pieces"))
+            .cast("long")
+            .alias("saved_pieces"),
+        )
+    )
