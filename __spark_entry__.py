@@ -6640,6 +6640,84 @@ FROM wp_words w JOIN wp_opt o ON o.word = w.word
     )
 
 
+_PP_CAP = 64
+
+# shared pair-packing chain — both pack-level and census oracles extend it
+_PP_CHAIN = """
+, pp_ranked AS MATERIALIZED (
+  SELECT source, CAST(n_tok AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_tok DESC, doc_id, seq_no) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM sequences
+),
+pp_packs AS MATERIALIZED (
+  SELECT source, CAST(least(r, n + 1 - r) AS BIGINT) AS pair_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(w) AS BIGINT) AS tok_sum,
+         CAST(max(w) AS BIGINT) AS max_w
+  FROM pp_ranked GROUP BY 1, 2
+),
+pp_out AS (
+  SELECT source, pair_id, n_members, tok_sum, max_w,
+         max_w > {cap} AS oversize,
+         CAST(CASE WHEN n_members = 2 AND tok_sum <= {cap} THEN 1
+              ELSE n_members END AS BIGINT) AS n_packs,
+         CAST(CASE WHEN n_members = 2 AND tok_sum <= {cap}
+              THEN {cap} - tok_sum
+              ELSE n_members * {cap} - tok_sum END AS BIGINT) AS padding_toks
+  FROM pp_packs
+)"""
+
+
+def q_pair_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing rank pair-packing of sequences into cap-64 bins
+    (operators/packing.py::pair_pack — largest-with-smallest two-pointer
+    pairing, the boundary-preserving complement to pack_chunks): one hash
+    shuffle on the stream key, two rank windows on the same partitioning,
+    combinable pack census; exact integers."""
+    from uncharted_ta1_spark.operators.packing import pair_pack
+
+    return pair_pack(_sequences(spark, sf_dir), cap=_PP_CAP)
+
+
+def q_pack_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream packing census over q_pair_packing's packs: packs,
+    padding, oversize count, 9-dp packing efficiency."""
+    from uncharted_ta1_spark.operators.packing import pair_pack, pair_pack_summary
+
+    return pair_pack_summary(
+        pair_pack(_sequences(spark, sf_dir), cap=_PP_CAP), cap=_PP_CAP
+    )
+
+
+def _pair_packing_oracle() -> str:
+    return (
+        duck_with(SEQUENCES_DUCK)
+        + _PP_CHAIN.format(cap=_PP_CAP)
+        + "\nSELECT source, pair_id, n_members, tok_sum, max_w, oversize,"
+        "\n       n_packs, padding_toks FROM pp_out\n"
+    )
+
+
+def _pack_census_oracle() -> str:
+    return (
+        duck_with(SEQUENCES_DUCK)
+        + _PP_CHAIN.format(cap=_PP_CAP)
+        + f"""
+SELECT source,
+       CAST(sum(n_members) AS BIGINT) AS n_seqs,
+       CAST(sum(tok_sum) AS BIGINT) AS n_toks,
+       CAST(sum(n_packs) AS BIGINT) AS n_packs,
+       CAST(sum(padding_toks) AS BIGINT) AS padding_toks,
+       CAST(sum(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       round(CAST(sum(tok_sum) AS DOUBLE)
+             / CAST(sum(n_packs) * {_PP_CAP} AS DOUBLE), 9) AS pack_efficiency
+FROM pp_out GROUP BY source
+"""
+    )
+
+
 def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a 1M-draw budget
     across sources by token mass (operators/mixing.py::quota_allocation):
@@ -12870,6 +12948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_allocation": q_quota_allocation,
         "wordpiece_encode": q_wordpiece_encode,
         "optimal_segmentation": q_optimal_segmentation,
+        "pair_packing": q_pair_packing,
+        "pack_census": q_pack_census,
         "merge_timetravel": q_merge_timetravel,
         "snapshot_diff": q_snapshot_diff,
         "merge_delete": q_merge_delete,
@@ -13131,6 +13211,8 @@ def oracle_sql() -> dict[str, str]:
         "quota_allocation": duck_with(SEQUENCES_DUCK) + ORACLE_QUOTA_ALLOCATION_TAIL,
         "wordpiece_encode": _wordpiece_oracle(),
         "optimal_segmentation": _optimal_segmentation_oracle(),
+        "pair_packing": _pair_packing_oracle(),
+        "pack_census": _pack_census_oracle(),
         "merge_timetravel": ORACLE_MERGE_TIMETRAVEL,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "merge_delete": ORACLE_MERGE_DELETE,

@@ -245,3 +245,103 @@ def span_corruption(
         )
         .drop("_flags", "_starts", "_spanidx")
     )
+
+
+def pair_pack(
+    seq: DataFrame,
+    *,
+    key: str = "source",
+    weight: str = "n_tok",
+    cap: int = 64,
+    order_tiebreak: Sequence[str] = ("doc_id", "seq_no"),
+) -> DataFrame:
+    """Padding-minimizing PAIR packing: within each stream, rank sequences
+    by length descending and pair rank r with rank (n+1-r) — the classic
+    largest-with-smallest two-pointer heuristic for capacity-``cap`` bins
+    (the rank-pairing form of best-fit-decreasing; public bin-packing
+    folklore, cf. Graphcore's histogram packing for BERT, Kosec et al.
+    2021).  Pairs whose combined length exceeds ``cap`` stay singletons
+    (each member becomes its own pack); sequences longer than ``cap``
+    are flagged.
+
+    Unlike ``pack_chunks`` (concat-and-chunk: zero padding, straddling
+    allowed) this preserves sequence boundaries — the padded-batch
+    regime — and reports the padding it costs.
+
+    Plan: ONE hash shuffle on the stream key, two rank windows over the
+    same partitioning (rows-per-stream bounded), pack census as a
+    combinable groupBy.  Exact integers end to end.
+    """
+    w_rank = Window.partitionBy(key).orderBy(
+        F.col(weight).desc(), *[F.col(c).asc() for c in order_tiebreak]
+    )
+    w_n = Window.partitionBy(key)
+    ranked = seq.select(
+        key,
+        F.col(weight).cast("long").alias("w"),
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    )
+    paired = ranked.select(
+        key,
+        "w",
+        "r",
+        "n",
+        F.least(F.col("r"), F.col("n") + 1 - F.col("r")).alias("pair_id"),
+    )
+    packs = paired.groupBy(key, "pair_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("w").cast("long").alias("tok_sum"),
+        F.max("w").cast("long").alias("max_w"),
+    )
+    # a pair that does not fit under cap splits into singleton packs:
+    # emit it as TWO packs of its members (n_packs accounting only —
+    # membership is derivable from the rank rule, so no row fan-out)
+    return packs.select(
+        key,
+        F.col("pair_id").cast("long").alias("pair_id"),
+        "n_members",
+        "tok_sum",
+        "max_w",
+        (F.col("max_w") > cap).alias("oversize"),
+        F.when(
+            (F.col("n_members") == 2) & (F.col("tok_sum") <= cap), 1
+        )
+        .otherwise(F.col("n_members"))
+        .cast("long")
+        .alias("n_packs"),
+        F.when(
+            (F.col("n_members") == 2) & (F.col("tok_sum") <= cap),
+            F.lit(cap) - F.col("tok_sum"),
+        )
+        .otherwise(F.col("n_members") * cap - F.col("tok_sum"))
+        .cast("long")
+        .alias("padding_toks"),
+    )
+
+
+def pair_pack_summary(packed: DataFrame, *, key: str = "source",
+                      cap: int = 64) -> DataFrame:
+    """Per-stream packing census: packs, padding, efficiency (9 dp)."""
+    agg = packed.groupBy(key).agg(
+        F.sum("n_members").cast("long").alias("n_seqs"),
+        F.sum("tok_sum").cast("long").alias("n_toks"),
+        F.sum("n_packs").cast("long").alias("n_packs"),
+        F.sum("padding_toks").cast("long").alias("padding_toks"),
+        F.sum(F.when(F.col("oversize"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize"),
+    )
+    return agg.select(
+        key,
+        "n_seqs",
+        "n_toks",
+        "n_packs",
+        "padding_toks",
+        "n_oversize",
+        F.round(
+            F.col("n_toks").cast("double")
+            / (F.col("n_packs") * F.lit(cap)).cast("double"),
+            9,
+        ).alias("pack_efficiency"),
+    )
