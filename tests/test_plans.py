@@ -676,3 +676,13 @@ def test_bitemporal_asof_is_hash_join_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pair_packing_rank_is_bucketed(spark):
+    """Scale contract for pair packing: the per-stream length rank must
+    run inside GK range buckets (_bkt), never as a source-partitioned
+    global row_number over the corpus; offset join-backs broadcast."""
+    plan = _plan(E.q_pair_packing(spark, SF))
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), f"row_number window not bucketed: {m.group(0)}"
+    assert "SortMergeJoin" not in plan

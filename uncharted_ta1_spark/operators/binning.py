@@ -119,3 +119,74 @@ def ntile_equal_freq(
     return ranked.withColumn(out_col, F.expr(tile).cast("int")).drop(
         "_bkt", "_bn", "_off", "_n_cls", "_rank"
     )
+
+
+def bucketed_rank(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    col: str,
+    order_tiebreak: Sequence[str],
+    n_buckets: int = 100,
+    out_rank: str = "_rank",
+    out_n: str = "_n_grp",
+) -> DataFrame:
+    """Exact per-group DESCENDING dense rank of ``col`` (1 = largest; ties
+    broken ascending by ``order_tiebreak``) plus the group size — computed
+    with the GK-bucket + broadcast-offset pattern so NO per-group global
+    sort exists in the plan (max task ~ group_size / n_buckets).  The
+    generalization of the ``ntile_equal_freq`` / ``vocab_index`` rank
+    plan, reusable wherever a corpus-sized rank window would otherwise
+    funnel a whole group through one task.
+
+    Equal ``col`` values always share a bucket (bucketing counts
+    boundaries <= value), so tie-breaks are decided entirely inside one
+    bucket's window and the output is bit-identical to
+    ``row_number() OVER (PARTITION BY keys ORDER BY col DESC, tb...)``.
+    """
+    keys = list(keys)
+    tb = list(order_tiebreak)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(*keys).agg(
+        F.percentile_approx(
+            F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("_bnds")
+    )
+    bucketed = (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col(col) >= b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+    counts = bucketed.groupBy(*keys, "_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    # DESC rank: bucket b's exclusive offset = rows in strictly HIGHER
+    # buckets; windows below run over the droplet-sized counts table
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*keys)
+    offsets = counts.select(
+        *keys,
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(wtot).alias("_n_all"),
+    )
+    wloc = Window.partitionBy(*keys, "_bkt").orderBy(
+        F.col(col).desc(), *[F.col(c).asc() for c in tb]
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [*keys, "_bkt"])
+        .withColumn(out_rank, (F.row_number().over(wloc) + F.col("_off")).cast("long"))
+        .withColumn(out_n, F.col("_n_all").cast("long"))
+        .drop("_bkt", "_bn", "_off", "_n_all")
+    )

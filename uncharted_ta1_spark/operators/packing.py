@@ -268,20 +268,26 @@ def pair_pack(
     allowed) this preserves sequence boundaries — the padded-batch
     regime — and reports the padding it costs.
 
-    Plan: ONE hash shuffle on the stream key, two rank windows over the
-    same partitioning (rows-per-stream bounded), pack census as a
-    combinable groupBy.  Exact integers end to end.
+    Plan (scale contract): the per-stream length rank is NOT a per-stream
+    global sort — with a handful of streams that window funnels the whole
+    corpus through that many tasks (the vocab_index/value_deciles
+    scale-killer class).  Ranks come from ``binning.bucketed_rank`` (GK
+    range buckets + broadcast offsets, bit-identical to the naive
+    window, max task ~ stream/100); the pack census is one combinable
+    groupBy.  Exact integers end to end.
     """
-    w_rank = Window.partitionBy(key).orderBy(
-        F.col(weight).desc(), *[F.col(c).asc() for c in order_tiebreak]
-    )
-    w_n = Window.partitionBy(key)
-    ranked = seq.select(
-        key,
-        F.col(weight).cast("long").alias("w"),
-        F.row_number().over(w_rank).cast("long").alias("r"),
-        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
-    )
+    from uncharted_ta1_spark.operators.binning import bucketed_rank
+
+    ranked = bucketed_rank(
+        seq.select(
+            key, F.col(weight).cast("long").alias("w"), *order_tiebreak
+        ),
+        keys=[key],
+        col="w",
+        order_tiebreak=order_tiebreak,
+        out_rank="r",
+        out_n="n",
+    ).select(key, "w", "r", "n")
     paired = ranked.select(
         key,
         "w",
