@@ -2699,6 +2699,56 @@ FROM lab GROUP BY 1, 2
 )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted export shards + content-hashed manifests per split
+    (operators/sharding.py): the running token sum comes from the
+    reusable binning.bucketed_cumsum (GK buckets + broadcast offsets —
+    no per-split global sort); whole documents never split; manifest
+    hash = md5 of the ordered doc-id csv.  Splits reuse the shared
+    _split_col() derivation."""
+    from uncharted_ta1_spark.operators.sharding import shard_manifest
+
+    docs = _documents(spark, sf_dir)
+    return shard_manifest(
+        docs,
+        split_col=_split_col(),
+        weight_col=F.size(words_col(F.col("text"))).cast("long"),
+    )
+
+
+def _shard_manifest_oracle() -> str:
+    from uncharted_ta1_spark.operators.sharding import SHARD_BUDGET
+
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + f"""
+, sh_base AS (
+  SELECT doc_id, {_SPLIT_CASE_DUCK} AS split,
+         CAST(len(words) AS BIGINT) AS w
+  FROM doc_words
+),
+sh_cum AS (
+  SELECT *, CAST(sum(w) OVER (PARTITION BY split ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+  FROM sh_base
+),
+sh_asn AS (
+  SELECT split, doc_id, w,
+         CAST((cum - w) // {SHARD_BUDGET} AS BIGINT) AS shard_id
+  FROM sh_cum
+)
+SELECT split, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS manifest_hash
+FROM sh_asn GROUP BY 1, 2
+"""
+    )
+
+
 def q_time_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expanding-window time-series CV folds over the sequences corpus
     (operators/splits.py): the time span is cut into 5 equal integer
@@ -12892,6 +12942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "mmr_topk": q_mmr_topk,
         "split_contamination": q_split_contamination,
+        "shard_manifest": q_shard_manifest,
         "ndcg_eval": q_ndcg_eval,
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "grouped_mode": q_grouped_mode,
@@ -13156,6 +13207,7 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": ORACLE_SPLIT_CONTAMINATION.format(
             jc=ORACLE_DEDUP_JACCARD
         ),
+        "shard_manifest": _shard_manifest_oracle(),
         "ndcg_eval": ORACLE_NDCG_EVAL,
         "dedup_graph_triangles": ORACLE_DEDUP_GRAPH_TRIANGLES_TPL.format(nd=ORACLE_EMBEDDING_NEAR_DUP),
         "grouped_mode": ORACLE_GROUPED_MODE,

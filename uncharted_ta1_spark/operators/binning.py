@@ -190,3 +190,69 @@ def bucketed_rank(
         .withColumn(out_n, F.col("_n_all").cast("long"))
         .drop("_bkt", "_bn", "_off", "_n_all")
     )
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order_col: str,
+    val_col: str,
+    order_tiebreak: Sequence[str] = (),
+    n_buckets: int = 100,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Exact per-group INCLUSIVE running sum of ``val_col`` in
+    ``order_col`` order — without the per-group global sort a plain
+    ``sum() OVER (PARTITION BY keys ORDER BY order_col)`` window costs
+    (with few groups that window funnels the corpus through few tasks).
+    Same GK-bucket + broadcast-offset construction as
+    :func:`bucketed_rank`: bucket by order_col ranges, per-bucket sums
+    give exclusive offsets (droplet-sized window), the running sum runs
+    inside each (group, bucket).  Bit-identical to the naive window.
+    """
+    keys = list(keys)
+    tb = list(order_tiebreak)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(*keys).agg(
+        F.percentile_approx(
+            F.col(order_col), F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("_bnds")
+    )
+    bucketed = (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bnds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(order_col) >= b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bnds")
+    )
+    sums = bucketed.groupBy(*keys, "_bkt").agg(
+        F.sum(val_col).cast("long").alias("_bs")
+    )
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        *keys, "_bkt", F.coalesce(F.sum("_bs").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy(F.col(order_col).asc(), *[F.col(c).asc() for c in tb])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [*keys, "_bkt"])
+        .withColumn(
+            out_col,
+            (F.sum(val_col).over(wloc) + F.col("_off")).cast("long"),
+        )
+        .drop("_bkt", "_bs", "_off")
+    )
