@@ -2430,6 +2430,57 @@ SELECT doc_id, lang, n_feat, logw, logw > 0.0 AS selected FROM dsir_doc
 )
 
 
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-prob under an interpolated Kneser-Ney bigram LM
+    (D=0.75 absolute discount — operators/textstats.py::
+    kn_bigram_logprob): the industrial perplexity proxy built on the
+    same continuation statistics kn_continuation audits; exact counts,
+    one shared IEEE tree, 6-dp rounded order-dependent sum."""
+    from uncharted_ta1_spark.operators.textstats import kn_bigram_logprob
+
+    return kn_bigram_logprob(_documents(spark, sf_dir))
+
+
+def _kn_logprob_oracle() -> str:
+    from uncharted_ta1_spark.operators.textstats import KN_P_EXPR
+
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + f"""
+, knl_bgi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(words), 1)), i -> words[i+1])) AS w2
+  FROM doc_words
+),
+knl_doc AS MATERIALIZED (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k FROM knl_bgi GROUP BY 1, 2, 3
+),
+knl_bg AS MATERIALIZED (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM knl_doc GROUP BY 1, 2
+),
+knl_c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(words) AS w1 FROM doc_words) GROUP BY 1
+),
+knl_nr AS (SELECT w1, CAST(count(*) AS BIGINT) AS nright FROM knl_bg GROUP BY 1),
+knl_nl AS (SELECT w2, CAST(count(*) AS BIGINT) AS nleft FROM knl_bg GROUP BY 1),
+knl_t AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM knl_bg)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(k AS DOUBLE) * ln({KN_P_EXPR}))
+             / CAST(sum(k) AS DOUBLE), 6) AS kn_logprob
+FROM knl_doc
+JOIN knl_bg USING (w1, w2)
+JOIN knl_c1 USING (w1)
+JOIN knl_nr USING (w1)
+JOIN knl_nl USING (w2)
+CROSS JOIN knl_t
+GROUP BY doc_id
+"""
+    )
+
+
 def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: keep probability =
     clamp(quality_score, 0.1, 1.0) over the stable doc_id hash bucket."""
@@ -12906,6 +12957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "bigram_logprob": q_bigram_logprob,
         "dsir_weights": q_dsir_weights,
+        "kn_logprob": q_kn_logprob,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13158,6 +13210,7 @@ def oracle_sql() -> dict[str, str]:
         "word_entropy": ORACLE_WORD_ENTROPY,
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "kn_logprob": _kn_logprob_oracle(),
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,

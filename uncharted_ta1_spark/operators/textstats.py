@@ -459,3 +459,75 @@ def ngram_diversity(seq: DataFrame, *, tokens_col: str = "tokens") -> DataFrame:
             ).alias("distinct2"),
         )
     )
+
+
+KN_DISCOUNT = "0.75"  # absolute discount D — shared literal with the oracle
+
+# fixed IEEE tree for the interpolated KN bigram probability, shared
+# textually with the DuckDB oracle (dual-dialect invariant):
+#   P(w2|w1) = max(c12-D,0)/c1 + D*nright/c1 * (nleft/T)
+KN_P_EXPR = (
+    f"(greatest(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0)"
+    " / CAST(c1 AS DOUBLE)"
+    f" + {KN_DISCOUNT} * CAST(nright AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * (CAST(nleft AS DOUBLE) / CAST(t_types AS DOUBLE)))"
+)
+
+
+def kn_bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under an interpolated Kneser-Ney
+    bigram LM (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form,
+    absolute discount D=0.75 — public method): the industrial-strength
+    perplexity proxy that add-1 (``bigram_logprob``) only approximates.
+    Builds on the SAME statistics ``kn_continuation`` audits: c(w1,w2),
+    c(w1), N1+(w1,·) right-continuation fan-out, N1+(·,w2) left-
+    continuation support, T = distinct bigram types.
+
+    Every count is an exact BIGINT from combinable groupBys on
+    vocabulary-sized keys; the probability rides ONE fixed IEEE tree
+    (KN_P_EXPR, textually shared with the oracle) and the per-doc
+    order-dependent float sum rounds at 6 dp.  P > 0 always (the
+    continuation term is never zero for an observed bigram), so no
+    NaN/-Inf path exists.
+    """
+    words = words_col(F.col("text"))
+    d = docs.select("doc_id", words.alias("w"))
+    n = F.greatest(F.size("w"), F.lit(1))
+    pairs = F.zip_with(
+        F.slice(F.col("w"), 1, n - 1),
+        F.slice(F.col("w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    bg = doc_bg.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    c1 = (
+        d.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    nright = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("nright")
+    )
+    nleft = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nleft"))
+    t_types = bg.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    scored = (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(nright, "w1")
+        .join(nleft, "w2")
+        .crossJoin(F.broadcast(t_types))
+        .withColumn(
+            "lp", F.col("k").cast("double") * F.expr(f"ln({KN_P_EXPR})")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.sum("k").cast("double"), 6).alias(
+            "kn_logprob"
+        ),
+    )
