@@ -10987,6 +10987,87 @@ SELECT 'referential_lineitem_orderkey', n_li, v_orphan,
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of per-source mean n_tok (operators/
+    bootstrap.py, B=200): each row draws a deterministic md5-inverted
+    Poisson(1) weight per replicate, replicate stats are combinable
+    BIGINT registers (shuffle volume = sources x B, never row-level),
+    CI ranks run over the B-row-per-group table."""
+    from uncharted_ta1_spark.operators.bootstrap import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        _sequences(spark, sf_dir),
+        group="source",
+        value="n_tok",
+        row_key=F.concat_ws(
+            "#", F.col("doc_id"), F.col("source"), F.col("seq_no").cast("string")
+        ),
+        n_replicates=200,
+    )
+
+
+def _bootstrap_ci_oracle() -> str:
+    from uncharted_ta1_spark.operators.bootstrap import (
+        N_REPLICATES,
+        POISSON_CDF_MICRO,
+    )
+
+    w_terms = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in POISSON_CDF_MICRO
+    )
+    lo_r = max(1, round(0.025 * N_REPLICATES))
+    hi_r = min(N_REPLICATES, round(0.975 * N_REPLICATES))
+    return (
+        duck_with(SEQUENCES_DUCK)
+        + f"""
+, bci_rows AS (
+  SELECT source AS grp, CAST(n_tok AS BIGINT) AS v,
+         doc_id || '#' || source || '#' || CAST(seq_no AS VARCHAR) AS rk,
+         CAST(unnest(range({N_REPLICATES})) AS INT) AS b
+  FROM sequences
+),
+bci_w AS MATERIALIZED (
+  SELECT grp, v, b,
+         (SELECT {w_terms} FROM (SELECT (('0x' || substr(md5('boot' || '|' ||
+           rk || '|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT) % 1000000 AS h))
+           AS w
+  FROM bci_rows
+),
+bci_reps AS MATERIALIZED (
+  SELECT grp, b, CAST(sum(w * v) AS BIGINT) AS s, CAST(sum(w) AS BIGINT) AS c
+  FROM bci_w GROUP BY 1, 2
+),
+bci_m AS (
+  SELECT grp, b,
+         CASE WHEN c > 0
+              THEN round(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 9) END AS m
+  FROM bci_reps
+),
+bci_rank AS (
+  SELECT grp, b, m,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY m ASC NULLS FIRST, b ASC) AS _r
+  FROM bci_m
+),
+bci_ci AS (
+  SELECT grp,
+         max(CASE WHEN _r = {lo_r} THEN m END) AS ci_lo,
+         max(CASE WHEN _r = {hi_r} THEN m END) AS ci_hi,
+         CAST(count(*) AS BIGINT) AS n_replicates
+  FROM bci_rank GROUP BY grp
+),
+bci_base AS (
+  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+         round(CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 9) AS mean_value
+  FROM sequences GROUP BY 1
+)
+SELECT b.grp AS source, b.n_rows, b.mean_value, c.n_replicates, c.ci_lo, c.ci_hi
+FROM bci_base b JOIN bci_ci c ON c.grp = b.grp
+"""
+    )
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar / cyclical seasonality encodings of each sequence's event
     epoch (operators/timefeat.py::calendar_features): div/mod integer
@@ -12958,6 +13039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "dsir_weights": q_dsir_weights,
         "kn_logprob": q_kn_logprob,
+        "bootstrap_ci": q_bootstrap_ci,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13211,6 +13293,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "kn_logprob": _kn_logprob_oracle(),
+        "bootstrap_ci": _bootstrap_ci_oracle(),
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
