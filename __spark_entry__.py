@@ -2430,6 +2430,54 @@ SELECT doc_id, lang, n_feat, logw, logw > 0.0 AS selected FROM dsir_doc
 )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/feathash.py::vocab_coverage):
+    smallest rank-prefix of the frequency-ordered vocabulary covering
+    500/900/990/999 per-mille of token mass — exact integer thresholds on
+    the GK-bucketed rank + bucketed-cumsum primitives (no global sorts)."""
+    from uncharted_ta1_spark.operators.feathash import vocab_coverage
+
+    return vocab_coverage(_documents(spark, sf_dir))
+
+
+def _vocab_coverage_oracle() -> str:
+    from uncharted_ta1_spark.operators.feathash import VOCAB_COVERAGE_PCTS
+
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({pm} AS BIGINT) AS per_mille,
+       CAST(min(word_id) + 1 AS BIGINT) AS vocab_needed,
+       CAST(min(cum) AS BIGINT) AS covered_tokens,
+       CAST(max(total_tokens) AS BIGINT) AS total_tokens
+FROM vc_wide WHERE cum * 1000 >= total_tokens * {pm}"""
+        for pm in VOCAB_COVERAGE_PCTS
+    )
+    return (
+        duck_with(DOC_WORDS_DUCK)
+        + f"""
+, vc_counts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+  FROM (SELECT unnest(words) AS word FROM doc_words) GROUP BY 1
+),
+vc_rank AS (
+  SELECT word, n_occ,
+         CAST(row_number() OVER (ORDER BY n_occ DESC, word) - 1 AS BIGINT)
+           AS word_id
+  FROM vc_counts
+),
+vc_cum AS MATERIALIZED (
+  SELECT word_id,
+         CAST(sum(n_occ) OVER (ORDER BY word_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM vc_rank
+),
+vc_tot AS (SELECT CAST(max(cum) AS BIGINT) AS total_tokens FROM vc_cum),
+vc_wide AS (SELECT * FROM vc_cum CROSS JOIN vc_tot)
+{legs}
+"""
+    )
+
+
 def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean log-prob under an interpolated Kneser-Ney bigram LM
     (D=0.75 absolute discount — operators/textstats.py::
@@ -13040,6 +13088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "kn_logprob": q_kn_logprob,
         "bootstrap_ci": q_bootstrap_ci,
+        "vocab_coverage": q_vocab_coverage,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13294,6 +13343,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "kn_logprob": _kn_logprob_oracle(),
         "bootstrap_ci": _bootstrap_ci_oracle(),
+        "vocab_coverage": _vocab_coverage_oracle(),
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,

@@ -75,3 +75,38 @@ def test_shard_manifest_matches_python(spark):
     # shards are contiguous and never exceed budget by more than one doc
     for (split, shard), (_, tot, ids, _, _) in exp.items():
         assert tot < 100 + max(w for _, w in by_split[split])
+
+
+def test_vocab_coverage_matches_python(spark):
+    from uncharted_ta1_spark.operators.feathash import vocab_coverage
+
+    texts = [
+        "a a a a a a b b b c c d",
+        "a a b b c e f g",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.per_mille: r for r in vocab_coverage(docs).collect()}
+    # python model
+    from collections import Counter
+
+    cnt = Counter(w for t in texts for w in t.split() if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    for pm in (500, 900, 990, 999):
+        cum = 0
+        for i, (w, c) in enumerate(ranked):
+            cum += c
+            if cum * 1000 >= total * pm:
+                break
+        r = got[pm]
+        assert (r.vocab_needed, r.covered_tokens, r.total_tokens) == (
+            i + 1,
+            cum,
+            total,
+        ), pm
+    # monotone: higher coverage never needs a smaller vocab
+    pms = sorted(got)
+    for a, b in zip(pms, pms[1:]):
+        assert got[a].vocab_needed <= got[b].vocab_needed

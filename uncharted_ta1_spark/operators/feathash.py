@@ -155,3 +155,67 @@ def vocab_index(
         )
         .select("word", "word_id", "n_occurrences")
     )
+
+
+VOCAB_COVERAGE_PCTS = (500, 900, 990, 999)  # per-mille thresholds
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    pcts_per_mille: tuple = VOCAB_COVERAGE_PCTS,
+) -> DataFrame:
+    """Tokenizer vocabulary coverage curve: the smallest frequency-ranked
+    vocabulary prefix covering X per-mille of the corpus token mass (the
+    "how big must the vocab be" design curve of every tokenizer; public
+    convention — coverage thresholds of subword vocab sizing, cf.
+    SentencePiece's character_coverage knob).
+
+    Builds on :func:`vocab_index`'s exact GK-bucketed ranks; the running
+    token mass over rank order comes from
+    :func:`uncharted_ta1_spark.operators.binning.bucketed_cumsum` with a
+    constant group — both scale primitives avoid any global sort.  The
+    threshold test is exact integer arithmetic (cum * 1000 >= mass * pm),
+    so the answer is bit-stable at any scale.
+
+    Returns one row per threshold: (per_mille, vocab_needed = number of
+    highest-ranked words, covered_tokens, total_tokens).
+    """
+    from uncharted_ta1_spark.operators.binning import bucketed_cumsum
+
+    v = vocab_index(docs, text_col=text_col).withColumn("_g", F.lit(1))
+    cum = bucketed_cumsum(
+        v,
+        keys=["_g"],
+        order_col="word_id",
+        val_col="n_occurrences",
+        out_col="_cum",
+    )
+    total = cum.agg(
+        F.max("_cum").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("_n_vocab"),
+    )
+    wide = cum.crossJoin(F.broadcast(total))
+    parts = []
+    for pm in pcts_per_mille:
+        hit = wide.where(
+            F.col("_cum") * 1000 >= F.col("total_tokens") * F.lit(pm)
+        ).agg(
+            F.lit(pm).cast("long").alias("per_mille"),
+            (F.min("word_id") + 1).cast("long").alias("vocab_needed"),
+            F.min(
+                F.when(
+                    F.col("_cum") * 1000 >= F.col("total_tokens") * F.lit(pm),
+                    F.col("_cum"),
+                )
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("total_tokens").cast("long").alias("total_tokens"),
+        )
+        parts.append(hit)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
