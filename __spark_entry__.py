@@ -2430,6 +2430,61 @@ SELECT doc_id, lang, n_feat, logw, logw > 0.0 AS selected FROM dsir_doc
 )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship per exact-dup cluster (operators/
+    goldenrec.py): clusters keyed by the SAME md5 3-word-prefix hash as
+    dedup_exact_prefix (never a fork); surviving id = min doc_id, mode-
+    winning lang/source (lexicographic tie-break on the per-cluster
+    DISTINCT-VALUE table — bounded window), max n_chars.  Integer/string
+    exact, zero floats."""
+    from uncharted_ta1_spark.functions.portable import md5_i64 as _h
+    from uncharted_ta1_spark.operators.goldenrec import golden_records
+
+    key = _h(F.array_join(F.slice(words_col(F.col("text")), 1, 3), " "))
+    return golden_records(_documents(spark, sf_dir), cluster_key=key)
+
+
+ORACLE_GOLDEN_RECORDS = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, gr_rows AS MATERIALIZED (
+  SELECT (('0x' || substr(md5(array_to_string(list_slice(words, 1, 3), ' ')), 1, 15))::BIGINT)
+           AS cluster_key,
+         doc_id, lang, source, n_chars
+  FROM (SELECT dw.*, d.n_chars FROM doc_words dw
+        JOIN documents d USING (doc_id))
+),
+gr_base AS (
+  SELECT cluster_key, CAST(min(doc_id) AS BIGINT) AS golden_doc_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(n_chars) AS BIGINT) AS golden_n_chars
+  FROM gr_rows GROUP BY 1
+),
+gr_lang AS (
+  SELECT cluster_key, lang AS golden_lang FROM (
+    SELECT cluster_key, lang,
+           row_number() OVER (PARTITION BY cluster_key
+                              ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM gr_rows GROUP BY cluster_key, lang
+  ) WHERE rn = 1
+),
+gr_src AS (
+  SELECT cluster_key, source AS golden_source FROM (
+    SELECT cluster_key, source,
+           row_number() OVER (PARTITION BY cluster_key
+                              ORDER BY count(*) DESC, source ASC) AS rn
+    FROM gr_rows GROUP BY cluster_key, source
+  ) WHERE rn = 1
+)
+SELECT b.cluster_key, b.golden_doc_id, b.n_members, b.golden_n_chars,
+       l.golden_lang, s.golden_source
+FROM gr_base b
+JOIN gr_lang l USING (cluster_key)
+JOIN gr_src s USING (cluster_key)
+"""
+)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (operators/feathash.py::vocab_coverage):
     smallest rank-prefix of the frequency-ordered vocabulary covering
@@ -13089,6 +13144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_logprob": q_kn_logprob,
         "bootstrap_ci": q_bootstrap_ci,
         "vocab_coverage": q_vocab_coverage,
+        "golden_records": q_golden_records,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13344,6 +13400,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_logprob": _kn_logprob_oracle(),
         "bootstrap_ci": _bootstrap_ci_oracle(),
         "vocab_coverage": _vocab_coverage_oracle(),
+        "golden_records": ORACLE_GOLDEN_RECORDS,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
