@@ -1526,6 +1526,26 @@ doc_shingles AS (
 """
 
 
+def _split_col() -> F.Column:
+    """The 80/10/10 train/val/test assignment — ONE shared derivation for
+    every split-aware query (never fork a copy; DuckDB twin:
+    _SPLIT_CASE_DUCK)."""
+    bucket = sample_bucket_expr(["doc_id"], salt="split")
+    return (
+        F.when(bucket < 800_000, F.lit("train"))
+        .when(bucket < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_CASE_DUCK = """CASE
+           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1000000 < 800000 THEN 'train'
+           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 1000000 < 900000 THEN 'val'
+           ELSE 'test' END"""
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     datagen.register_base_tables(spark, sf_dir)
     return spark.table("documents")
@@ -2485,6 +2505,75 @@ JOIN gr_src s USING (cluster_key)
 )
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine multinomial Naive Bayes language classifier (operators/
+    naivebayes.py): trained on the shared hash split's 'train' rows,
+    evaluated on held-out 'test' rows (leak-free by construction), full
+    confusion matrix out.  Training = two combinable groupBys; scoring =
+    one vocabulary-keyed equi join + a 5-row-per-doc argmax; integer
+    output."""
+    from uncharted_ta1_spark.operators.naivebayes import nb_confusion
+
+    return nb_confusion(_documents(spark, sf_dir), split_col=_split_col())
+
+
+ORACLE_NB_CONFUSION = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, nb_d AS MATERIALIZED (
+  SELECT doc_id, lang AS y, {_SPLIT_CASE_DUCK} AS split, unnest(words) AS word
+  FROM doc_words
+),
+nb_ckw AS MATERIALIZED (
+  SELECT y, word, CAST(count(*) AS BIGINT) AS ckw
+  FROM nb_d WHERE split = 'train' GROUP BY 1, 2
+),
+nb_ck AS (SELECT y, CAST(sum(ckw) AS BIGINT) AS ck FROM nb_ckw GROUP BY 1),
+nb_v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM nb_ckw),
+nb_nd AS (
+  SELECT y, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_k
+  FROM nb_d WHERE split = 'train' GROUP BY 1
+),
+nb_ntr AS (SELECT CAST(sum(n_docs_k) AS BIGINT) AS n_train FROM nb_nd),
+nb_docw AS MATERIALIZED (
+  SELECT doc_id, y, word, CAST(count(*) AS BIGINT) AS kw
+  FROM nb_d WHERE split = 'test' GROUP BY 1, 2, 3
+),
+nb_len AS (SELECT doc_id, CAST(sum(kw) AS BIGINT) AS len
+           FROM nb_docw GROUP BY 1),
+nb_ev AS MATERIALIZED (
+  SELECT w.doc_id, m.y AS k,
+         sum(CAST(w.kw AS DOUBLE) * ln(CAST(m.ckw + 1 AS DOUBLE))) AS ev
+  FROM nb_docw w JOIN nb_ckw m USING (word) GROUP BY 1, 2
+),
+nb_scored AS (
+  SELECT l.doc_id, c.y AS k,
+         round(coalesce(e.ev, 0.0)
+               - CAST(l.len AS DOUBLE) * ln(CAST(c.ck + v.v AS DOUBLE))
+               + ln(CAST(n.n_docs_k AS DOUBLE) / CAST(t.n_train AS DOUBLE)),
+               6) AS score
+  FROM nb_len l
+  CROSS JOIN nb_ck c
+  JOIN nb_nd n ON n.y = c.y
+  CROSS JOIN nb_v v CROSS JOIN nb_ntr t
+  LEFT JOIN nb_ev e ON e.doc_id = l.doc_id AND e.k = c.y
+),
+nb_pred AS (
+  SELECT doc_id, k AS pred_label FROM (
+    SELECT doc_id, k,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, k ASC) AS rn
+    FROM nb_scored
+  ) WHERE rn = 1
+),
+nb_truth AS (SELECT DISTINCT doc_id, y FROM nb_d WHERE split = 'test')
+SELECT t.y AS true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n_docs
+FROM nb_truth t JOIN nb_pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (operators/feathash.py::vocab_coverage):
     smallest rank-prefix of the frequency-ordered vocabulary covering
@@ -2739,26 +2828,6 @@ def _bpe_encode_oracle() -> str:
     return duck_with(SEQUENCES_DUCK, BPE_STREAM_DUCK) + bpe_encode_sql(
         BPE_ROUNDS, merge_base=datagen.TOKEN_MOD
     )
-
-
-def _split_col() -> F.Column:
-    """The 80/10/10 train/val/test assignment — ONE shared derivation for
-    every split-aware query (never fork a copy; DuckDB twin:
-    _SPLIT_CASE_DUCK)."""
-    bucket = sample_bucket_expr(["doc_id"], salt="split")
-    return (
-        F.when(bucket < 800_000, F.lit("train"))
-        .when(bucket < 900_000, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-
-
-_SPLIT_CASE_DUCK = """CASE
-           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
-                % 1000000 < 800000 THEN 'train'
-           WHEN (('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
-                % 1000000 < 900000 THEN 'val'
-           ELSE 'test' END"""
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13145,6 +13214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "vocab_coverage": q_vocab_coverage,
         "golden_records": q_golden_records,
+        "nb_confusion": q_nb_confusion,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13401,6 +13471,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": _bootstrap_ci_oracle(),
         "vocab_coverage": _vocab_coverage_oracle(),
         "golden_records": ORACLE_GOLDEN_RECORDS,
+        "nb_confusion": ORACLE_NB_CONFUSION,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
