@@ -31,6 +31,10 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # the sf0.5 stress sweep collects multi-GB results through driver_sim's
+    # compare harness (spatial_contain_join fans out 36.5M rows under the
+    # tier's 5x copies); the 1g default kills the collect, not the job
+    "spark.driver.maxResultSize": "6g",
     # ParallelGC: G1's humongous-object handling collapses under 16-32
     # threads allocating token arrays (measured 2.4x slowdown at local[32]);
     # throughput GC is the right choice for batch analytics.
