@@ -686,3 +686,45 @@ def test_pair_packing_rank_is_bucketed(spark):
     for m in re.finditer(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", plan):
         assert "_bkt" in m.group(1), f"row_number window not bucketed: {m.group(0)}"
     assert "SortMergeJoin" not in plan
+
+
+def test_kn_logprob_joins_are_vocab_keyed(spark):
+    """KN LM scoring: no nested-loop/cartesian beyond the scalar
+    type-count broadcast; no Python stage; the doc-side reduction is a
+    hash aggregate, never a window."""
+    plan = _plan(E.q_kn_logprob(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_bootstrap_ci_shuffles_registers_not_rows(spark):
+    """Poisson bootstrap: the only corpus-sized structure is the map-side
+    fan-out feeding a combinable (group, replicate) hash aggregate —
+    partial aggregation must be present, and the CI window runs over the
+    already-aggregated replicate table."""
+    plan = _plan(E.q_bootstrap_ci(spark, SF))
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_confusion_scoring_is_equi_join(spark):
+    """NB scoring joins doc words to the model on the word key: no
+    nested-loop join anywhere except the broadcast of the scalar
+    vocab/prior row; argmax windows only over the per-doc class table."""
+    plan = _plan(E.q_nb_confusion(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_manifest_cumsum_is_bucketed(spark):
+    """The shard assignment's running sum must run inside GK range
+    buckets (_bkt), never as a split-partitioned global window over the
+    corpus."""
+    plan = _plan(E.q_shard_manifest(spark, SF))
+    for m in re.finditer(r"Window \[sum\([^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1) or "_bn" in m.group(0) or "_bs" in m.group(0), (
+            f"corpus window not bucketed: {m.group(0)[:120]}"
+        )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
