@@ -2505,6 +2505,98 @@ JOIN gr_src s USING (cluster_key)
 )
 
 
+_SMD_EXPR = (
+    "round((m_a - m_b) / sqrt((v_a + v_b) / 2.0), 6) + 0.0"
+)
+_SMD_M_EXPR = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m"
+_SMD_V_EXPR = (
+    "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS v"
+)
+
+
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance audit of the hash split (the experimental-design
+    SMD check — standardized mean difference; |SMD| < 0.1 is the public
+    balance convention, Austin 2009): per source, compare train vs test
+    word-count distributions.  A biased splitter would show here long
+    before a model does.  Exact BIGINT power sums (the moments.py
+    register convention), one shared IEEE tree, 6-dp round."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        _split_col().alias("split"),
+        F.size(words_col(F.col("text"))).cast("long").alias("w"),
+    )
+    regs = (
+        docs.where(F.col("split").isin("train", "test"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("s1"),
+            F.sum(F.col("w") * F.col("w")).cast("long").alias("s2"),
+        )
+    )
+    mom = regs.selectExpr("source", "split", "n", _SMD_M_EXPR, _SMD_V_EXPR)
+    a = mom.where(F.col("split") == "train").select(
+        "source",
+        F.col("n").alias("n_train"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = mom.where(F.col("split") == "test").select(
+        "source",
+        F.col("n").alias("n_test"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    out = a.join(b, "source").selectExpr(
+        "source",
+        "n_train",
+        "n_test",
+        "round(m_a, 6) + 0.0 AS mean_train",
+        "round(m_b, 6) + 0.0 AS mean_test",
+        f"CASE WHEN v_a + v_b > 0.0 THEN {_SMD_EXPR} END AS smd",
+    )
+    return out.withColumn(
+        "balanced",
+        F.when(F.col("smd").isNotNull(), F.abs(F.col("smd")) < 0.1),
+    )
+
+
+ORACLE_SPLIT_BALANCE = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, sb_rows AS (
+  SELECT source, {_SPLIT_CASE_DUCK} AS split,
+         CAST(len(words) AS BIGINT) AS w
+  FROM doc_words
+),
+sb_regs AS (
+  SELECT source, split, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS s1,
+         CAST(sum(w * w) AS BIGINT) AS s2
+  FROM sb_rows WHERE split IN ('train', 'test') GROUP BY 1, 2
+),
+sb_mom AS (
+  SELECT source, split, n, {_SMD_M_EXPR}, {_SMD_V_EXPR} FROM sb_regs
+),
+sb_a AS (SELECT source, n AS n_train, m AS m_a, v AS v_a
+         FROM sb_mom WHERE split = 'train'),
+sb_b AS (SELECT source, n AS n_test, m AS m_b, v AS v_b
+         FROM sb_mom WHERE split = 'test')
+SELECT source, n_train, n_test,
+       round(m_a, 6) + 0.0 AS mean_train,
+       round(m_b, 6) + 0.0 AS mean_test,
+       CASE WHEN v_a + v_b > 0.0 THEN {_SMD_EXPR} END AS smd,
+       CASE WHEN v_a + v_b > 0.0
+            THEN abs({_SMD_EXPR}) < 0.1 END AS balanced
+FROM sb_a JOIN sb_b USING (source)
+"""
+)
+
+
 def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine multinomial Naive Bayes language classifier (operators/
     naivebayes.py): trained on the shared hash split's 'train' rows,
@@ -13215,6 +13307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "golden_records": q_golden_records,
         "nb_confusion": q_nb_confusion,
+        "split_balance": q_split_balance,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13472,6 +13565,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _vocab_coverage_oracle(),
         "golden_records": ORACLE_GOLDEN_RECORDS,
         "nb_confusion": ORACLE_NB_CONFUSION,
+        "split_balance": ORACLE_SPLIT_BALANCE,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
