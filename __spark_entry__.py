@@ -2516,6 +2516,85 @@ _SMD_V_EXPR = (
 )
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean of n_tok per source (the robust location
+    estimator — trim the top and bottom 5% BY EXACT RANK, average the
+    rest; public robust-statistics standard).  Ranks come from the
+    reusable binning.bucketed_rank (GK buckets + broadcast offsets — no
+    per-source global sort; deterministic (doc_id, seq_no) tie-break),
+    so the kept set is bit-identical to the naive window while max task
+    ~ group/100.  Exact integer sums, ONE rounded division."""
+    from uncharted_ta1_spark.operators.binning import bucketed_rank
+
+    seq = _sequences(spark, sf_dir).select(
+        "source", F.col("n_tok").cast("long").alias("w"), "doc_id", "seq_no"
+    )
+    ranked = bucketed_rank(
+        seq,
+        keys=["source"],
+        col="w",
+        order_tiebreak=["doc_id", "seq_no"],
+        out_rank="r",
+        out_n="n",
+    )
+    kept = ranked.where(
+        (F.col("r") > F.expr("n * 50 div 1000"))
+        & (F.col("r") <= F.col("n") - F.expr("n * 50 div 1000"))
+    )
+    trimmed = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("w").cast("long").alias("s_kept"),
+    )
+    raw = seq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("s"),
+    )
+    return raw.join(trimmed, "source").select(
+        "source",
+        "n",
+        "n_kept",
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 9).alias(
+            "raw_mean"
+        ),
+        F.round(
+            F.col("s_kept").cast("double") / F.col("n_kept").cast("double"), 9
+        ).alias("trimmed_mean"),
+    )
+
+
+ORACLE_TRIMMED_MEAN = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, tm_rank AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_tok DESC, doc_id, seq_no) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM sequences
+),
+tm_kept AS (
+  SELECT source, w FROM tm_rank
+  WHERE r > n * 50 // 1000 AND r <= n - n * 50 // 1000
+),
+tm_t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(w) AS BIGINT) AS s_kept
+  FROM tm_kept GROUP BY 1
+),
+tm_raw AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS s
+  FROM sequences GROUP BY 1
+)
+SELECT source, n, n_kept,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS raw_mean,
+       round(CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE), 9)
+         AS trimmed_mean
+FROM tm_raw JOIN tm_t USING (source)
+"""
+)
+
+
 def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariate-balance audit of the hash split (the experimental-design
     SMD check — standardized mean difference; |SMD| < 0.1 is the public
@@ -13308,6 +13387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "nb_confusion": q_nb_confusion,
         "split_balance": q_split_balance,
+        "trimmed_mean": q_trimmed_mean,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13566,6 +13646,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_records": ORACLE_GOLDEN_RECORDS,
         "nb_confusion": ORACLE_NB_CONFUSION,
         "split_balance": ORACLE_SPLIT_BALANCE,
+        "trimmed_mean": ORACLE_TRIMMED_MEAN,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
