@@ -2516,6 +2516,93 @@ _SMD_V_EXPR = (
 )
 
 
+_LOO_Z_EXPR = (
+    "round((CAST(x AS DOUBLE) - CAST(s1 - x AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+    " / sqrt(CAST(s2 - x * x AS DOUBLE) / CAST(n - 1 AS DOUBLE)"
+    "        - (CAST(s1 - x AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+    "        * (CAST(s1 - x AS DOUBLE) / CAST(n - 1 AS DOUBLE))), 6) + 0.0"
+)
+_LOO_V_POS = (
+    "CAST(s2 - x * x AS DOUBLE) / CAST(n - 1 AS DOUBLE)"
+    " - (CAST(s1 - x AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+    " * (CAST(s1 - x AS DOUBLE) / CAST(n - 1 AS DOUBLE)) > 0.0"
+)
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the hourly event grid: each
+    (event_type, day, hour) cell's count is z-scored against the
+    LEAVE-ONE-OUT baseline of the same (event_type, hour) on OTHER days
+    — LOO via exact register subtraction (n-1, s1-x, s2-x²), so the
+    cell never contaminates its own baseline (the same no-self-leakage
+    discipline as the as-of join).  The grid is a pre-aggregated bounded
+    table (types × days × 24 rows) — every window below it is
+    droplet-sized; one shared IEEE tree; |z| > 3 flags."""
+    datagen.register_base_tables(spark, sf_dir)
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    cells = ev.select(
+        "event_type",
+        F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        F.expr("ts_us div 3600000000").cast("long").alias("_h_abs"),
+    ).withColumn("hour", F.pmod(F.col("_h_abs"), F.lit(24)).cast("long"))
+    grid = cells.groupBy("event_type", "day", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    regs = grid.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    wide = grid.join(regs, ["event_type", "hour"])
+    return wide.selectExpr(
+        "event_type",
+        "day",
+        "hour",
+        "x",
+        "n",
+        f"CASE WHEN n > 1 AND {_LOO_V_POS} THEN {_LOO_Z_EXPR} END AS z",
+    ).selectExpr(
+        "event_type",
+        "day",
+        "hour",
+        "x",
+        "n",
+        "z",
+        "CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly",
+    )
+
+
+ORACLE_HOURLY_ANOMALIES = f"""
+WITH ha_ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+ha_cells AS (
+  SELECT event_type,
+         CAST(ts_us // 86400000000 AS BIGINT) AS day,
+         CAST((ts_us // 3600000000) % 24 AS BIGINT) AS hour
+  FROM ha_ev
+),
+ha_grid AS (
+  SELECT event_type, day, hour, CAST(count(*) AS BIGINT) AS x
+  FROM ha_cells GROUP BY 1, 2, 3
+),
+ha_regs AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM ha_grid GROUP BY 1, 2
+),
+ha_z AS (
+  SELECT g.event_type, g.day, g.hour, g.x, r.n,
+         CASE WHEN n > 1 AND {_LOO_V_POS} THEN {_LOO_Z_EXPR} END AS z
+  FROM ha_grid g JOIN ha_regs r USING (event_type, hour)
+)
+SELECT event_type, day, hour, x, n, z,
+       CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
+FROM ha_z
+"""
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5%-trimmed mean of n_tok per source (the robust location
     estimator — trim the top and bottom 5% BY EXACT RANK, average the
@@ -13388,6 +13475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": q_nb_confusion,
         "split_balance": q_split_balance,
         "trimmed_mean": q_trimmed_mean,
+        "hourly_anomalies": q_hourly_anomalies,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13647,6 +13735,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_confusion": ORACLE_NB_CONFUSION,
         "split_balance": ORACLE_SPLIT_BALANCE,
         "trimmed_mean": ORACLE_TRIMMED_MEAN,
+        "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
