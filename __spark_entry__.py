@@ -2529,6 +2529,76 @@ _LOO_V_POS = (
 )
 
 
+_FW_DELTA_EXPR = (
+    "ln(CAST(ya + 1 AS DOUBLE) / CAST(na - ya + 1 AS DOUBLE))"
+    " - ln(CAST(yb + 1 AS DOUBLE) / CAST(nb - yb + 1 AS DOUBLE))"
+)
+_FW_VAR_EXPR = (
+    "1.0 / CAST(ya + 1 AS DOUBLE) + 1.0 / CAST(na - ya + 1 AS DOUBLE)"
+    " + 1.0 / CAST(yb + 1 AS DOUBLE) + 1.0 / CAST(nb - yb + 1 AS DOUBLE)"
+)
+
+
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-odds-ratio word-choice comparison with add-1 Dirichlet prior
+    and its z-score (Monroe, Colaresi & Quinn 2008 "Fightin' Words" —
+    the standard corpus-differencing audit): which words distinguish the
+    'en' slice from the rest.  Exact BIGINT counts from two combinable
+    groupBys on the word key; scalar totals broadcast; one shared IEEE
+    tree, 6-dp rounds.  Output is vocabulary-sized (bounded)."""
+    docs = _documents(spark, sf_dir)
+    w = docs.select(
+        (F.col("lang") == "en").alias("is_a"),
+        F.explode(words_col(F.col("text"))).alias("word"),
+    )
+    counts = w.groupBy("word").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ya"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("yb"),
+    )
+    tots = counts.agg(
+        F.sum("ya").cast("long").alias("na"), F.sum("yb").cast("long").alias("nb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tots))
+        .selectExpr(
+            "word",
+            "ya",
+            "yb",
+            "na",
+            "nb",
+            f"round({_FW_DELTA_EXPR}, 6) + 0.0 AS log_odds",
+            f"round(({_FW_DELTA_EXPR}) / sqrt({_FW_VAR_EXPR}), 6) + 0.0 AS z",
+        )
+        .selectExpr("word", "ya", "yb", "log_odds", "z", "abs(z) > 1.96 AS significant")
+    )
+
+
+ORACLE_FIGHTIN_WORDS = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, fw_w AS (
+  SELECT lang = 'en' AS is_a, unnest(words) AS word FROM doc_words
+),
+fw_counts AS MATERIALIZED (
+  SELECT word,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS yb
+  FROM fw_w GROUP BY 1
+),
+fw_tot AS (
+  SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb
+  FROM fw_counts
+)
+SELECT word, ya, yb,
+       round({_FW_DELTA_EXPR}, 6) + 0.0 AS log_odds,
+       round(({_FW_DELTA_EXPR}) / sqrt({_FW_VAR_EXPR}), 6) + 0.0 AS z,
+       abs(round(({_FW_DELTA_EXPR}) / sqrt({_FW_VAR_EXPR}), 6) + 0.0) > 1.96
+         AS significant
+FROM fw_counts CROSS JOIN fw_tot
+"""
+)
+
+
 def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal anomaly detection on the hourly event grid: each
     (event_type, day, hour) cell's count is z-scored against the
@@ -13476,6 +13546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_balance": q_split_balance,
         "trimmed_mean": q_trimmed_mean,
         "hourly_anomalies": q_hourly_anomalies,
+        "fightin_words": q_fightin_words,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13736,6 +13807,7 @@ def oracle_sql() -> dict[str, str]:
         "split_balance": ORACLE_SPLIT_BALANCE,
         "trimmed_mean": ORACLE_TRIMMED_MEAN,
         "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
+        "fightin_words": ORACLE_FIGHTIN_WORDS,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
