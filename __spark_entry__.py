@@ -2529,6 +2529,67 @@ _LOO_V_POS = (
 )
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sequences per source (the
+    corpus-concentration audit: G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over
+    ASCENDING exact ranks — public closed form).  Ranks via the reusable
+    binning.bucketed_rank (descending rank flipped to ascending by
+    n+1-r; no per-source global sort); every register exact BIGINT, ONE
+    rounded division."""
+    from uncharted_ta1_spark.operators.binning import bucketed_rank
+
+    seq = _sequences(spark, sf_dir).select(
+        "source", F.col("n_tok").cast("long").alias("w"), "doc_id", "seq_no"
+    )
+    ranked = bucketed_rank(
+        seq,
+        keys=["source"],
+        col="w",
+        order_tiebreak=["doc_id", "seq_no"],
+        out_rank="rd",
+        out_n="n",
+    ).withColumn("r", (F.col("n") + 1 - F.col("rd")).cast("long"))
+    regs = ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("w").cast("long").alias("sx"),
+        F.sum(F.col("r") * F.col("w")).cast("long").alias("srx"),
+    )
+    return regs.select(
+        "source",
+        "n",
+        "sx",
+        "srx",
+        F.round(
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI = (
+    duck_with(SEQUENCES_DUCK)
+    + """
+, gn_rank AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_tok ASC, doc_id DESC, seq_no DESC) AS BIGINT) AS r
+  FROM sequences
+),
+gn_regs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS sx,
+         CAST(sum(r * w) AS BIGINT) AS srx
+  FROM gn_rank GROUP BY 1
+)
+SELECT source, n, sx, srx,
+       round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 9) AS gini
+FROM gn_regs
+"""
+)
+
+
 _FW_DELTA_EXPR = (
     "ln(CAST(ya + 1 AS DOUBLE) / CAST(na - ya + 1 AS DOUBLE))"
     " - ln(CAST(yb + 1 AS DOUBLE) / CAST(nb - yb + 1 AS DOUBLE))"
@@ -13547,6 +13608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "hourly_anomalies": q_hourly_anomalies,
         "fightin_words": q_fightin_words,
+        "gini_concentration": q_gini_concentration,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13808,6 +13870,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean": ORACLE_TRIMMED_MEAN,
         "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
         "fightin_words": ORACLE_FIGHTIN_WORDS,
+        "gini_concentration": ORACLE_GINI,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
