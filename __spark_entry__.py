@@ -2529,6 +2529,134 @@ _LOO_V_POS = (
 )
 
 
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) = K·N^beta (Heaps 1978 —
+    the companion audit to zipf_slope): 10 doc-prefix checkpoints give
+    (token count N_k, distinct-word count V_k) pairs; beta/intercept
+    come from the SAME grid-quantized OLS recipe as zipf_slope (exact
+    BIGINT moment sums, one fixed double tree).  V_k needs NO
+    distinct-over-prefix scan: each word's FIRST-occurrence doc (one
+    combinable min) is histogrammed against the checkpoints."""
+    docs = _documents(spark, sf_dir)
+    w = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    fo = w.groupBy("word").agg(F.min("doc_id").cast("long").alias("fo"))
+    dt = docs.select(
+        "doc_id", F.size(words_col(F.col("text"))).cast("long").alias("nt")
+    )
+    mx = docs.agg(F.max("doc_id").cast("long").alias("mx"))
+    cps = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr("k * mx div 10").cast("long").alias("c"))
+    )
+    n_k = (
+        dt.crossJoin(F.broadcast(cps))
+        .where(F.col("doc_id") <= F.col("c"))
+        .groupBy("k", "c")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    v_k = (
+        fo.crossJoin(F.broadcast(cps))
+        .where(F.col("fo") <= F.col("c"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_words"))
+    )
+    pts = n_k.join(v_k, "k")
+    x = F.log(F.col("n_tokens").cast("double"))
+    y = F.log(F.col("v_words").cast("double"))
+    qz = pts.select(
+        "n_tokens",
+        "v_words",
+        F.floor(x * F.lit(1e6)).cast("long").alias("_x"),
+        F.floor(y * F.lit(1e6)).cast("long").alias("_y"),
+        F.floor(x * y * F.lit(1e6)).cast("long").alias("_xy"),
+        F.floor(x * x * F.lit(1e6)).cast("long").alias("_xx"),
+    )
+    s = qz.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("n_tokens").cast("long").alias("n_total"),
+        F.max("v_words").cast("long").alias("v_total"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum("_xy").cast("long").alias("sxy"),
+        F.sum("_xx").cast("long").alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(1e6)
+    syd = F.col("sy").cast("double") / F.lit(1e6)
+    sxyd = F.col("sxy").cast("double") / F.lit(1e6)
+    sxxd = F.col("sxx").cast("double") / F.lit(1e6)
+    slope = (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+    return s.select(
+        "n_points",
+        "n_total",
+        "v_total",
+        F.round(slope, 6).alias("beta"),
+        F.round((syd - slope * sxd) / n, 6).alias("intercept"),
+    )
+
+
+ORACLE_HEAPS_FIT = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, hp_w AS (SELECT doc_id, unnest(words) AS word FROM doc_words),
+hp_fo AS (SELECT word, CAST(min(doc_id) AS BIGINT) AS fo FROM hp_w GROUP BY 1),
+hp_dt AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nt FROM doc_words),
+hp_mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM doc_words),
+hp_cps AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(k * mx // 10 AS BIGINT) AS c
+  FROM (SELECT unnest(range(1, 11)) AS k), hp_mx
+),
+hp_n AS (
+  SELECT k, c, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM hp_dt, hp_cps WHERE doc_id <= c GROUP BY 1, 2
+),
+hp_v AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS v_words
+  FROM hp_fo, hp_cps WHERE fo <= c GROUP BY 1
+),
+hp_pts AS (
+  SELECT n.n_tokens, v.v_words,
+         ln(CAST(n.n_tokens AS DOUBLE)) AS x,
+         ln(CAST(v.v_words AS DOUBLE)) AS y
+  FROM hp_n n JOIN hp_v v USING (k)
+),
+hp_q AS (
+  SELECT n_tokens, v_words,
+         CAST(floor(x * 1e6) AS BIGINT) AS qx,
+         CAST(floor(y * 1e6) AS BIGINT) AS qy,
+         CAST(floor(x * y * 1e6) AS BIGINT) AS qxy,
+         CAST(floor(x * x * 1e6) AS BIGINT) AS qxx
+  FROM hp_pts
+),
+hp_s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(max(n_tokens) AS BIGINT) AS n_total,
+         CAST(max(v_words) AS BIGINT) AS v_total,
+         CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qxy) AS BIGINT) AS sxy, CAST(sum(qxx) AS BIGINT) AS sxx
+  FROM hp_q
+)
+SELECT n_points, n_total, v_total,
+       round((CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+              - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+             / (CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+                - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)),
+             6) AS beta,
+       round(((CAST(sy AS DOUBLE) / 1e6)
+              - ((CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                 / (CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+                    - (CAST(sx AS DOUBLE) / 1e6)
+                      * (CAST(sx AS DOUBLE) / 1e6)))
+                * (CAST(sx AS DOUBLE) / 1e6))
+             / CAST(n_points AS DOUBLE), 6) AS intercept
+FROM hp_s
+"""
+)
+
+
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of token mass across sequences per source (the
     corpus-concentration audit: G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over
@@ -13609,6 +13737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomalies": q_hourly_anomalies,
         "fightin_words": q_fightin_words,
         "gini_concentration": q_gini_concentration,
+        "heaps_fit": q_heaps_fit,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -13871,6 +14000,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_anomalies": ORACLE_HOURLY_ANOMALIES,
         "fightin_words": ORACLE_FIGHTIN_WORDS,
         "gini_concentration": ORACLE_GINI,
+        "heaps_fit": ORACLE_HEAPS_FIT,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
