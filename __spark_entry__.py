@@ -2529,6 +2529,81 @@ _LOO_V_POS = (
 )
 
 
+_FANO_EXPR = (
+    "round((CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE))"
+    " * (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE)))"
+    " / (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE)), 6) + 0.0"
+)
+
+
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 burstiest words by Fano factor (variance-to-mean of
+    per-document counts over ALL documents, zeros implicit — Church &
+    Gale 1995 dispersion; Fano ~ 1 = Poisson function word, >> 1 =
+    bursty topical word).  Exact per-(doc, word) counts → per-word
+    BIGINT power sums (zeros contribute nothing, so absent docs need no
+    rows); scalar doc count broadcast; one shared IEEE tree; top-50 is
+    a TOTAL order (fano desc, word asc) through TakeOrdered partial
+    top-k."""
+    docs = _documents(spark, sf_dir)
+    dw = (
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    regs = dw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_present"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    d = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    scored = regs.crossJoin(F.broadcast(d)).selectExpr(
+        "word",
+        "n_docs_present",
+        "s1 AS n_occurrences",
+        "d AS n_docs",
+        f"{_FANO_EXPR} AS fano",
+    )
+    from pyspark.sql.window import Window as _W
+
+    top = scored.orderBy(F.col("fano").desc(), F.col("word").asc()).limit(50)
+    # rank window runs over the ALREADY-LIMITED 50-row frame (bounded)
+    w = _W.orderBy(F.col("fano").desc(), F.col("word").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_WORD_BURSTINESS = (
+    duck_with(DOC_WORDS_DUCK)
+    + f"""
+, wb_dw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(words) AS word FROM doc_words)
+  GROUP BY 1, 2
+),
+wb_regs AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_docs_present,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM wb_dw GROUP BY 1
+),
+wb_d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+wb_scored AS (
+  SELECT word, n_docs_present, s1 AS n_occurrences, d AS n_docs,
+         {_FANO_EXPR} AS fano
+  FROM wb_regs CROSS JOIN wb_d
+),
+wb_top AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY fano DESC, word ASC) AS BIGINT)
+              AS rank
+  FROM wb_scored
+)
+SELECT word, n_docs_present, n_occurrences, n_docs, fano, rank
+FROM wb_top WHERE rank <= 50
+"""
+)
+
+
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit V(N) = K·N^beta (Heaps 1978 —
     the companion audit to zipf_slope): 10 doc-prefix checkpoints give
@@ -13738,6 +13813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fightin_words": q_fightin_words,
         "gini_concentration": q_gini_concentration,
         "heaps_fit": q_heaps_fit,
+        "word_burstiness": q_word_burstiness,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -14001,6 +14077,7 @@ def oracle_sql() -> dict[str, str]:
         "fightin_words": ORACLE_FIGHTIN_WORDS,
         "gini_concentration": ORACLE_GINI,
         "heaps_fit": ORACLE_HEAPS_FIT,
+        "word_burstiness": ORACLE_WORD_BURSTINESS,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
