@@ -2529,6 +2529,81 @@ _LOO_V_POS = (
 )
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (the cross-source
+    similarity audit a mixture designer reads before setting weights):
+    inverted-index construction — word → DISTINCT sources (postings
+    bounded by #sources), pair counts from a postings self-join
+    (combinable), per-source vocab sizes joined back.  Never a
+    doc-level or vocab x vocab product; output bounded by sources²."""
+    docs = _documents(spark, sf_dir)
+    sv = (
+        docs.select("source", F.explode(words_col(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab")
+    )
+    a = sv.select(F.col("source").alias("src_a"), "word")
+    b = sv.select(F.col("source").alias("src_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("nb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "na",
+            "nb",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_VOCAB_OVERLAP = (
+    duck_with(DOC_WORDS_DUCK)
+    + """
+, svo AS MATERIALIZED (
+  SELECT DISTINCT source, word
+  FROM (SELECT source, unnest(words) AS word FROM doc_words)
+),
+svo_sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM svo GROUP BY 1
+),
+svo_inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM svo a JOIN svo b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       sa.n_vocab AS na, sb.n_vocab AS nb,
+       round(CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_vocab + sb.n_vocab - i.n_common AS DOUBLE), 9)
+         AS jaccard
+FROM svo_inter i
+JOIN svo_sizes sa ON sa.source = i.src_a
+JOIN svo_sizes sb ON sb.source = i.src_b
+"""
+)
+
+
 _FANO_EXPR = (
     "round((CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE)"
     " - (CAST(s1 AS DOUBLE) / CAST(d AS DOUBLE))"
@@ -13814,6 +13889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "heaps_fit": q_heaps_fit,
         "word_burstiness": q_word_burstiness,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -14078,6 +14154,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_concentration": ORACLE_GINI,
         "heaps_fit": ORACLE_HEAPS_FIT,
         "word_burstiness": ORACLE_WORD_BURSTINESS,
+        "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
