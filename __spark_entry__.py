@@ -2529,6 +2529,100 @@ _LOO_V_POS = (
 )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event counts per type (Page
+    1954 — the drift-onset locator: the day where the cumulative
+    deviation from the overall mean peaks).  Made EXACT by scaling:
+    C'_k = D·Σ_{i<=k} x_i − k·S is the CUSUM times the constant D, so
+    peak location and magnitude ordering are pure BIGINT arithmetic —
+    no float enters until the one normalized output column.  Pre-agg to
+    the bounded (type × day) grid; the cumsum window runs over
+    droplet-sized per-type day series; argmax by (|C'| desc, day asc)."""
+    datagen.register_base_tables(spark, sf_dir)
+    ev = datagen.events_epoch_df(spark, sf_dir)
+    from pyspark.sql.window import Window as _W
+
+    grid = (
+        ev.select(
+            "event_type", F.expr("ts_us div 86400000000").cast("long").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w_cum = (
+        _W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    w_k = _W.partitionBy("event_type").orderBy("day")
+    cum = grid.withColumn("cx", F.sum("x").over(w_cum).cast("long")).withColumn(
+        "k", F.row_number().over(w_k).cast("long")
+    )
+    scaled = cum.join(tot, "event_type").withColumn(
+        "cprime", (F.col("d") * F.col("cx") - F.col("k") * F.col("s")).cast("long")
+    )
+    w_pick = _W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cprime")).desc(), F.col("day").asc()
+    )
+    return (
+        scaled.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("n_days"),
+            F.col("day").alias("peak_day"),
+            F.col("cprime").alias("peak_cusum_scaled"),
+            F.round(
+                F.col("cprime").cast("double") / F.col("d").cast("double"), 9
+            ).alias("peak_cusum"),
+        )
+    )
+
+
+ORACLE_CUSUM = """
+WITH cu_ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+cu_grid AS (
+  SELECT event_type, CAST(ts_us // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM cu_ev GROUP BY 1, 2
+),
+cu_tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM cu_grid GROUP BY 1
+),
+cu_cum AS (
+  SELECT event_type, day,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cx,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k
+  FROM cu_grid
+),
+cu_scaled AS (
+  SELECT c.event_type, c.day, t.d, t.s,
+         CAST(t.d * c.cx - c.k * t.s AS BIGINT) AS cprime
+  FROM cu_cum c JOIN cu_tot t USING (event_type)
+),
+cu_pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(cprime) DESC, day ASC) AS rn
+  FROM cu_scaled
+)
+SELECT event_type, d AS n_days, day AS peak_day,
+       cprime AS peak_cusum_scaled,
+       round(CAST(cprime AS DOUBLE) / CAST(d AS DOUBLE), 9) AS peak_cusum
+FROM cu_pick WHERE rn = 1
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary Jaccard between sources (the cross-source
     similarity audit a mixture designer reads before setting weights):
@@ -13890,6 +13984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "word_burstiness": q_word_burstiness,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "cusum_changepoint": q_cusum_changepoint,
         "importance_sample": q_importance_sample,
         "weighted_fixed_k": q_weighted_fixed_k,
         "kcore_membership": q_kcore_membership,
@@ -14155,6 +14250,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_fit": ORACLE_HEAPS_FIT,
         "word_burstiness": ORACLE_WORD_BURSTINESS,
         "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
+        "cusum_changepoint": ORACLE_CUSUM,
         "importance_sample": ORACLE_IMPORTANCE_SAMPLE.format(tq=ORACLE_TEXT_QUALITY),
         "weighted_fixed_k": ORACLE_WEIGHTED_FIXED_K.format(
             tq=ORACLE_TEXT_QUALITY,
