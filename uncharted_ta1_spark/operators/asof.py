@@ -251,13 +251,22 @@ def _asof_join_thin(
         filled = filled.withColumn(
             "_fill", F.when(dist <= F.lit(tolerance_sec), F.col("_fill"))
         )
+    # keep the UNION's own key columns (identical to _p_<key> on probe rows
+    # by construction) instead of re-aliasing the _p_ copies: the fill
+    # window's HashPartitioning(keys) then survives this projection, so the
+    # payload join below needs NO new exchange on the matched stream.
     matched = (
         filled
         .select(
             F.col("_ts"),
             F.col("_fill.anchor").alias(anchor),
             *[F.col(f"_fill.tb_{c}").alias(f"_mtb_{c}") for c in tiebreak_cols],
-            *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
+            *[F.col(k) for k in keys],
+            *[
+                F.col(f"_p_{c}").alias(c)
+                for c in probe_cols
+                if c not in keys
+            ],
         )
     )
 
@@ -270,9 +279,23 @@ def _asof_join_thin(
     cond = F.lit(True)
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"_s_{k}"))
-    cond = cond & (F.col(anchor) == F.col("_s_ts"))
+    # anchor/tiebreak equality is expressed as a degenerate RANGE predicate
+    # (x BETWEEN y AND y) so Catalyst does NOT extract it into the equi-join
+    # keys: the join then hash-partitions on `keys` alone, which BOTH sides
+    # already satisfy (the fill window upstream of `matched` and the
+    # feature window upstream of `payload` are each partitioned on `keys`,
+    # and projections here are alias-preserving) — removing two full
+    # exchanges from every as-of plan (guide §2.4: reuse one partitioning
+    # across window + join).  Within a key group the hash join iterates the
+    # group's state rows and filters on the anchor — bounded by rows-per-key,
+    # the same bound the window sort already relies on.  Semantics are
+    # unchanged: x BETWEEN y AND y <=> x = y, NULL-rejecting on both sides
+    # exactly like EqualTo.
+    cond = cond & F.col(anchor).between(F.col("_s_ts"), F.col("_s_ts"))
     for c in tiebreak_cols:
-        cond = cond & (F.col(f"_mtb_{c}") == F.col(f"_s_tb_{c}"))
+        cond = cond & F.col(f"_mtb_{c}").between(
+            F.col(f"_s_tb_{c}"), F.col(f"_s_tb_{c}")
+        )
     # SHUFFLE_HASH: build a hash table on the (small) state payload side
     # instead of sort-merge — SMJ would re-sort the big matched stream that
     # the window just produced.  AQE still upgrades this to broadcast when

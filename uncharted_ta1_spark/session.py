@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 #    oracle which operates on naive timestamps.
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
+    "spark.io.compression.codec": "zstd",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
