@@ -170,6 +170,21 @@ from uncharted_ta1_spark.operators.windows import (
 
 SF0001 = "/root/testdata/sf0.001"
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for harness staging (backfill/merge/stream/blob temp
+    tables): tmpfs when available — /tmp is a single virtio disk on this
+    sandbox and 8+ concurrent writers serialize on it (BENCH.md; guide §6).
+    Every site removes its dir in a ``finally`` block, so the tmpfs
+    footprint is bounded by one query's droplet-sized staging at a time.
+    On a real cluster this is the job-scratch volume, not the table store.
+    """
+    import tempfile
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 def _empty_tokens() -> F.Column:
     # built lazily: Column construction needs an active SparkSession
     return F.array().cast("array<int>")
@@ -550,7 +565,7 @@ def _drain_stream(stream, *, prefix: str, output_mode: str, cleanup_dirs=()) -> 
     from uncharted_ta1_spark.streaming.sessions import run_available_now
 
     name = prefix + uuid.uuid4().hex[:8]
-    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    ckpt = _scratch_dir("sparkgraft_ckpt_")
     try:
         run_available_now(
             stream,
@@ -594,7 +609,7 @@ def _stage_stream_dir(spark: SparkSession, sf_dir: str, *, copies: int = 1) -> s
     # after every copy is fully written: a crash or disk-full mid-stage can
     # never leave a truncated dir at the path the cache would later reuse
     # (the published name either does not exist or is complete)
-    root = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    root = _scratch_dir("sparkgraft_stream_")
     stage = os.path.join(root, "stage")
     d = os.path.join(root, "ready")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -855,7 +870,7 @@ def _stage_stream_with_flush(spark: SparkSession, sf_dir: str) -> str:
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    root = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    root = _scratch_dir("sparkgraft_stream_")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     mx = ev.agg(F.max("ts").alias("_mx"))
 
@@ -994,7 +1009,7 @@ def _stage_stream_time_split(spark: SparkSession, sf_dir: str) -> str:
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    root = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    root = _scratch_dir("sparkgraft_stream_")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cols = ev.columns
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1072,7 +1087,7 @@ def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     skey = (sf_dir, "serve_probes")
     src = _STREAM_STAGE_CACHE.get(skey)
     if src is None or not os.path.isdir(src):
-        stage_root = tempfile.mkdtemp(prefix="sparkgraft_servesrc_")
+        stage_root = _scratch_dir("sparkgraft_servesrc_")
         src = os.path.join(stage_root, "probes")
         _probes(spark, sf_dir).repartition(2).write.parquet(src)
         if not _STREAM_STAGE_CACHE:
@@ -1083,7 +1098,7 @@ def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         _STREAM_STAGE_CACHE[skey] = src
-    root = tempfile.mkdtemp(prefix="sparkgraft_serve_")
+    root = _scratch_dir("sparkgraft_serve_")
     out_dir = os.path.join(root, "answers")
     ckpt = os.path.join(root, "ckpt")
     try:
@@ -4968,7 +4983,7 @@ def q_blob_cache_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     skey = (sf_dir, "blob_remote")
     remote = _STREAM_STAGE_CACHE.get(skey)
     if remote is None or not os.path.isdir(remote):
-        root = tempfile.mkdtemp(prefix="sparkgraft_blobremote_")
+        root = _scratch_dir("sparkgraft_blobremote_")
         remote = os.path.join(root, "store")
         os.makedirs(remote)
         for r in docs.collect():
@@ -5898,7 +5913,7 @@ def q_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_backfill,
     )
 
-    out_dir = tempfile.mkdtemp(prefix="sparkgraft_bfres_")
+    out_dir = _scratch_dir("sparkgraft_bfres_")
     try:
         r1 = run_backfill(spark, sf_dir, out_dir, n_buckets=8)
         if r1["buckets_computed"] != 8:
@@ -8180,7 +8195,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * F.lit(1e6))).cast("long").alias("sum_v_us"),
         )
 
-    target = tempfile.mkdtemp(prefix="sparkgraft_ivm_")
+    target = _scratch_dir("sparkgraft_ivm_")
     try:
         merge_upsert(
             spark, target, rollup(ev.where(F.col("ts_us") <= mid)),
@@ -8304,7 +8319,7 @@ def q_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_epoch").cast("long") * F.lit(1_000_000)
          + F.col("seq_no").cast("long")).alias("_ord"),
     )
-    target = tempfile.mkdtemp(prefix="sparkgraft_merge_tt_")
+    target = _scratch_dir("sparkgraft_merge_tt_")
     try:
         merge_upsert(
             spark, target, upd.where(F.col("event_epoch") <= t1),
@@ -8369,7 +8384,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_epoch").cast("long") * F.lit(1_000_000)
          + F.col("seq_no").cast("long")).alias("_ord"),
     )
-    target = tempfile.mkdtemp(prefix="sparkgraft_merge_cdc_")
+    target = _scratch_dir("sparkgraft_merge_cdc_")
     try:
         merge_upsert(
             spark, target, upd.where(F.col("event_epoch") <= t1),
@@ -8481,7 +8496,7 @@ def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_epoch").cast("long") * F.lit(1_000_000)
          + F.col("seq_no").cast("long")).alias("_ord"),
     )
-    target = tempfile.mkdtemp(prefix="sparkgraft_merge_del_")
+    target = _scratch_dir("sparkgraft_merge_del_")
     try:
         merge_upsert(
             spark, target, upd.where(F.col("event_epoch") <= t1),
@@ -8666,7 +8681,7 @@ def q_manifest_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_bin", "n_rows", "sum_n_tok",
         )
     )
-    target = tempfile.mkdtemp(prefix="sparkgraft_prune_")
+    target = _scratch_dir("sparkgraft_prune_")
     try:
         merge_upsert(
             spark, target, rollup, ["t_bin_key"],
@@ -8776,7 +8791,7 @@ def q_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_epoch").cast("long") * F.lit(1_000_000)
          + F.col("seq_no").cast("long")).alias("_ord"),
     )
-    target = tempfile.mkdtemp(prefix="sparkgraft_maint_")
+    target = _scratch_dir("sparkgraft_maint_")
     try:
         merge_upsert(spark, target, upd.where(F.col("event_epoch") <= t1),
                      ["doc_id", "source"], n_buckets=16, order_col="_ord")
@@ -8885,7 +8900,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(md5_i64(F.concat_ws("\x1f", "doc_id", "source")), F.lit(3)),
         )
     )
-    target = tempfile.mkdtemp(prefix="sparkgraft_evolve_")
+    target = _scratch_dir("sparkgraft_evolve_")
     try:
         merge_upsert(spark, target, base.drop("_b3"), ["doc_id", "source"])
         wide = base.where(F.col("_b3") == 0).select(
@@ -12529,7 +12544,7 @@ def q_backfill_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uncharted_ta1_spark.plans.backfill import run_backfill
     from uncharted_ta1_spark.plans.checkpoint import CheckpointLog
 
-    out_dir = tempfile.mkdtemp(prefix="sparkgraft_bflin_")
+    out_dir = _scratch_dir("sparkgraft_bflin_")
     try:
         r = run_backfill(spark, sf_dir, out_dir, n_buckets=8)
         if r["buckets_computed"] != 8:
@@ -12586,7 +12601,7 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from uncharted_ta1_spark.sources.io import read_json_with_quarantine
 
-    d = tempfile.mkdtemp(prefix="sparkgraft_jsonq_")
+    d = _scratch_dir("sparkgraft_jsonq_")
     try:
         base = _documents(spark, sf_dir).select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -12668,7 +12683,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_probes_csv,
     )
 
-    d = tempfile.mkdtemp(prefix="sparkgraft_csvrt_")
+    d = _scratch_dir("sparkgraft_csvrt_")
     try:
         write_probes_csv(_probes(spark, sf_dir), d)
         back = read_probes_csv(spark, d)

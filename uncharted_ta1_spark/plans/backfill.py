@@ -116,9 +116,16 @@ def run_backfill(
     data_dir = os.path.join(out_dir, "data")
     staging = os.path.join(out_dir, "_staging")
     shutil.rmtree(staging, ignore_errors=True)
+    # no repartition("bucket") before the write: it forced one extra FULL
+    # exchange of the wide feature rows into <= n_buckets tasks (a
+    # parallelism collapse AND the widest shuffle in the plan — guide §2.4).
+    # The dynamic partitionBy write splits each task's output by bucket
+    # directly; the commit/rename protocol only needs the bucket=N dirs,
+    # not one-file-per-bucket.  At cluster scale the recurring form of this
+    # job writes through the bucketed table layout (plans/layout.py), which
+    # clusters at ingest instead of per-run.
     (
-        out.repartition("bucket")
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(staging)
     )

@@ -449,14 +449,21 @@ def merge_upsert(
         keyed = updates.withColumn("_del", is_del).drop(delete_col)
     else:
         keyed = updates.withColumn("_del", F.lit(False))
-    updates = keyed.where(~F.col("_del")).drop("_del")
 
     manifest = current_manifest(target_dir)
     if manifest is not None and manifest["n_buckets"] != n_buckets:
         n_buckets = manifest["n_buckets"]  # bucket layout is a table property
 
-    updates = updates.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
-    keyed = keyed.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
+    # materialize the collapsed+bucketed delta ONCE: four actions consume it
+    # (touched-bucket collect, the counter aggregation, the anti-join key
+    # set, and the bucket write) and each would otherwise re-run the
+    # caller's update derivation plus the collapse window (guide §5:
+    # cut lineage for a reused intermediate; the delta is O(batch), the
+    # same bound the commit protocol itself relies on).
+    keyed = keyed.withColumn(
+        "_bucket", _key_bucket(key_cols, n_buckets)
+    ).localCheckpoint()
+    updates = keyed.where(~F.col("_del")).drop("_del")
     # touched-bucket set is bounded by n_buckets — a driver-side list, O(1)
     # (tombstone-only buckets are touched too: their kept rows get rewritten)
     touched = sorted(
