@@ -4123,7 +4123,11 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision/recall of the 16-perm/4-band sketch, the go/no-go check
     before trusting LSH dedup at a scale where exact Jaccard is
     unaffordable."""
-    sh = doc_shingles(_documents(spark, sf_dir), n=3)
+    # one materialization feeds BOTH legs (sketch candidates and exact
+    # truth) — previously the shingle explode+hash+distinct ran once per
+    # leg (jaccard_pairs re-checkpoints internally, which is a cheap copy
+    # of the already-materialized partitions)
+    sh = doc_shingles(_documents(spark, sf_dir), n=3).localCheckpoint()
     cand = lsh_pairs_from_bands(minhash_bands(sh, k=16, band_size=4, seed=42)).select(
         "doc1", "doc2", F.lit(1).alias("c")
     )
@@ -9984,12 +9988,19 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir)
-    tr = doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3).select(
-        F.lit("train").alias("setname"), "sh_hash"
+    # materialize the two distinct hash sets once: the sketch build AND all
+    # four exact-truth legs consume them (previously every consumer re-ran
+    # the shingle explode+hash+distinct pipeline — 6 recomputes)
+    ta = (
+        doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3)
+        .select("sh_hash").distinct().localCheckpoint()
     )
-    ev = doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3).select(
-        F.lit("eval").alias("setname"), "sh_hash"
+    tb = (
+        doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3)
+        .select("sh_hash").distinct().localCheckpoint()
     )
+    tr = ta.select(F.lit("train").alias("setname"), "sh_hash")
+    ev = tb.select(F.lit("eval").alias("setname"), "sh_hash")
     both = tr.unionByName(ev)
     kmv = kmv_sketch(both, "setname").localCheckpoint()
     est = kmv_estimate(kmv, "setname")
@@ -10013,9 +10024,7 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
     # exact truths (the evaluation side; at production scale you run only
-    # the sketches)
-    ta = tr.select("sh_hash").distinct()
-    tb = ev.select("sh_hash").distinct()
+    # the sketches) — ta/tb are the checkpointed distinct hash sets above
     exact = (
         ta.agg(F.count(F.lit(1)).cast("long").alias("exact_train"))
         .crossJoin(tb.agg(F.count(F.lit(1)).cast("long").alias("exact_eval")))
@@ -10624,12 +10633,22 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-sided error is measured, not assumed: bloom_hits >= exact_hits
     row by row (operators/sketches.py::bloom_bits/bloom_membership)."""
     docs = _documents(spark, sf_dir)
-    train = doc_shingles(docs.where(F.col("doc_id") % 10 != 3), n=3)
-    ev = doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3)
-    bits = bloom_bits(ev.select("sh_hash").distinct())
+    # materialize each shingle table once: `train` feeds both the bloom
+    # probe and the exact-hit leg, the distinct eval hash set feeds both
+    # the filter build and the exact semi-join — without the checkpoint
+    # each consumer re-runs the explode+hash+distinct derivation
+    # (the jaccard_pairs "write the inverted index once" pattern)
+    train = doc_shingles(
+        docs.where(F.col("doc_id") % 10 != 3), n=3
+    ).localCheckpoint()
+    ev_keys = (
+        doc_shingles(docs.where(F.col("doc_id") % 10 == 3), n=3)
+        .select("sh_hash").distinct().localCheckpoint()
+    )
+    bits = bloom_bits(ev_keys)
     flagged = bloom_membership(train.select("doc_id", "sh_hash"), bits)
     exact = train.join(
-        F.broadcast(ev.select("sh_hash").distinct()), "sh_hash", "left_semi"
+        F.broadcast(ev_keys), "sh_hash", "left_semi"
     ).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("exact_hits")
     )

@@ -111,12 +111,24 @@ def split_conformal_coverage(
             / F.col("n_train").cast("double"),
         ).alias("intercept"),
     ).where(F.col("slope").isNotNull())
+    # per-group fit is a droplet (one row per group) consumed by the
+    # calibration, test and output legs; materialize it once instead of
+    # re-running the train aggregation under each consumer
+    fit = fit.localCheckpoint()
 
     res_micro = F.expr(
         "CAST(floor(abs(CAST(_y AS DOUBLE) "
         "- (intercept + slope * CAST(_x AS DOUBLE))) * 1e6) AS BIGINT)"
     )
-    cal_r = calib.join(fit, "_g").select("_g", res_micro.alias("_r"))
+    # the calibration residual table feeds three consumers (count, GK
+    # boundaries, bucketed rank) — one materialization instead of three
+    # corpus-derivation re-runs (the "write the index once" pattern)
+    # (explicit broadcast: a checkpointed frame loses its size statistics,
+    # and the fit table is a droplet — one row per group — by construction)
+    cal_r = (
+        calib.join(F.broadcast(fit), "_g").select("_g", res_micro.alias("_r"))
+        .localCheckpoint()
+    )
     n_cal = cal_r.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n_cal")
     )
@@ -185,9 +197,9 @@ def split_conformal_coverage(
     )
 
     tst = (
-        test.join(fit, "_g")
+        test.join(F.broadcast(fit), "_g")
         .select("_g", res_micro.alias("_r"))
-        .join(q_hat.select("_g", "q_hat_micro"), "_g")
+        .join(F.broadcast(q_hat.select("_g", "q_hat_micro")), "_g")
         .groupBy("_g")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),

@@ -185,37 +185,40 @@ def vocab_coverage(
     from uncharted_ta1_spark.operators.binning import bucketed_cumsum
 
     v = vocab_index(docs, text_col=text_col).withColumn("_g", F.lit(1))
+    # materialize the rank-ordered cumulative-mass table once: the total
+    # aggregate and the threshold scan both consume it, and it is the
+    # canonical vocab-sized artifact (never corpus-sized)
     cum = bucketed_cumsum(
         v,
         keys=["_g"],
         order_col="word_id",
         val_col="n_occurrences",
         out_col="_cum",
-    )
+    ).localCheckpoint()
     total = cum.agg(
         F.max("_cum").cast("long").alias("total_tokens"),
-        F.count(F.lit(1)).cast("long").alias("_n_vocab"),
     )
     wide = cum.crossJoin(F.broadcast(total))
-    parts = []
+    # ALL thresholds in ONE conditional-aggregation pass (previously one
+    # filtered aggregation job per threshold re-ran the whole vocab
+    # pipeline), then unpivot the single row back to one row per threshold.
+    aggs = []
     for pm in pcts_per_mille:
-        hit = wide.where(
-            F.col("_cum") * 1000 >= F.col("total_tokens") * F.lit(pm)
-        ).agg(
-            F.lit(pm).cast("long").alias("per_mille"),
-            (F.min("word_id") + 1).cast("long").alias("vocab_needed"),
-            F.min(
-                F.when(
-                    F.col("_cum") * 1000 >= F.col("total_tokens") * F.lit(pm),
-                    F.col("_cum"),
-                )
-            )
-            .cast("long")
-            .alias("covered_tokens"),
-            F.max("total_tokens").cast("long").alias("total_tokens"),
+        cond = F.col("_cum") * 1000 >= F.col("total_tokens") * F.lit(pm)
+        aggs.append(
+            F.min(F.when(cond, F.col("word_id"))).alias(f"_w{pm}")
         )
-        parts.append(hit)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs.append(F.min(F.when(cond, F.col("_cum"))).alias(f"_c{pm}"))
+    one = wide.agg(*aggs, F.max("total_tokens").alias("_tot"))
+    stack_args = ", ".join(
+        f"CAST({pm} AS BIGINT), CAST(_w{pm} + 1 AS BIGINT), "
+        f"CAST(_c{pm} AS BIGINT)"
+        for pm in pcts_per_mille
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pcts_per_mille)}, {stack_args}) "
+            "AS (per_mille, vocab_needed, covered_tokens)"
+        ),
+        F.col("_tot").cast("long").alias("total_tokens"),
+    )

@@ -179,7 +179,14 @@ def ann_lsh_topk(
     bucket.  The bucket equi-join replaces the all-pairs product — at scale
     this is the difference between |Q|x|C| and |Q|x|C|/256."""
     buckets = lsh_buckets(emb, id_col=id_col, n_planes=n_planes)
-    base = with_norm(emb).join(buckets, F.col(id_col) == F.col("vid")).drop("vid")
+    # materialize the bucketed+normed index once — building the ANN index
+    # is the one corpus pass; both the query slice and the candidate side
+    # read the materialized index instead of re-running the projection
+    # pipeline (guide §5: cut lineage on a reused intermediate)
+    base = (
+        with_norm(emb).join(buckets, F.col(id_col) == F.col("vid"))
+        .drop("vid").localCheckpoint()
+    )
     q = base.where(query_pred).select(
         F.col(id_col).alias("qid"),
         F.col("_emb_d").alias("_q_emb"),

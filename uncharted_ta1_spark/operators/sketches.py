@@ -196,29 +196,33 @@ def bloom_membership(probes: DataFrame, bits: DataFrame,
     side is touched k times map-side and shuffles only on its own keys.
 
     Returns the probe frame + boolean ``bloom_hit``.  One-sided error:
-    every true member tests positive; a positive may be false.  The hit
-    test compares the matched-bit count against the group's OWN expanded
-    row count (not the constant k), so duplicate probe rows for the same
-    ``(*other, key)`` tuple — which the groupBy collapses — still test
-    positive when every bit is set.
+    every true member tests positive; a positive may be false.  Duplicate
+    probe rows for the same ``(*other, key)`` tuple collapse to one output
+    row (the historical groupBy contract, now an explicit ``distinct``).
+
+    Plan shape: k map-side broadcast LEFT joins (one per hash function,
+    each on a computed bit position against the <= BLOOM_M-row position
+    table) in a single narrow stage — the probe side is expanded ZERO
+    times and shuffles only for the distinct.  This replaced a k-way
+    union + groupBy formulation that shuffled k x |probes| rows
+    (guide §2.3: aggregate/test map-side instead of shuffling the
+    expansion).
     """
     other = [c for c in probes.columns if c != key_col]
-    expanded = []
+    out = probes.distinct()
+    hit = F.lit(True)
     for j in range(BLOOM_K):
         pos = (
             md5_i64(F.col(key_col).cast("string"), salt=f"bf{j}") % BLOOM_M
         ).cast("int")
-        expanded.append(probes.select(*other, key_col, pos.alias("pos")))
-    probe = expanded[0]
-    for p in expanded[1:]:
-        probe = probe.unionByName(p)
-    marked = probe.join(
-        F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
-    )
-    return (
-        marked.groupBy(*other, key_col)
-        .agg((F.count("_set") == F.count(F.lit(1))).alias("bloom_hit"))
-    )
+        bj = bits.select(
+            F.col("pos").alias(f"_pos{j}"), F.lit(1).alias(f"_set{j}")
+        )
+        out = out.join(
+            F.broadcast(bj), pos == F.col(f"_pos{j}"), "left"
+        ).drop(f"_pos{j}")
+        hit = hit & F.col(f"_set{j}").isNotNull()
+    return out.select(*other, key_col, hit.alias("bloom_hit"))
 
 
 def cms_counters(word_counts: DataFrame, word_col: str = "word",
