@@ -185,6 +185,21 @@ def _scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
+def _detach(df: DataFrame) -> DataFrame:
+    """Materialize a result whose inputs live in about-to-be-deleted temp
+    storage, WITHOUT the driver collect/parallelize roundtrip (guide §5:
+    the driver should do no data work): write once to a session-scratch
+    parquet dir (reclaimed atexit) and hand back the re-read frame.  Only
+    for row-heavy results; droplet aggregates keep the cheap collect."""
+    import atexit
+    import shutil
+
+    d = _scratch_dir("sparkgraft_result_")
+    df.write.mode("overwrite").parquet(d)
+    atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+    return df.sparkSession.read.parquet(d)
+
+
 def _empty_tokens() -> F.Column:
     # built lazily: Column construction needs an active SparkSession
     return F.array().cast("array<int>")
@@ -1129,8 +1144,10 @@ def q_streaming_asof_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_n_tok", "asof_age_sec",
             "fallback_used",
         )
-        # answers live under the temp dir: materialize before cleanup
-        return spark.createDataFrame(got.collect(), got.schema)
+        # answers live under the temp dir: move the already-written parquet
+        # aside (atexit-reclaimed) instead of collecting 10^5 rows through
+        # the Python driver and re-parallelizing them
+        return _detach(got)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -5766,8 +5783,8 @@ def q_bucketed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id", "session_len", "session_sum_n_tok",
         )
         # the bucketed table lives in the session warehouse: materialize
-        # before dropping it
-        return spark.createDataFrame(out.collect(), out.schema)
+        # before dropping it (parquet scratch, not a driver roundtrip)
+        return _detach(out)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
