@@ -131,6 +131,8 @@ def _quad_cells(quads: DataFrame, pre: str, cell: int) -> DataFrame:
     return (
         quads.withColumn("_xmin", xmin)
         .withColumn("_ymin", ymin)
+        .withColumn("_xmax", xmax)
+        .withColumn("_ymax", ymax)
         .select(
             "*",
             F.explode(
@@ -161,7 +163,7 @@ def quad_contain_join(
     pts = points.withColumn("gx", F.floor(F.col(px) / cell)).withColumn(
         "gy", F.floor(F.col(py) / cell)
     )
-    qc = _quad_cells(quads, "", cell).drop("_xmin", "_ymin")
+    qc = _quad_cells(quads, "", cell).drop("_xmin", "_ymin", "_xmax", "_ymax")
     joined = pts.join(qc, ["gx", "gy"])
     return joined.where(F.expr(point_in_quad_sql(px=px, py=py))).drop("gx", "gy")
 
@@ -183,7 +185,7 @@ def ring_contain_join(
     pts = points.withColumn("gx", F.floor(F.col(px) / cell)).withColumn(
         "gy", F.floor(F.col(py) / cell)
     )
-    rc = _quad_cells(rings, "o", cell).drop("_xmin", "_ymin")
+    rc = _quad_cells(rings, "o", cell).drop("_xmin", "_ymin", "_xmax", "_ymax")
     joined = pts.join(rc, ["gx", "gy"])
     return joined.where(F.expr(point_in_ring_sql(px=px, py=py))).drop("gx", "gy")
 
@@ -225,6 +227,8 @@ def quad_overlap_join(
         ],
         F.col("_xmin").alias("a_xmin"),
         F.col("_ymin").alias("a_ymin"),
+        F.col("_xmax").alias("a_xmax"),
+        F.col("_ymax").alias("a_ymax"),
         F.col("gx").alias("agx"),
         F.col("gy").alias("agy"),
     )
@@ -238,6 +242,8 @@ def quad_overlap_join(
         ],
         F.col("_xmin").alias("b_xmin"),
         F.col("_ymin").alias("b_ymin"),
+        F.col("_xmax").alias("b_xmax"),
+        F.col("_ymax").alias("b_ymax"),
         F.col("gx").alias("bgx"),
         F.col("gy").alias("bgy"),
     )
@@ -248,6 +254,14 @@ def quad_overlap_join(
             F.col("agx") == F.col("bgx"),
             F.col("agy") == F.col("bgy"),
             F.col("a_id") < F.col("b_id"),
+            # cheap bbox-intersection rejection BEFORE the 8-edge SAT
+            # expression: bboxes that do not meet cannot overlap, and this
+            # four-comparison test prunes the candidate stream the big
+            # codegen'd predicate would otherwise fully evaluate
+            F.col("a_xmin") <= F.col("b_xmax"),
+            F.col("b_xmin") <= F.col("a_xmax"),
+            F.col("a_ymin") <= F.col("b_ymax"),
+            F.col("b_ymin") <= F.col("a_ymax"),
             # owner cell: where the joint bbox min corner lands
             F.col("agx") == F.floor(F.greatest(F.col("a_xmin"), F.col("b_xmin")) / g),
             F.col("agy") == F.floor(F.greatest(F.col("a_ymin"), F.col("b_ymin")) / g),
