@@ -7182,17 +7182,20 @@ def q_ann_ivf_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint successive centroid sets instead (as _centroid_set already
     does per iteration)."""
     from uncharted_ta1_spark.operators.similarity import (
-        _centroid_set,
+        _centroid_iterates,
         nearest_cell_sims,
         with_norm,
     )
 
     emb = _embeddings(spark, sf_dir)
     base = with_norm(emb)
+    # ONE deterministic training run supplies every iterate (bit-identical
+    # to retraining per iteration count — see _centroid_iterates); the
+    # harness previously retrained from scratch per leg (0+1+2 passes)
+    iterates = _centroid_iterates(emb, n_iters=2)
     outs = []
     for itr in range(3):
-        cents = _centroid_set(emb, n_iters=itr)
-        a = nearest_cell_sims(base, cents)
+        a = nearest_cell_sims(base, iterates[itr])
         outs.append(
             a.agg(
                 F.count(F.lit(1)).cast("long").alias("n_vecs"),

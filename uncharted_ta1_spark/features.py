@@ -63,19 +63,30 @@ def sequence_features(seq: DataFrame, *, gap_sec: int = SESSION_GAP_SEC) -> Data
         .otherwise(F.lit(0))
     )
 
-    feats = (
-        seq.withColumn("lag_n_tok_1", F.lag("n_tok", 1).over(w))
-        .withColumn("lead_n_tok_1", F.lead("n_tok", 1).over(w))
-        .withColumn("lag_tokens_1", F.lag("tokens", 1).over(w))
-        .withColumn("lead_tokens_1", F.lead("tokens", 1).over(w))
-        .withColumn("roll_sum_n_tok_w5", F.sum(F.col("n_tok").cast("long")).over(w5))
-        .withColumn("roll_mean_n_tok_w5", F.round(F.avg(F.col("n_tok").cast("long")).over(w5), 9))
-        .withColumn("session_id", F.sum(new_s).over(wrun).cast("long"))
+    # ONE select for every expression over the shared (key, time) window
+    # spec: chained withColumn puts a Project between consecutive Window
+    # nodes, which blocks Catalyst's CollapseWindow rule — the same
+    # features then executed as SIX sequential Window passes over the
+    # sorted partitions instead of three (measured in the backfill plan).
+    # Expressions and output column order are unchanged.
+    feats = seq.select(
+        "*",
+        F.lag("n_tok", 1).over(w).alias("lag_n_tok_1"),
+        F.lead("n_tok", 1).over(w).alias("lead_n_tok_1"),
+        F.lag("tokens", 1).over(w).alias("lag_tokens_1"),
+        F.lead("tokens", 1).over(w).alias("lead_tokens_1"),
+        F.sum(F.col("n_tok").cast("long")).over(w5).alias("roll_sum_n_tok_w5"),
+        F.round(F.avg(F.col("n_tok").cast("long")).over(w5), 9).alias(
+            "roll_mean_n_tok_w5"
+        ),
+        F.sum(new_s).over(wrun).cast("long").alias("session_id"),
     )
     ws = Window.partitionBy("doc_id", "source", "session_id")
-    return feats.withColumn(
-        "session_len", F.count(F.lit(1)).over(ws).cast("long")
-    ).withColumn("session_sum_n_tok", F.sum(F.col("n_tok").cast("long")).over(ws))
+    return feats.select(
+        "*",
+        F.count(F.lit(1)).over(ws).cast("long").alias("session_len"),
+        F.sum(F.col("n_tok").cast("long")).over(ws).alias("session_sum_n_tok"),
+    )
 
 
 def feature_backfill(

@@ -297,14 +297,32 @@ def _centroid_set(
     Reference analog: the fit-then-lookup pattern of
     tasks/geo_referencing/georeference.py:130-144 (train a tiny model on the
     data, broadcast it back over the data)."""
+    return _centroid_iterates(
+        emb, id_col=id_col, n_centroids=n_centroids, n_iters=n_iters
+    )[-1]
+
+
+def _centroid_iterates(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = 0,
+) -> list[DataFrame]:
+    """Centroid sets after 0..n_iters Lloyd iterations from ONE training
+    run — element k is bit-identical to ``_centroid_set(..., n_iters=k)``
+    (the trainer is deterministic and each iterate is already
+    materialized), so a convergence harness measures every iteration
+    without retraining from scratch per iteration count."""
     base = with_norm(emb)
     cents = base.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("int").alias("cid"),
         F.col("_emb_d").alias("_c_emb"),
         F.col("_norm").alias("_c_norm"),
     )
+    iterates = [cents]
     if n_iters <= 0:
-        return cents
+        return iterates
     flat = emb.select(
         F.col(id_col).alias("vid"),
         F.posexplode(_as_double(F.col("embedding"))).alias("i", "e"),
@@ -334,7 +352,8 @@ def _centroid_set(
         # n_centroids rows: materialize so every downstream broadcast of the
         # trained set doesn't replay a full corpus pass per reference
         cents = cents.localCheckpoint(eager=True)
-    return cents
+        iterates.append(cents)
+    return iterates
 
 
 def ivf_cells(
