@@ -9887,7 +9887,10 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
         F.col("user_id").cast("string").alias("uk"),
     )
-    daily = hll_registers(ev, ["day"], "uk")
+    # droplet-sized per-day registers (|days| x 64 rows): materialize once —
+    # the window merge and the lineage count both consume them, and each
+    # would otherwise re-run the corpus register build
+    daily = hll_registers(ev, ["day"], "uk").localCheckpoint()
     merged, ndays = hll_sliding_window(daily, day_col="day", window_days=3)
     est = hll_estimate(merged, ["win_day"])
 
@@ -10168,9 +10171,11 @@ def q_cms_sliding_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
         F.col("user_id").cast("string").alias("uk"),
     )
+    # the daily-count partial table feeds both the CMS counter build and
+    # the exact-truth leg: one materialization instead of two event scans
     daily = ev.groupBy("day", "uk").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint()
     counters = cms_counters(daily, word_col="uk", group_cols=["day"])
 
     offs = F.array(F.lit(0), F.lit(1), F.lit(2))

@@ -33,16 +33,21 @@ def lag_lead_context(
     Also emits ``gap_to_prev_sec`` from the first order column.
     """
     w = Window.partitionBy(*keys).orderBy(*[F.col(o).asc() for o in order])
-    out = df
+    # single select: chained withColumn blocks CollapseWindow with an
+    # interleaved Project, executing one Window pass PER COLUMN over the
+    # sorted partitions; one select plans a single Window node
+    exprs = []
     for c in cols:
         for i in range(1, k + 1):
-            out = out.withColumn(f"lag_{c}_{i}", F.lag(F.col(c), i).over(w))
-            out = out.withColumn(f"lead_{c}_{i}", F.lead(F.col(c), i).over(w))
+            exprs.append(F.lag(F.col(c), i).over(w).alias(f"lag_{c}_{i}"))
+            exprs.append(F.lead(F.col(c), i).over(w).alias(f"lead_{c}_{i}"))
     ts = order[0]
-    out = out.withColumn(
-        "gap_to_prev_sec", (F.col(ts) - F.lag(F.col(ts), 1).over(w)).cast("long")
+    exprs.append(
+        (F.col(ts) - F.lag(F.col(ts), 1).over(w))
+        .cast("long")
+        .alias("gap_to_prev_sec")
     )
-    return out
+    return df.select("*", *exprs)
 
 
 def rolling_agg(
@@ -63,14 +68,15 @@ def rolling_agg(
         .orderBy(*[F.col(o).asc() for o in order])
         .rowsBetween(-(window - 1), 0)
     )
-    return (
-        df.withColumn(f"roll_sum_{col}_w{window}", F.sum(F.col(col).cast("long")).over(w))
-        .withColumn(
-            f"roll_mean_{col}_w{window}",
-            F.round(F.avg(F.col(col).cast("long")).over(w), 9),
-        )
-        .withColumn(f"roll_min_{col}_w{window}", F.min(F.col(col)).over(w))
-        .withColumn(f"roll_max_{col}_w{window}", F.max(F.col(col)).over(w))
+    # single select -> single Window node (see lag_lead_context note)
+    return df.select(
+        "*",
+        F.sum(F.col(col).cast("long")).over(w).alias(f"roll_sum_{col}_w{window}"),
+        F.round(F.avg(F.col(col).cast("long")).over(w), 9).alias(
+            f"roll_mean_{col}_w{window}"
+        ),
+        F.min(F.col(col)).over(w).alias(f"roll_min_{col}_w{window}"),
+        F.max(F.col(col)).over(w).alias(f"roll_max_{col}_w{window}"),
     )
 
 

@@ -20,7 +20,16 @@ from pyspark.sql import SparkSession
 #    oracle which operates on naive timestamps.
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
-    "spark.io.compression.codec": "zstd",
+    # Shuffle/spill codec, env-overridable per deployment.  Measured here:
+    # zstd is ~12% SLOWER on the many-small-shuffle query profile (per-
+    # round-trip compression latency; e.g. the bounded iterative peels) and
+    # NEUTRAL on the thin-shuffle backfill bench, so the default stays
+    # lz4; on a network-bandwidth-limited cluster shuffling wide payloads,
+    # set SPARK_GRAFT_IO_CODEC=zstd to halve shuffle bytes (guide §2.3 —
+    # "there is no universal answer: measure both").
+    "spark.io.compression.codec": os.environ.get(
+        "SPARK_GRAFT_IO_CODEC", "lz4"
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -28,6 +37,19 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Parquet writer: lz4 encodes measurably faster than snappy at the
+    # same size here, and dictionary encoding is dead weight for this
+    # engine's outputs (feature rows keyed by high-cardinality ids +
+    # token arrays: dictionaries overflow to plain and cost ~18% of the
+    # sink CPU for a 0-9% size INCREASE — measured on the backfill sink).
+    # Both env-overridable: a table dominated by low-cardinality columns
+    # should set SPARK_GRAFT_PARQUET_DICT=true per deployment (guide §6).
+    "spark.sql.parquet.compression.codec": os.environ.get(
+        "SPARK_GRAFT_PARQUET_CODEC", "lz4"
+    ),
+    "spark.hadoop.parquet.enable.dictionary": os.environ.get(
+        "SPARK_GRAFT_PARQUET_DICT", "false"
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
