@@ -31,6 +31,35 @@ def test_asof_is_not_nested_loop(spark):
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_asof_payload_join_adds_no_exchange(spark):
+    """r07 optimization pin: the thin-anchor as-of payload join-back runs
+    directly on the two window outputs (both hash-partitioned on the join
+    keys) — the anchor equality is a residual range predicate, NOT a
+    shuffle key, so the whole backfill plans exactly TWO data exchanges
+    (feature window + union fill window).  A third hashpartitioning
+    exchange means the join-back re-shuffle regressed."""
+    seq = datagen.sequences_df(spark, SF).select(
+        "doc_id", "source", "seq_no", "event_epoch", "tokens", "n_tok"
+    )
+    prb = datagen.probes_df(spark, SF).select(
+        "probe_id", "doc_id", "source", "ts_epoch"
+    )
+    plan = _plan(feature_backfill(seq, prb))
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    # 2 engine exchanges + 1 inside the probes fixture derivation
+    assert n_hash_exchanges <= 3, plan
+
+
+def test_window_feature_stack_is_collapsed(spark):
+    """r07 optimization pin: sequence_features' same-spec window
+    expressions are built in one select so CollapseWindow packs them —
+    three Window nodes total (feature pass, session cumsum, session
+    aggregates), not one per chained withColumn."""
+    seq = datagen.sequences_df(spark, SF)
+    plan = _plan(sequence_features(seq))
+    assert len(re.findall(r"\bWindow \[", plan)) <= 3, plan
+
+
 def test_simhash_pairs_is_not_nested_loop(spark):
     """The banded simhash candidate join must stay a union of two equi
     self-joins — the naive (hi=hi OR lo=lo) disjunction has no equi conjunct
