@@ -309,3 +309,27 @@ def test_merge_delete_tombstones(spark, tmp_path):
     )
     got2 = {r.doc_id: r.payload for r in read_current(spark, t).collect()}
     assert got2 == {"d2": 99, "d3": 33, "d4": 4}
+
+
+def test_merge_commit_counter_fusion_job_count(spark, tmp_path):
+    """r07 fusion pin: the upsert counters ride the write action as observed
+    metrics — a non-first commit must NOT run a dedicated counter
+    aggregation action.  AQE splits each action into one job per
+    materialized stage, so the pin is the measured envelope: the fused
+    commit runs 10 jobs on this Spark version (delta localCheckpoint,
+    touched-bucket collect, mergeSchema footer read, and the staged write),
+    the pre-fusion path ran 14 (the counter join + aggregate stages)."""
+    t = str(tmp_path / "tbl_jobs")
+    merge_upsert(spark, t, _df(spark, [("d1", "op", 1), ("d2", "op", 2)]), ["doc_id", "op_id"])
+    sc = spark.sparkContext
+    sc.setJobGroup("merge_fusion_pin", "second commit")
+    try:
+        s = merge_upsert(
+            spark, t, _df(spark, [("d2", "op", 20), ("d3", "op", 3)]),
+            ["doc_id", "op_id"],
+        )
+    finally:
+        sc.setJobGroup("merge_fusion_pin_done", "")
+    assert s["rows_updated"] == 1 and s["rows_inserted"] == 1
+    jobs = sc.statusTracker().getJobIdsForGroup("merge_fusion_pin")
+    assert 0 < len(jobs) <= 10, f"counter fusion regressed: {len(jobs)} jobs"

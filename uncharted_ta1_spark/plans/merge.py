@@ -35,7 +35,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -472,43 +472,44 @@ def merge_upsert(
 
     next_v = 0 if manifest is None else manifest["version"] + 1
 
+    # Counter fusion (guide §1.2 / §5): updated/inserted/deleted ride the
+    # write action itself as observed metrics instead of a dedicated
+    # key-scan + join + aggregate job per commit.  The kept-rows branch
+    # observes how many current rows are replaced (updated) or tombstoned
+    # (deleted) while the SAME pass filters them out of the rewrite; the
+    # upsert branch observes its row count, and inserted = upserts −
+    # updated (the delta is one row per key after the collapse, so the
+    # arithmetic is exact).  CollectMetrics accumulators apply once per
+    # partition per successful query, so the counts equal the old
+    # dedicated aggregation's.
+    obs_upd = Observation()
+    upd_obs = updates.observe(obs_upd, F.count(F.lit(1)).alias("n"))
+    obs_cur = None
     if manifest is None:
-        new_df = updates
-        n_updated = 0
-        n_deleted = 0
-        n_inserted = new_df.count()
+        new_df = upd_obs
         old_entries: dict = {}
     else:
         old_entries = dict(manifest["buckets"])
         tpaths = _bucket_paths(target_dir, manifest, touched)
         if tpaths:
             cur = spark.read.option("mergeSchema", "true").parquet(*tpaths)
-            upd_keys = keyed.select(*key_cols, "_del").withColumn("_u", F.lit(1))
-            # one aggregation for all counters (no per-counter .count() jobs)
-            tagged = (
-                cur.select(*key_cols).withColumn("_t", F.lit(1))
-                .join(upd_keys, key_cols, "full_outer")
+            marks = keyed.select(*key_cols, "_del").withColumn("_u", F.lit(1))
+            matched = F.col("_u").isNotNull()
+            obs_cur = Observation()
+            j = cur.join(marks, key_cols, "left").observe(
+                obs_cur,
+                F.sum(F.when(matched & ~F.col("_del"), 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(matched & F.col("_del"), 1).otherwise(0)).alias("deleted"),
             )
-            stats = tagged.agg(
-                F.sum(F.when(F.col("_t").isNotNull() & F.col("_u").isNotNull() & ~F.coalesce(F.col("_del"), F.lit(False)), 1).otherwise(0)).alias("updated"),
-                F.sum(F.when(F.col("_t").isNull() & F.col("_u").isNotNull() & ~F.coalesce(F.col("_del"), F.lit(False)), 1).otherwise(0)).alias("inserted"),
-                F.sum(F.when(F.col("_t").isNotNull() & F.col("_u").isNotNull() & F.coalesce(F.col("_del"), F.lit(False)), 1).otherwise(0)).alias("deleted"),
-            ).first()
-            n_updated = int(stats["updated"] or 0)
-            n_inserted = int(stats["inserted"] or 0)
-            n_deleted = int(stats["deleted"] or 0)
-            kept = cur.join(keyed.select(*key_cols).distinct(), key_cols, "left_anti")
+            kept = j.where(F.col("_u").isNull()).select(*cur.columns)
             kept = kept.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
             # schema evolution (Iceberg add-column analog): a batch may carry
             # columns the table has never seen (old rows read as NULL) or
             # omit columns the table has (new rows get NULL) — the union
             # fills both sides, and reads merge footer schemas across files
-            new_df = kept.unionByName(updates, allowMissingColumns=True)
+            new_df = kept.unionByName(upd_obs, allowMissingColumns=True)
         else:
-            new_df = updates
-            n_updated = 0
-            n_deleted = 0
-            n_inserted = updates.count()
+            new_df = upd_obs
 
     # --- write ONLY the touched buckets under this version ----------------
     data_rel = f"v{next_v}.data"
@@ -519,6 +520,15 @@ def merge_upsert(
         .partitionBy("_bucket")
         .parquet(data_dir)
     )
+    n_upserts = int(obs_upd.get["n"] or 0)
+    if obs_cur is not None:
+        _cm = obs_cur.get
+        n_updated = int(_cm["updated"] or 0)
+        n_deleted = int(_cm["deleted"] or 0)
+    else:
+        n_updated = 0
+        n_deleted = 0
+    n_inserted = n_upserts - n_updated
 
     entries = dict(old_entries)
     scols = list(stats_cols) if stats_cols is not None else list(key_cols)
