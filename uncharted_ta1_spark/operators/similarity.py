@@ -492,23 +492,34 @@ def random_project(
         h = int(hashlib.md5(f"rp_{j}_{k}".encode()).hexdigest()[:15], 16)
         return 1 if h % 2 == 0 else -1
 
+    # One quantized array + one aggregate() loop per output coordinate.
+    # The earlier form expanded p_k = sum_j ±q_j into a 512-node nested-Add
+    # tree whose Catalyst analysis + whole-stage-codegen compile dominated
+    # the wall time at any corpus size (guide §1.2: per-task work includes
+    # the plan the task compiles).  The fold evaluates the SAME long adds
+    # in the SAME j-ascending order (exact integer math, NULL propagation
+    # identical), so outputs are bit-identical; the plan is ~10x smaller.
     e = F.col(col)
     q = emb.select(
         id_col,
-        *[
-            F.floor(F.element_at(e, j + 1).cast("double") * F.lit(1e6))
-            .cast("long")
-            .alias(f"_q{j}")
-            for j in range(in_dim)
-        ],
+        F.array(
+            *[
+                F.floor(F.element_at(e, j + 1).cast("double") * F.lit(1e6))
+                .cast("long")
+                for j in range(in_dim)
+            ]
+        ).alias("_q"),
     )
     outs = []
     for k in range(out_dim):
-        acc = None
-        for j in range(in_dim):
-            t = F.col(f"_q{j}") if sgn(j, k) > 0 else -F.col(f"_q{j}")
-            acc = t if acc is None else acc + t
-        outs.append(acc.cast("long").alias(f"p{k}"))
+        signs = F.array(*[F.lit(sgn(j, k)).cast("long") for j in range(in_dim)])
+        outs.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), signs, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias(f"p{k}")
+        )
     return q.select(id_col, *outs)
 
 
