@@ -124,8 +124,15 @@ def connected_components(
         .where(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .distinct()
-        .localCheckpoint()
     )
+    # the contracted-edge count gates the driver-side finish below; it
+    # rides the checkpoint materialization as an observed metric instead
+    # of a separate job over the cached partitions
+    from pyspark.sql import Observation
+
+    _obs_e2 = Observation()
+    e2 = e2.observe(_obs_e2, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_e2 = int(_obs_e2.get["n"])
 
     # 3. transitive closure on the contracted graph only.  The contracted
     # graph is bounded by the number of DUP CLUSTERS, not documents — far
@@ -137,7 +144,7 @@ def connected_components(
     # locally" step production CC implementations take.  All |E|-sized
     # work above stays distributed; larger contracted graphs fall back to
     # the iterative loop below.
-    if driver_finish_limit and e2.count() <= driver_finish_limit:
+    if driver_finish_limit and n_e2 <= driver_finish_limit:
         mapping = _local_union_find(e2.select("a", "b").collect())
         labels = e2.sparkSession.createDataFrame(
             [(k, v) for k, v in mapping.items()],

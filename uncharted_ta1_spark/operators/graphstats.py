@@ -151,8 +151,19 @@ def kcore_membership(
     iterative chain, the repo's CTE-inlining defense); rounds never
     re-evaluate their predecessors.
     """
-    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
-    n_cur = cur.count()
+    # Each round's surviving-edge count rides the checkpoint
+    # materialization as an observed metric instead of a second job over
+    # the cached partitions (guide §1.2: one action per round, not two;
+    # same fusion as merge_upsert's commit counters).
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_cur = int(obs0.get["n"])
     converged = False
     for _ in range(rounds):
         und = cur.select(F.col("a").alias("node")).unionByName(
@@ -160,12 +171,14 @@ def kcore_membership(
         )
         deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.where(F.col("_d") >= k).select("node")
+        obs = Observation()
         nxt = (
             cur.join(keep.withColumnRenamed("node", "a"), "a", "semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_nxt = nxt.count()
+        n_nxt = int(obs.get["n"])
         cur = nxt
         if n_nxt == n_cur:
             converged = True
