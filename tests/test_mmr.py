@@ -94,3 +94,33 @@ def test_mmr_matches_python_and_diversifies(spark):
         mmr_picks = [v for (q, v) in got if q == qid]
         assert any(v % 3 == minor for v in mmr_picks), (qid, mmr_picks)
         assert any(v % 3 == 0 for v in mmr_picks)
+
+
+def test_mmr_driver_finish_equals_distributed_loop(spark):
+    """r07 pin: the bounded-pool driver-side greedy finish must produce
+    EXACTLY the distributed per-round loop's output (ranks, rel, score all
+    bit-equal) — the two implementations answer the same spec and guard
+    each other."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from uncharted_ta1_spark.operators.similarity import mmr_topk
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(40)
+    ] + [(200, [float(x) for x in rng.randn(8)]), (201, [float(x) for x in rng.randn(8)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pred = F.col("vec_id") >= 200
+    fast = {
+        (r.qid, r.vid): (r.mmr_rank, r.rel, r.score)
+        for r in mmr_topk(emb, query_pred=pred, pool=10, k=4).collect()
+    }
+    slow = {
+        (r.qid, r.vid): (r.mmr_rank, r.rel, r.score)
+        for r in mmr_topk(
+            emb, query_pred=pred, pool=10, k=4, driver_finish_limit=0
+        ).collect()
+    }
+    assert fast == slow

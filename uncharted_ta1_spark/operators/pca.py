@@ -146,14 +146,29 @@ def pca_project(
     comps, _ = pca_components(
         rows, in_dim=in_dim, n_components=n_components
     )
+    # One double array + one aggregate() fold per component (same plan-size
+    # fix as similarity.random_project: the expanded form was a 64-node
+    # nested-Add tree per component, mostly Catalyst/codegen compile cost).
+    # The fold adds the same doubles in the same j-ascending order with a
+    # 0.0 initial term (0.0 + x == x exactly for every double except that
+    # -0.0 collapses to 0.0 — and the final `+ 0.0` already collapses
+    # signed zero), so outputs are bit-identical.
     e = F.col(col)
+    evals = emb.select(
+        id_col,
+        F.array(
+            *[F.element_at(e, j + 1).cast("double") for j in range(in_dim)]
+        ).alias("_e"),
+    )
     outs = []
     for i in range(n_components):
-        acc = None
-        for j in range(in_dim):
-            t = F.element_at(e, j + 1).cast("double") * F.lit(float(comps[i, j]))
-            acc = t if acc is None else acc + t
-        outs.append(
-            (F.round(acc, 6) + F.lit(0.0)).alias(f"pc{i + 1}")
+        weights = F.array(
+            *[F.lit(float(comps[i, j])) for j in range(in_dim)]
         )
-    return emb.select(id_col, *outs)
+        acc = F.aggregate(
+            F.zip_with(F.col("_e"), weights, lambda x, wgt: x * wgt),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        outs.append((F.round(acc, 6) + F.lit(0.0)).alias(f"pc{i + 1}"))
+    return evals.select(id_col, *outs)

@@ -699,6 +699,54 @@ def hard_negatives(
 MMR_SCORE_EXPR = "(rel - maxd) / 2.0 + 0.0"
 
 
+def _mmr_driver_finish(cands: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
+    """Greedy MMR selection over the collected (bounded) pool tables.
+
+    Exactly the distributed loop's arithmetic and tie-breaks on the same
+    9-dp-rounded doubles: pick 1 maximizes ``rel`` (score = rel verbatim),
+    later rounds maximize ``(rel - maxd) / 2.0 + 0.0`` with maxd over the
+    already-selected set; ties break by vid asc.  One collect of
+    |queries| x pool (+ the pool-pair sims) replaces k-1 rounds of
+    join+window+checkpoint jobs — the bounded-driver-finish pattern of
+    connected_components/pca (guide §5: the droplet tail is cheaper to
+    solve locally than to schedule)."""
+    from collections import defaultdict
+
+    rel_by_q: dict = defaultdict(dict)
+    for r in cands.select("qid", "vid", "rel").collect():
+        rel_by_q[r["qid"]][r["vid"]] = r["rel"]
+    ps: dict = defaultdict(dict)
+    for r in pairs.select("qid", "vid_a", "vid_b", "psim").collect():
+        ps[r["qid"]][(r["vid_a"], r["vid_b"])] = r["psim"]
+
+    out = []
+    for qid, relmap in rel_by_q.items():
+        remaining = set(relmap)
+        v1 = min(remaining, key=lambda v: (-relmap[v], v))
+        out.append((qid, v1, relmap[v1], relmap[v1], 1))
+        sel = [v1]
+        remaining.discard(v1)
+        qps = ps[qid]
+        for j in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for v in remaining:
+                maxd = max(qps[(v, s)] for s in sel)
+                score = (relmap[v] - maxd) / 2.0 + 0.0
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v, relmap[v], score)
+            out.append((qid, best[1], best[2], best[3], j))
+            sel.append(best[1])
+            remaining.discard(best[1])
+    qt = cands.schema["qid"].dataType.simpleString()
+    vt = cands.schema["vid"].dataType.simpleString()
+    return cands.sparkSession.createDataFrame(
+        out, f"qid {qt}, vid {vt}, rel double, score double, mmr_rank bigint"
+    )
+
+
 def mmr_topk(
     emb: DataFrame,
     *,
@@ -706,6 +754,7 @@ def mmr_topk(
     pool: int = 20,
     k: int = 5,
     id_col: str = "vec_id",
+    driver_finish_limit: int = 500_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR 1998 — public method): greedily pick ``k`` of the
@@ -752,12 +801,17 @@ def mmr_topk(
     w_pool = Window.partitionBy("qid").orderBy(
         F.col("rel").desc(), F.col("vid").asc()
     )
+    from pyspark.sql import Observation
+
+    _obs_c = Observation()
     cands = (
         sims.withColumn("_rn", F.row_number().over(w_pool))
         .where(F.col("_rn") <= pool)
         .select("qid", "vid", "rel", "_emb_d", "_norm")
+        .observe(_obs_c, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_cand = int(_obs_c.get["n"] or 0)
     a = cands.select(
         "qid",
         F.col("vid").alias("vid_a"),
@@ -788,6 +842,11 @@ def mmr_topk(
         )
         .localCheckpoint(eager=True)
     )
+    # bounded pool -> finish the greedy selection driver-side (identical
+    # arithmetic/tie-breaks; see _mmr_driver_finish).  Larger query sets
+    # fall back to the distributed per-round loop below.
+    if driver_finish_limit and n_cand * max(pool - 1, 1) <= driver_finish_limit:
+        return _mmr_driver_finish(cands, pairs, k)
     slim = cands.select("qid", "vid", "rel")
     w_pick = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vid").asc()
