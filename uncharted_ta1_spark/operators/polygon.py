@@ -265,6 +265,14 @@ def quad_overlap_join(
             # owner cell: where the joint bbox min corner lands
             F.col("agx") == F.floor(F.greatest(F.col("a_xmin"), F.col("b_xmin")) / g),
             F.col("agy") == F.floor(F.greatest(F.col("a_ymin"), F.col("b_ymin")) / g),
+            # the SAT predicate goes INSIDE the join condition as the LAST
+            # conjunct: a post-join .where() gets merged into the join by
+            # Catalyst with the filter's conjuncts FIRST, which made every
+            # candidate evaluate the 64-term SAT before the cheap id/bbox/
+            # owner-cell rejections (measured: the whole query's cost).
+            # Residual conjuncts keep their written order, so here the
+            # short-circuit runs cheap-to-expensive.
+            F.expr(quad_overlap_sql("a", "b")),
         ],
     )
     pairs = ren_a.join(ren_b, cond)
@@ -272,4 +280,4 @@ def quad_overlap_join(
         F.col("a_id").alias(f"a_{id_col}"),
         F.col("b_id").alias(f"b_{id_col}"),
     ]
-    return pairs.where(F.expr(quad_overlap_sql("a", "b"))).select(*out_cols)
+    return pairs.select(*out_cols)
