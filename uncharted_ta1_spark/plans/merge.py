@@ -460,9 +460,12 @@ def merge_upsert(
     # caller's update derivation plus the collapse window (guide §5:
     # cut lineage for a reused intermediate; the delta is O(batch), the
     # same bound the commit protocol itself relies on).
+    # lazy checkpoint: the touched-bucket collect right below is the first
+    # action and materializes it — one job instead of an eager-checkpoint
+    # job followed by the collect
     keyed = keyed.withColumn(
         "_bucket", _key_bucket(key_cols, n_buckets)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     updates = keyed.where(~F.col("_del")).drop("_del")
     # touched-bucket set is bounded by n_buckets — a driver-side list, O(1)
     # (tombstone-only buckets are touched too: their kept rows get rewritten)
